@@ -1,0 +1,123 @@
+"""Document row model and property-column helpers.
+
+A Document (reference:
+/root/reference/datagrowth/datatypes/documents/db/document.py:15-23) is
+one schema-free JSON record plus identity metadata. Spark mapping: one
+row with
+
+* ``identity``   STRING — business key (from the collection identifier path)
+* ``reference``  STRING — annotation key (from the referee path)
+* ``properties`` MAP<STRING,STRING> — payload; each value is compact JSON,
+  so arbitrary nested data survives while shallow dict-merge (the
+  reference's update semantics, document.py:73-100) stays JVM-side via
+  ``map_concat`` under ``spark.sql.mapKeyDedupPolicy=LAST_WIN``
+* ``derivatives`` MAP<STRING, MAP<STRING,STRING>> — enrichment output per
+  growth phase (values JSON-encoded the same way)
+* ``task_results`` MAP<STRING,STRING> — per-task result JSON
+  (``{"success": bool, ...}``)
+* ``pending_at`` / ``finished_at`` TIMESTAMP — scheduling state
+
+Why a map and not a struct: the reference merges arbitrary keys at
+runtime; a struct would force a schema migration per new key. Pipelines
+that *declare* an objective should convert to a typed struct frame
+(:meth:`Collection.to_typed`) — that is the 100 TB scale path because
+parquet then prunes and pushes down on real columns.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PROPERTIES_TYPE = T.MapType(T.StringType(), T.StringType())
+
+DOCUMENT_SCHEMA = T.StructType([
+    T.StructField("identity", T.StringType(), True),
+    T.StructField("reference", T.StringType(), True),
+    T.StructField("properties", PROPERTIES_TYPE, True),
+    T.StructField("derivatives", T.MapType(T.StringType(), PROPERTIES_TYPE), True),
+    T.StructField("task_results", T.MapType(T.StringType(), T.StringType()), True),
+    T.StructField("pending_at", T.TimestampType(), True),
+    T.StructField("finished_at", T.TimestampType(), True),
+])
+
+
+def encode_properties(data: dict[str, Any]) -> dict[str, str]:
+    """Encode a payload dict to the MAP<STRING,STRING> representation."""
+    return {k: json.dumps(v, sort_keys=True, separators=(",", ":")) for k, v in data.items()}
+
+
+def decode_properties(encoded: dict[str, str] | None) -> dict[str, Any]:
+    if not encoded:
+        return {}
+    return {k: json.loads(v) for k, v in encoded.items()}
+
+
+def prop_col(properties: Column | str, path: str) -> Column:
+    """Column access into the encoded properties map via a ``$.a.b`` path.
+
+    The first path segment keys the map; the remainder is resolved with
+    ``get_json_object`` on the JSON-encoded value (still JVM-side).
+    Scalars come back unquoted (get_json_object '$' semantics).
+    """
+    props = F.col(properties) if isinstance(properties, str) else properties
+    assert path.startswith("$."), f"prop path must start with $. — got {path!r}"
+    first, _, rest = path[2:].partition(".")
+    value = props[first]
+    jpath = "$" if not rest else "$." + rest
+    return F.get_json_object(value, jpath)
+
+
+def document_content(row: dict[str, Any]) -> dict[str, Any]:
+    """Driver-side content projection for one document row dict.
+
+    Merge of properties + one-level-flattened derivatives (first writer
+    wins on key clash), ``_``-prefixed keys hidden — mirrors
+    ``Document.content`` (document.py:102-126).
+    """
+    content = {k: v for k, v in decode_properties(row.get("properties")).items()
+               if not k.startswith("_")}
+    for phase, contribution in (row.get("derivatives") or {}).items():
+        for key, value in decode_properties(contribution).items():
+            if key.startswith("_"):
+                continue
+            content.setdefault(key, value)
+    if row.get("identity") is not None:
+        content["_id"] = row["identity"]
+    return content
+
+
+def content_col(properties: Column | str = "properties",
+                derivatives: Column | str = "derivatives") -> Column:
+    """DataFrame-side content merge: properties win over derivatives.
+
+    Produces MAP<STRING,STRING> (values still JSON-encoded). Derivative
+    phases are flattened one level; with LAST_WIN dedup the properties
+    map is concatenated last so its keys win (properties take precedence,
+    matching first-writer-wins where properties are written first).
+    """
+    props = F.col(properties) if isinstance(properties, str) else properties
+    derivs = F.col(derivatives) if isinstance(derivatives, str) else derivatives
+    flattened = F.map_entries(derivs)  # array<struct<key, value: map>>
+    # Flatten all phase maps into one entry array, then properties last.
+    deriv_entries = F.flatten(F.transform(flattened, lambda e: F.map_entries(e["value"])))
+    all_entries = F.concat(deriv_entries, F.map_entries(props))
+    merged = F.map_from_entries(all_entries)  # LAST_WIN → properties win
+    return F.map_filter(
+        F.when(derivs.isNull(), props).otherwise(merged),
+        lambda k, _: ~F.startswith(k, F.lit("_")),
+    )
+
+
+def task_result_success(task_results: Column | str, task: str) -> Column:
+    """Boolean Column: did task `task` succeed for this document row?
+
+    NULL when the task never ran — callers distinguish "failed" from
+    "not run" (growth filter semantics, resources/growth.py:40-47).
+    """
+    results = F.col(task_results) if isinstance(task_results, str) else task_results
+    return F.get_json_object(results[task], "$.success").cast("boolean")

@@ -1,0 +1,230 @@
+"""Declarative extraction/projection ("objectives") over raw payloads.
+
+Objective grammar (reference:
+/root/reference/datagrowth/processors/input/extraction.py:10-193):
+
+* ``"@": path`` — selects the node collection to iterate (the explode)
+* ``"#key": path`` — evaluated once against the *whole* payload, the
+  value is broadcast onto every output row ("context")
+* ``"key": path`` — evaluated per exploded node
+* any value may be a Python callable instead of a path
+
+Two execution paths:
+
+* :func:`extract_df` — schema-free: Arrow-batched ``mapInPandas`` with
+  ``json.loads`` + :func:`reach` per body. Output rows carry the encoded
+  ``MAP<STRING,STRING>`` properties representation, ready for
+  ``Collection.add``. Correct for arbitrary JSON; Python-side cost.
+* :func:`extract_typed_df` — scale path: when the caller declares the
+  node schema, compiles to ``from_json`` → ``explode`` → ``select``
+  (whole-stage codegen, no Python). Use this in hot pipelines.
+
+HTML/XML extraction (reference extraction.py:156-193) evaluates
+BeautifulSoup expressions; gated behind an import-try because bs4 is an
+optional dependency.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datagrowth_spark.core.reach import reach
+from datagrowth_spark.datatypes.document import PROPERTIES_TYPE, encode_properties
+
+try:
+    import bs4  # noqa: F401
+
+    HAS_BS4 = True
+except ImportError:
+    HAS_BS4 = False
+
+
+def is_json_mimetype(mimetype: str) -> bool:
+    return mimetype.split(";")[0].strip() in (
+        "application/json", "text/json",
+    ) or mimetype.split("+")[-1].split(";")[0] == "json"
+
+
+class ExtractProcessor:
+    """Driver/executor-side extraction engine (pure Python core).
+
+    The pure-Python core mirrors the reference API so resource bodies can
+    be extracted anywhere (driver loops, partition workers); the
+    DataFrame operators below wrap it.
+    """
+
+    config_namespace = "extract_processor"
+
+    def __init__(self, config=None, objective: dict | None = None) -> None:
+        from datagrowth_spark.core.config import ConfigurationType
+
+        self.config = config or ConfigurationType(namespace=self.config_namespace)
+        objective = objective or self.config.get("objective", default={}, raise_on_missing=False) or {}
+        self.load_objective(objective)
+
+    def load_objective(self, objective: dict) -> None:
+        self._at = None
+        self._context: dict[str, Any] = {}
+        self._objective: dict[str, Any] = {}
+        for key, value in objective.items():
+            if key == "@":
+                self._at = value
+            elif key.startswith("#"):
+                self._context[key[1:]] = value
+            else:
+                self._objective[key] = value
+
+    # -- core -------------------------------------------------------------
+    def extract(self, content_type: str | None, data: Any) -> Iterator[dict]:
+        if content_type is None or data is None:
+            return iter([])
+        content_type = content_type.split(";")[0].strip()
+        if is_json_mimetype(content_type):
+            return self.application_json(data)
+        if content_type in ("text/html", "text/xml", "application/xml"):
+            return self.text_html(data)
+        raise TypeError(f"Unsupported content type: {content_type}")
+
+    def _eval(self, spec: Any, node: Any) -> Any:
+        if callable(spec):
+            return spec(node)
+        return reach(spec, node)
+
+    def application_json(self, data: Any) -> Iterator[dict]:
+        if isinstance(data, (str, bytes)):
+            data = json.loads(data)
+        context = {k: self._eval(v, data) for k, v in self._context.items()}
+        nodes = self._eval(self._at, data) if self._at else data
+        if isinstance(nodes, dict):
+            if self.config.get("extract_from_object_values", default=False, raise_on_missing=False):
+                nodes = list(nodes.values())
+            else:
+                nodes = [nodes]
+        if nodes is None:
+            return
+        for node in nodes:
+            row = {k: self._eval(v, node) for k, v in self._objective.items()}
+            row.update(context)
+            yield row
+
+    def text_html(self, data: Any) -> Iterator[dict]:
+        if not HAS_BS4:
+            raise NotImplementedError(
+                "HTML/XML extraction requires beautifulsoup4, which is not installed"
+            )
+        soup = bs4.BeautifulSoup(data, "html.parser")
+        context = {
+            k: v(soup) if callable(v) else eval(v, {"soup": soup})  # noqa: S307 — mirrors reference semantics
+            for k, v in self._context.items()
+        }
+        elements = self._at(soup) if callable(self._at) else eval(self._at, {"soup": soup})
+        for el in elements:
+            row = {
+                k: v(el) if callable(v) else eval(v, {"soup": soup, "el": el})
+                for k, v in self._objective.items()
+            }
+            row.update(context)
+            yield row
+
+    @staticmethod
+    def extract_from_resource(resource) -> Iterator[dict]:
+        """Extract from a resource's (content_type, data) tuple."""
+        content_type, data = resource.content if hasattr(resource, "content") else resource
+        processor = ExtractProcessor(objective={})
+        return processor.extract(content_type, data)
+
+
+_EXTRACT_OUT_SCHEMA = T.StructType([T.StructField("properties", PROPERTIES_TYPE)])
+
+
+def extract_df(df: DataFrame, body_col: str, objective: dict,
+               content_type: str = "application/json",
+               extract_from_object_values: bool = False) -> DataFrame:
+    """Schema-free extraction over a DataFrame of payload strings.
+
+    One input row (a fetched body) flat-maps to N output rows of encoded
+    properties — the Spark form of ``content_iterator``
+    (reference input/iterators.py:5-13). Callables in the objective are
+    shipped with the closure (must be picklable).
+    """
+    from datagrowth_spark.core.config import create_config
+
+    config = create_config("extract_processor",
+                           {"extract_from_object_values": extract_from_object_values})
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        processor = ExtractProcessor(config=config, objective=objective)
+        for batch in batches:
+            rows = []
+            for body in batch[body_col]:
+                if body is None:
+                    continue
+                for item in processor.extract(content_type, body):
+                    rows.append({"properties": encode_properties(item)})
+            yield pd.DataFrame(rows, columns=["properties"])
+
+    return df.mapInPandas(run, schema=_EXTRACT_OUT_SCHEMA)
+
+
+def _path_to_cols(path: str, base: F.Column) -> F.Column:
+    from datagrowth_spark.functions.paths import path_col
+
+    return path_col(base, path) if path not in (None, "$") else base
+
+
+def extract_typed_df(df: DataFrame, body_col: str, objective: dict,
+                     node_schema: T.DataType, at_is_array: bool = True) -> DataFrame:
+    """JVM-side extraction when the node schema is declared (scale path).
+
+    Compiles the objective to ``from_json`` + ``explode`` + ``select``:
+    fully inside whole-stage codegen, columns prunable. ``node_schema``
+    types one node; the ``@`` path locates the node array inside the
+    parsed body. Callables are not supported here — use
+    :func:`extract_df` for those.
+    """
+    at = None
+    context: dict[str, str] = {}
+    fields: dict[str, str] = {}
+    for key, value in objective.items():
+        assert not callable(value), "extract_typed_df does not support callables"
+        if key == "@":
+            at = value
+        elif key.startswith("#"):
+            context[key[1:]] = value
+        else:
+            fields[key] = value
+
+    # Parse just enough structure: the @-array of nodes plus context paths.
+    parsed_schema = _wrap_schema_for_path(at, T.ArrayType(node_schema) if at_is_array else node_schema)
+    parsed = F.from_json(F.col(body_col), parsed_schema)
+    nodes = _path_to_cols(at, parsed) if at else parsed
+
+    out = df.withColumn("__node", F.explode(nodes) if at_is_array else nodes)
+    cols = [
+        _path_to_cols(path, F.col("__node")).alias(name)
+        for name, path in fields.items()
+    ]
+    # Context columns come from a separately parsed (possibly different
+    # shaped) view of the body; re-parse with permissive schema.
+    for name, path in context.items():
+        from datagrowth_spark.functions.paths import json_path_col
+
+        cols.append(json_path_col(F.col(body_col), path).alias(name))
+    return out.select(*cols)
+
+
+def _wrap_schema_for_path(path: str | None, leaf: T.DataType) -> T.DataType:
+    """Nest `leaf` under the struct path in `path` (e.g. $.data.items)."""
+    if not path or path == "$":
+        return leaf
+    parts = [p for p in path[2:].split(".") if p]
+    for part in reversed(parts):
+        leaf = T.StructType([T.StructField(part, leaf)])
+    return leaf

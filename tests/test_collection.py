@@ -1,0 +1,156 @@
+"""Collection/Document behavior tests.
+
+Mirrors the reference's datatype suite expectations
+(tests/django_project/datatypes/tests/test_collection.py /
+test_document.py): add, upsert-by-property, content merge, group_by,
+split, output templating.
+"""
+
+import pytest
+
+from datagrowth_spark.datatypes.collection import Collection
+from datagrowth_spark.datatypes.document import (
+    decode_properties,
+    document_content,
+    encode_properties,
+)
+
+
+@pytest.fixture()
+def collection(spark):
+    coll = Collection(spark, name="test", identifier="id")
+    coll.add([
+        {"id": 1, "word": "pension", "country": "NL", "nested": {"x": 1}},
+        {"id": 2, "word": "pension", "country": "FR"},
+        {"id": 3, "word": "sion", "country": "BE"},
+    ])
+    return coll
+
+
+class TestAdd:
+    def test_add_assigns_identity(self, collection):
+        rows = {r["identity"] for r in collection.df.select("identity").collect()}
+        assert rows == {"1", "2", "3"}
+
+    def test_add_dedups_identical_payloads(self, spark):
+        coll = Collection(spark, identifier="id")
+        coll.add([{"id": 1, "a": 1}, {"id": 1, "a": 1}, {"id": 1, "a": 2}])
+        assert len(coll) == 2
+
+    def test_reset_replaces(self, collection):
+        collection.add([{"id": 9, "word": "new"}], reset=True)
+        assert len(collection) == 1
+
+    def test_nested_properties_roundtrip(self, collection):
+        row = collection.df.where("identity = '1'").collect()[0]
+        props = decode_properties(row["properties"])
+        assert props["nested"] == {"x": 1}
+
+
+class TestUpdate:
+    def test_update_merges_matches_and_inserts_rest(self, collection):
+        collection.update(
+            [{"id": 2, "word": "pensioen", "extra": True}, {"id": 4, "word": "fresh"}],
+            by_property="id",
+        )
+        assert len(collection) == 4
+        row = collection.df.where("identity = '2'").collect()[0]
+        props = decode_properties(row["properties"])
+        assert props["word"] == "pensioen"  # incoming wins
+        assert props["country"] == "FR"  # untouched keys survive
+        assert props["extra"] is True
+        new = collection.df.where("identity = '4'").collect()[0]
+        assert decode_properties(new["properties"])["word"] == "fresh"
+
+    def test_update_last_occurrence_wins_in_batch(self, collection):
+        collection.update(
+            [{"id": 3, "word": "first"}, {"id": 3, "word": "second"}],
+            by_property="id",
+        )
+        row = collection.df.where("identity = '3'").collect()[0]
+        assert decode_properties(row["properties"])["word"] == "second"
+        assert len(collection) == 3
+
+
+class TestContent:
+    def test_content_merges_derivatives_first_writer_wins(self):
+        row = {
+            "identity": "abc",
+            "properties": encode_properties({"word": "w", "_hidden": 1}),
+            "derivatives": {
+                "phase1": encode_properties({"extra": "from-deriv", "word": "loser"}),
+            },
+        }
+        content = document_content(row)
+        assert content["word"] == "w"  # properties beat derivatives
+        assert content["extra"] == "from-deriv"
+        assert "_hidden" not in content
+        assert content["_id"] == "abc"
+
+    def test_content_df_merges(self, spark, collection):
+        rows = collection.content_df().collect()
+        assert len(rows) == 3
+        by_id = {r["identity"]: r["content"] for r in rows}
+        assert by_id["3"]["word"] == '"sion"'
+
+
+class TestGroupBySplitOutput:
+    def test_group_by(self, collection):
+        groups = collection.group_by("word")
+        assert set(groups) == {"pension", "sion"}
+        assert len(groups["pension"]) == 2
+
+    def test_split_partitions_everything(self, collection):
+        train, validate, test = collection.split(0.8, 0.1, 0.1, seed=42)
+        assert train.count() + validate.count() + test.count() == 3
+
+    def test_split_as_content(self, collection):
+        parts = collection.split(0.5, 0.25, 0.25, seed=1, as_content=True)
+        total = sum(len(p) for p in parts)
+        assert total == 3
+        for part in parts:
+            for doc in part:
+                assert "word" in doc
+
+    def test_output_templating(self, collection):
+        out = collection.output("$.word")
+        assert sorted(out) == ["pension", "pension", "sion"]
+
+    def test_output_dict_spec(self, collection):
+        out = collection.output({"w": "$.word", "lit": "constant", "esc": "\\$raw"})
+        assert {"w": "sion", "lit": "constant", "esc": "$raw"} in out
+
+
+class TestAnnotations:
+    def test_semi_and_anti_join(self, spark):
+        coll = Collection(spark, identifier="id", referee="ref")
+        coll.add([{"id": i, "ref": f"r{i}"} for i in range(6)])
+        ann = spark.createDataFrame(
+            [("r1", "quality", 0.9), ("r2", "quality", 0.1), ("rX", "quality", 0.5)],
+            "reference string, name string, value double",
+        )
+        assert coll.annotations(ann).count() == 2
+        sample = coll.unannotated_sample(ann, "quality", limit=10, seed=3)
+        refs = {r["reference"] for r in sample.collect()}
+        assert refs == {"r0", "r3", "r4", "r5"}
+
+
+class TestTypedConversion:
+    def test_to_typed(self, spark, collection):
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("word", T.StringType()),
+            T.StructField("nested", T.StructType([T.StructField("x", T.LongType())])),
+        ])
+        typed = collection.to_typed(schema)
+        row = typed.where("identity = '1'").collect()[0]
+        assert row["properties"]["word"] == "pension"
+        assert row["properties"]["nested"]["x"] == 1
+
+    def test_io_roundtrip(self, spark, collection, tmp_path):
+        path = str(tmp_path / "coll")
+        collection.to_file(path)
+        loaded = Collection.from_file(spark, path, identifier="id")
+        assert len(loaded) == 3

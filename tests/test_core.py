@@ -1,0 +1,120 @@
+"""Kernel-utility tests: reach, config, registry (no Spark needed).
+
+Behavioral expectations mirror the reference's unit suites
+(tests/utils/test_data.py, tests/configuration/*, tests/registry/*).
+"""
+
+import pytest
+
+from datagrowth_spark.core.config import ConfigurationNotFoundError, ConfigurationType, create_config
+from datagrowth_spark.core.reach import override_dict, reach
+from datagrowth_spark.core.registry import ProcessorFactory, Registry, RegistryError
+
+
+DATA = {
+    "dict": {"test": "nested value", "list": ["nested value 0", "nested value 1"], "dict": {"test": "test"}},
+    "list": ["value 0", "value 1", {"test": "nested value"}],
+    "dotted.key": "another value",
+    "value": "value",
+}
+
+
+class TestReach:
+    def test_dict_access(self):
+        assert reach("$.dict.test", DATA) == "nested value"
+        assert reach("$.value", DATA) == "value"
+
+    def test_list_access(self):
+        assert reach("$.list.0", DATA) == "value 0"
+        assert reach("$.list.2.test", DATA) == "nested value"
+        assert reach("$.dict.list.1", DATA) == "nested value 1"
+
+    def test_whole_value(self):
+        assert reach("$", DATA) is DATA
+        assert reach(None, DATA) is DATA
+
+    def test_missing_returns_default(self):
+        assert reach("$.nope", DATA) is None
+        assert reach("$.nope.deeper", DATA, default=42) == 42
+        assert reach("$.list.9", DATA) is None
+
+    def test_literal_key_fallback(self):
+        assert reach("$.dotted.key", DATA) == "another value"
+
+    def test_invalid_path_raises(self):
+        with pytest.raises(ValueError):
+            reach("dict.test", DATA)
+
+    def test_override_dict(self):
+        out = override_dict({"a": 1, "b": 2}, {"b": 3})
+        assert out == {"a": 1, "b": 3}
+
+
+class TestConfiguration:
+    def test_namespace_fallback(self):
+        config = create_config("http_resource", {"test": 1})
+        assert config.test == 1
+        assert config.timeout == 30  # http_resource_timeout default
+        assert config.batch_size == 100  # global fallback
+
+    def test_missing_raises(self):
+        config = create_config("global", {})
+        with pytest.raises(ConfigurationNotFoundError):
+            _ = config.does_not_exist
+
+    def test_user_input_keys(self):
+        config = create_config("global", {"$page_size": 10})
+        assert config.page_size == 10
+
+    def test_supplement_does_not_override(self):
+        config = create_config("global", {"x": 1})
+        config.supplement(x=2, y=3)
+        assert config.x == 1 and config.y == 3
+
+    def test_serde_roundtrip(self):
+        config = create_config("http_resource", {"test": 1, "_protected": "p"})
+        as_dict = config.to_dict(protected=True, private=True)
+        clone = ConfigurationType.from_dict(as_dict)
+        assert clone.test == 1
+        assert clone.timeout == 30
+        assert "_protected" not in config.to_dict()
+
+    def test_clone_independent(self):
+        config = create_config("global", {"x": 1})
+        clone = config.clone()
+        clone.x = 2
+        assert config.x == 1 and clone.x == 2
+
+
+class TestRegistry:
+    def test_register_and_resolve(self):
+        reg = Registry()
+
+        @reg.register()
+        def my_func():
+            return "ok"
+
+        assert reg.get("my_func") is my_func
+        assert "my_func" in reg
+
+    def test_missing_raises(self):
+        reg = Registry()
+        with pytest.raises(RegistryError):
+            reg.get("ghost")
+
+    def test_processor_factory(self):
+        reg = Registry()
+
+        class EchoProcessor:
+            config_namespace = "global"
+
+            def __init__(self, config):
+                self.config = config
+
+            def run(self, value):
+                return value, self.config.batch_size
+
+        reg.register("EchoProcessor", EchoProcessor)
+        factory = ProcessorFactory("EchoProcessor.run", registry=reg)
+        method = factory.build({"batch_size": 7})
+        assert method("x") == ("x", 7)

@@ -1,0 +1,105 @@
+"""Extraction operator tests.
+
+Golden expectations mirror the reference's transformation tests
+(tests/django_project/processors/tests/transformation.py) against
+inline mock JSON documents.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from datagrowth_spark.datatypes.document import decode_properties
+from datagrowth_spark.operators.extraction import (
+    ExtractProcessor,
+    extract_df,
+    extract_typed_df,
+    is_json_mimetype,
+)
+
+MOCK_JSON = {
+    "meta": {"total": 2, "source": "unit"},
+    "records": [
+        {"id": 1, "title": "alpha", "tags": ["x", "y"]},
+        {"id": 2, "title": "beta", "tags": []},
+    ],
+}
+
+OBJECTIVE = {
+    "@": "$.records",
+    "#total": "$.meta.total",
+    "id": "$.id",
+    "title": "$.title",
+    "first_tag": "$.tags.0",
+}
+
+
+class TestPurePython:
+    def test_application_json(self):
+        processor = ExtractProcessor(objective=OBJECTIVE)
+        out = list(processor.application_json(MOCK_JSON))
+        assert out == [
+            {"id": 1, "title": "alpha", "first_tag": "x", "total": 2},
+            {"id": 2, "title": "beta", "first_tag": None, "total": 2},
+        ]
+
+    def test_from_string(self):
+        processor = ExtractProcessor(objective=OBJECTIVE)
+        out = list(processor.extract("application/json", json.dumps(MOCK_JSON)))
+        assert len(out) == 2
+
+    def test_callable_values(self):
+        objective = {"@": "$.records", "upper": lambda node: node["title"].upper()}
+        processor = ExtractProcessor(objective=objective)
+        assert [o["upper"] for o in processor.application_json(MOCK_JSON)] == ["ALPHA", "BETA"]
+
+    def test_dict_at_node(self):
+        processor = ExtractProcessor(objective={"@": "$.meta", "t": "$.total"})
+        assert list(processor.application_json(MOCK_JSON)) == [{"t": 2}]
+
+    def test_extract_from_object_values(self):
+        from datagrowth_spark.core.config import create_config
+
+        config = create_config("extract_processor", {"extract_from_object_values": True})
+        processor = ExtractProcessor(config=config, objective={"@": "$.by_key", "v": "$.v"})
+        data = {"by_key": {"a": {"v": 1}, "b": {"v": 2}}}
+        assert sorted(o["v"] for o in processor.application_json(data)) == [1, 2]
+
+    def test_unsupported_content_type(self):
+        processor = ExtractProcessor(objective=OBJECTIVE)
+        with pytest.raises(TypeError):
+            list(processor.extract("application/pdf", "x"))
+
+    def test_mimetype_helper(self):
+        assert is_json_mimetype("application/json")
+        assert is_json_mimetype("application/vnd.api+json")
+        assert not is_json_mimetype("text/html")
+
+
+class TestDataFrameOps:
+    def test_extract_df(self, spark):
+        bodies = spark.createDataFrame([(json.dumps(MOCK_JSON),)], "body string")
+        out = extract_df(bodies, "body", OBJECTIVE).collect()
+        props = [decode_properties(r["properties"]) for r in out]
+        assert props[0] == {"id": 1, "title": "alpha", "first_tag": "x", "total": 2}
+        assert len(props) == 2
+
+    def test_extract_typed_df_stays_jvm_side(self, spark):
+        bodies = spark.createDataFrame([(json.dumps(MOCK_JSON),)] * 3, "body string")
+        node_schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ])
+        objective = {"@": "$.records", "#source": "$.meta.source",
+                     "id": "$.id", "title": "$.title", "first_tag": "$.tags.0"}
+        out = extract_typed_df(bodies, "body", objective, node_schema)
+        rows = out.collect()
+        assert len(rows) == 6
+        assert {(r["id"], r["title"], r["first_tag"], r["source"]) for r in rows} == {
+            (1, "alpha", "x", "unit"), (2, "beta", None, "unit"),
+        }
+        # No Python evaluation in the plan (pure Catalyst).
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
