@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with the noop sink (full computation, no
+collect-to-driver cost) after a one-off session warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datagrowth_spark import queries as Q
+from datagrowth_spark.core.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "top_orders",
+    "nation_revenue",
+    "returned_items",
+    "top_parts_per_brand",
+    "customer_order_merge",
+    "events_daily",
+    "events_sessionize",
+    "docs_by_lang",
+    "text_stats",
+    "text_quality",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk",
+    "similarity_topk_ivf",
+    "embedding_near_dups",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="datagrowth-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the JVM/session so the first measured query doesn't pay
+    # session-bootstrap costs.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    registry = Q.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Text-analysis column functions — pure Catalyst expressions.
+
+Everything here is built from pyspark.sql.functions only (JVM-side,
+whole-stage codegen, no Python): token counting, quality scoring,
+language-ID heuristics, fingerprints, shingling. Each function returns a
+Column so operators compose them freely.
+
+These are the "beyond-reference" training-data-pipeline primitives; the
+reference's own scalar library is limited to path lookup + datetime
+formatting (SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny multi-language stopword sets for the n-gram/stopword language
+# heuristic. Deliberately small and deterministic: the operator's shape
+# (per-language evidence scores → argmax) is what matters at scale.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "en", "un"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que"),
+}
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Whitespace tokenization (empty strings filtered)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens_col(text))
+
+
+def word_regex_token_count(text: Column | str) -> Column:
+    """BPE-ish subword proxy: count word/number/punctuation units.
+
+    Uses a GPT-style pre-tokenizer regex family — alphabetic runs,
+    digit runs, and single non-space punctuation each count as a token.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(text, r"\s+", " ")
+    words = F.size(F.filter(F.split(stripped, r"[^A-Za-z0-9]+"), lambda t: t != F.lit("")))
+    punct = F.length(F.regexp_replace(stripped, r"[A-Za-z0-9\s]", ""))
+    return words + punct
+
+
+def char_count(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.length(text)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return punct / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = LANG_STOPWORDS["en"]) -> Column:
+    toks = tokens_col(F.lower(F.col(text) if isinstance(text, str) else text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_length(text: Column | str) -> Column:
+    toks = tokens_col(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1].
+
+    Mix of length band, stopword evidence, low punctuation noise and
+    sane word lengths — the standard cheap pre-filter shape for
+    training-data curation pipelines.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    n = F.length(text)
+    length_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text) * 4, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(1.0) - punct_ratio(text) * 5, F.lit(0.0))
+    mwl = mean_word_length(text)
+    word_len_score = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(
+        length_score * 0.3 + stop_score * 0.3 + punct_penalty * 0.2 + word_len_score * 0.2, 6
+    )
+
+
+def _isin_filter(words: tuple[str, ...]):
+    # NB: the returned lambda must take exactly ONE arg — pyspark's
+    # higher-order filter() treats a two-arg lambda as (element, index).
+    return lambda t: t.isin(*words)
+
+
+def language_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-evidence scores (the n-gram-heuristic family)."""
+    toks = tokens_col(F.lower(F.col(text) if isinstance(text, str) else text))
+    denom = F.greatest(F.size(toks), F.lit(1))
+    return {
+        lang: F.size(F.filter(toks, _isin_filter(sw))) / denom
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+
+
+def language_id(text: Column | str, default: str = "und") -> Column:
+    """argmax over language evidence scores; 'und' when no evidence."""
+    scores = language_scores(text)
+    best_lang = F.lit(default)
+    best_score = F.lit(0.0)
+    # Deterministic argmax: iterate languages in sorted order, strict >.
+    for lang in sorted(scores):
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return best_lang
+
+
+def normalized_tokens(text: Column | str) -> Column:
+    """Lowercased alpha-only tokens — the normalization for fingerprints."""
+    text = F.col(text) if isinstance(text, str) else text
+    cleaned = F.regexp_replace(F.lower(text), r"[^a-z\s]", "")
+    return F.filter(F.split(cleaned, r"\s+"), lambda t: t != F.lit(""))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 of sorted distinct tokens.
+
+    Collapses token-order permutations of the same vocabulary — the
+    classic "fingerprint" dedup key (stronger than exact hash, cheaper
+    than MinHash).
+    """
+    toks = F.array_sort(F.array_distinct(normalized_tokens(text)))
+    return F.md5(F.encode(F.array_join(toks, " "), "utf-8"))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles, 1-based construction identical to DuckDB's
+    list indexing so oracle SQL can mirror it exactly."""
+    toks = tokens_col(F.lower(F.col(text) if isinstance(text, str) else text))
+    count = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(count - (n - 1), F.lit(0)))
+    return F.when(count < n, F.array()).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        )
+    )
+
+
+def md5_long(col: Column, chars: int = 8) -> Column:
+    """First `chars` hex digits of md5 as a BIGINT — the cross-engine
+    deterministic hash primitive (DuckDB: CAST('0x'||substr(md5(x),1,8) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(F.encode(col, "utf-8")), 1, chars), 16, 10).cast("long")
+
+
+def simhash(text: Column | str, bits: int = 32) -> Column:
+    """SimHash over normalized tokens using md5-derived per-token hashes.
+
+    bit j of the simhash is set when the majority of token hashes have
+    bit j set. 32 bits keeps every intermediate in BIGINT range for both
+    Spark and DuckDB.
+    """
+    def _bit_set(mask: int):
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+    toks = normalized_tokens(text)
+    hashes = F.transform(toks, lambda t: md5_long(t))
+    n = F.greatest(F.size(hashes), F.lit(1))
+    result = F.lit(0).cast("long")
+    for j in range(bits):
+        ones = F.size(F.filter(hashes, _bit_set(1 << j)))
+        result = result + F.when(ones * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
+    return result

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline, and an IVF-style
+partition-pruned variant as the scale path: embeddings carry a cluster
+id (here the ``label`` column; in production the coarse-quantizer
+assignment), queries probe only their own cluster's partition — the
+relational form of an IVF index, where partition pruning does the work
+an ANN index would.
+
+All arithmetic is array fold over doubles (F.aggregate / F.zip_with),
+kept strictly sequential so results are reproducible and portable;
+similarities are rounded before thresholding/ranking so cross-engine
+float summation differences cannot flip comparisons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _to_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
+    a = _to_double(a)
+    b = _to_double(b)
+    return F.round(dot(a, b) / (norm(a) * norm(b)), decimals)
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force cosine top-k for each query vector.
+
+    queries: (query_id, embedding). The corpus side stays partitioned;
+    the query side is broadcast (queries are small by construction).
+    Ties broken by corpus id for full determinism.
+    Output: (query_id, vec_id, cos_sim, rank).
+    """
+    q = F.broadcast(queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ))
+    scored = (
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+        .crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("c_vec"), F.col("q_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style top-k: probe only the query's own cluster partition.
+
+    The equi-join on cluster id replaces the cross join — at scale this
+    is the difference between reading the whole corpus per query and
+    reading one partition per query (cluster id is the partition key of
+    the stored embedding table, so partition pruning applies).
+    Output: (query_id, vec_id, cos_sim, rank).
+    """
+    q = F.broadcast(queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(cluster_col).alias("q_cluster"),
+    ))
+    scored = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"),
+            F.col(cluster_col).alias("c_cluster"),
+        )
+        .join(q, F.col("c_cluster") == F.col("q_cluster"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("c_vec"), F.col("q_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str | None = "label",
+) -> DataFrame:
+    """Near-duplicate vector pairs by cosine ≥ threshold.
+
+    With a cluster column, pairs are only formed within a cluster
+    (blocking); without, a full self-join (only for small corpora).
+    Output: (id_a, id_b, cos_sim) with id_a < id_b.
+    """
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    if cluster_col:
+        cols.append(F.col(cluster_col).alias("cluster"))
+    base = embeddings.select(*cols)
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if cluster_col:
+        cond = cond & (F.col("a.cluster") == F.col("b.cluster"))
+    return (
+        a.join(b, cond)
+        .withColumn("cos_sim", cosine(F.col("a.vec"), F.col("b.vec")))
+        .where(F.col("cos_sim") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim")
+    )

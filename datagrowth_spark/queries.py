@@ -1,0 +1,818 @@
+"""Benchmark/correctness query surface.
+
+Every entry pairs an idiomatic-Spark DataFrame program with an ANSI-SQL
+oracle that DuckDB runs on the same parquet tables. Cross-engine
+determinism rules used throughout:
+
+* money/double sums go through DECIMAL(18,2|4) (exact, order-independent)
+  then cast to DOUBLE — identical values regardless of partition/merge
+  order at any scale;
+* averages are exact-decimal sums divided as doubles;
+* the only hash primitive is md5 (identical everywhere); integer hashes
+  take the first 8 hex chars as BIGINT;
+* float similarities are rounded to 6dp *before* thresholding or
+  ranking so last-ulp float differences can never flip a comparison;
+* every top-k has a full deterministic tiebreaker.
+
+Scale notes are inline per query: what shuffles, what broadcasts, what
+prunes.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datagrowth_spark.functions import text as TX
+from datagrowth_spark.operators import dedup as DD
+from datagrowth_spark.operators import similarity as SIM
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with its TIMESTAMP(NANOS) column surfaced as timestamp.
+
+    Spark's vectorized parquet reader rejects nanos timestamps; read them
+    as long (legacy conf, runtime-settable) and floor-divide to micros —
+    bit-identical to DuckDB's ns→µs truncation.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = _t(spark, sf_dir, "events")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _dec_sum(col, scale: int = 2):
+    """Order-independent exact sum of a double column, surfaced as double."""
+    return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _rev_sum():
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return F.sum(revenue.cast("decimal(18,4)")).cast("double")
+
+
+_REV_SQL = "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Relational core (Catalyst showcase: pushdown, broadcast joins, windows)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-side filter pushdown + partial aggregation.
+
+    One shuffle on (l_returnflag, l_linestatus); map-side combine does
+    nearly all the work at 100 TB since the group count is tiny.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity").alias("sum_qty"),
+            _dec_sum("l_extendedprice").alias("sum_base_price"),
+            _rev_sum().alias("sum_disc_price"),
+            (_dec_sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (_dec_sum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            (_dec_sum("l_discount") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       {_REV_SQL} AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast the filtered customer dim, shuffle join
+    orders↔lineitem on orderkey, top-10 by revenue."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_rev_sum().alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_ORDERS = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority, {_REV_SQL} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the whole dim chain (region→nation→customer) is
+    broadcast; only orders↔lineitem shuffles."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        cust.join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(dims, orders["o_custkey"] == dims["c_custkey"])
+        .groupBy("n_name")
+        .agg(_rev_sum().alias("revenue"))
+    )
+
+
+SQL_NATION_REVENUE = f"""
+SELECT n_name, {_REV_SQL} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue of returned items per customer, top 20."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_rev_sum().alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEMS = f"""
+SELECT c_custkey, c_name, n_name, {_REV_SQL} AS revenue, COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group: rank parts by retail price within brand."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rn")
+    )
+
+
+SQL_TOP_PARTS_PER_BRAND = """
+SELECT p_brand, p_partkey, p_name, p_retailprice, rn
+FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+  FROM part
+) WHERE rn <= 3
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (the reference's annotation-sampling shape, C11):
+    customers inactive since 2000."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return cust.join(recent.select("o_custkey"), cust["c_custkey"] == recent["o_custkey"], "left_anti") \
+        .select("c_custkey", "c_name", "c_mktsegment")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+"""
+
+
+def q_active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (the reference's annotations view shape, C10)."""
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return sup.join(li.select("l_suppkey"), sup["s_suppkey"] == li["l_suppkey"], "left_semi") \
+        .select("s_suppkey", "s_name", "s_nationkey")
+
+
+SQL_ACTIVE_SUPPLIERS = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01')
+"""
+
+
+def q_customer_order_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upsert/merge shape (Collection.update, C2) as a relational
+    plan: left-merge per-customer order aggregates onto the customer
+    table, new values coalesced over old ones."""
+    cust = _t(spark, sf_dir, "customer")
+    agg = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), _dec_sum("o_totalprice").alias("lifetime_value"))
+    )
+    return (
+        cust.join(agg, cust["c_custkey"] == agg["o_custkey"], "left")
+        .select(
+            "c_custkey", "c_name", "c_mktsegment",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("lifetime_value"), F.lit(0.0)).alias("lifetime_value"),
+        )
+    )
+
+
+SQL_CUSTOMER_ORDER_MERGE = """
+SELECT c_custkey, c_name, c_mktsegment,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(lifetime_value, 0.0) AS lifetime_value
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_value
+  FROM orders GROUP BY o_custkey
+) ON c_custkey = o_custkey
+"""
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set rollup over priority × status."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), _dec_sum("o_totalprice").alias("total"))
+    )
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events (stream-shaped table): sessionization, time rollups, JSON props
+# ---------------------------------------------------------------------------
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            _dec_sum("value").alias("total_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+SQL_EVENTS_DAILY = """
+SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY date_trunc('day', ts), event_type
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session assignment via 30-minute gap rule: one window per user.
+
+    At scale the shuffle key is user_id; sessionization is the canonical
+    applyInPandasWithState streaming op — this is its batch plan.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+            _dec_sum("value").alias("total_value"),
+        )
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM flagged
+GROUP BY user_id
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the props payload column (the reference's
+    reach/objective shape, E1, over a relational table)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k_bucket", (k % 10))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n_events"), _dec_sum("value").alias("total_value"))
+    )
+
+
+SQL_EVENTS_JSON_PROPS = """
+SELECT CAST(props->>'$.k' AS INT) % 10 AS k_bucket, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+def q_finished_not_pending_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (EXCEPT): customers with finished orders but no
+    pending ones."""
+    orders = _t(spark, sf_dir, "orders")
+    finished = orders.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("user_id")).distinct()
+    pending = orders.where(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("user_id")).distinct()
+    return finished.subtract(pending)
+
+
+SQL_FINISHED_NOT_PENDING_CUSTS = """
+SELECT DISTINCT o_custkey AS user_id FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT DISTINCT o_custkey AS user_id FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Documents: grouping, text analysis, fingerprints
+# ---------------------------------------------------------------------------
+
+def q_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection.group_by (C5) as a relational plan: group docs by a
+    property, materialize ordered member lists."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.array_join(F.array_sort(F.collect_list(F.lpad(F.col("doc_id").cast("string"), 10, "0"))), ",")
+            .alias("doc_ids"),
+        )
+    )
+
+
+SQL_DOCS_BY_LANG = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       STRING_AGG(lpad(CAST(doc_id AS VARCHAR), 10, '0'), ',' ORDER BY lpad(CAST(doc_id AS VARCHAR), 10, '0')) AS doc_ids
+FROM documents
+GROUP BY lang
+"""
+
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+_RAW_TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+_NORM_TOKS_SQL = (
+    "list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+'), t -> t <> '')"
+)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish word/punct units."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("ws_tokens"),
+        TX.word_regex_token_count("text").alias("unit_tokens"),
+        TX.char_count("text").alias("chars"),
+    )
+
+
+SQL_TEXT_STATS = f"""
+SELECT doc_id,
+       len({_RAW_TOKS_SQL}) AS ws_tokens,
+       len(list_filter(string_split_regex(regexp_replace(text, '\\s+', ' ', 'g'), '[^A-Za-z0-9]+'), t -> t <> ''))
+         + length(regexp_replace(regexp_replace(text, '\\s+', ' ', 'g'), '[A-Za-z0-9\\s]', '', 'g')) AS unit_tokens,
+       length(text) AS chars
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+SQL_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         {_TOKS_SQL} AS toks,
+         length(text) AS n
+  FROM documents
+), m AS (
+  SELECT doc_id, n,
+         least(n / 500.0, 1.0) AS length_score,
+         least((len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))
+                / CAST(greatest(len(toks), 1) AS DOUBLE)) * 4, 1.0) AS stop_score,
+         greatest(1.0 - (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                / CAST(greatest(length(text), 1) AS DOUBLE)) * 5, 0.0) AS punct_penalty,
+         list_sum(list_transform({_RAW_TOKS_SQL}, x -> length(x)))
+           / CAST(greatest(len({_RAW_TOKS_SQL}), 1) AS DOUBLE) AS mwl
+  FROM t
+)
+SELECT doc_id,
+       round(length_score * 0.3 + stop_score * 0.3 + punct_penalty * 0.2
+             + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+FROM m
+"""
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.language_id("text").alias("pred_lang"))
+
+
+def _langid_sql() -> str:
+    from datagrowth_spark.functions.text import LANG_STOPWORDS
+
+    score_exprs = {
+        lang: (
+            f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in sw)})))"
+            f" / CAST(greatest(len(toks), 1) AS DOUBLE)"
+        )
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    # Mirror the Spark fold: iterate langs sorted, strict >, start ('und', 0.0)
+    best_lang, best_score = "'und'", "0.0"
+    for lang in sorted(score_exprs):
+        s = f"s_{lang}"
+        best_lang = f"CASE WHEN {s} > {best_score} THEN '{lang}' ELSE {best_lang} END"
+        best_score = f"CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END"
+    selects = ",\n         ".join(f"{expr} AS s_{lang}" for lang, expr in score_exprs.items())
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         {selects}
+  FROM t
+)
+SELECT doc_id, {best_lang} AS pred_lang FROM s
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary fingerprint per document + dup-group stats."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.fingerprint_dedup(docs, "text", "doc_id")
+
+
+SQL_TEXT_FINGERPRINT = f"""
+SELECT md5(array_to_string(list_sort(list_distinct({_NORM_TOKS_SQL})), ' ')) AS fp,
+       MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id AS id, unnest(list_distinct(
+    CASE WHEN len({_TOKS_SQL}) < 3 THEN []
+         ELSE list_transform(generate_series(1, len({_TOKS_SQL}) - 2),
+              i -> concat_ws(' ', {_TOKS_SQL}[i], {_TOKS_SQL}[i+1], {_TOKS_SQL}[i+2]))
+    END)) AS shingle
+  FROM documents
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                                  n=3, threshold=0.1)
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT id, COUNT(*) AS n_shingles FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(inter / CAST(sa.n_shingles + sb.n_shingles - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(inter / CAST(sa.n_shingles + sb.n_shingles - inter AS DOUBLE), 6) >= 0.1
+"""
+
+
+_NUM_HASHES = 16
+_BANDS = 4
+
+
+def _mh_expr_sql(i: int) -> str:
+    return (f"MIN(CAST(('0x' || substr(md5('{i}:' || shingle), 1, 8)) AS BIGINT))")
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable MinHash signatures (first 4 hashes surfaced)."""
+    sig = DD.minhash_signature(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                               num_hashes=4, n=3)
+    return sig.select(F.col("id").alias("doc_id"), "mh_0", "mh_1", "mh_2", "mh_3")
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH sh AS ({_SHINGLES_SQL})
+SELECT id AS doc_id,
+       {_mh_expr_sql(0)} AS mh_0, {_mh_expr_sql(1)} AS mh_1,
+       {_mh_expr_sql(2)} AS mh_2, {_mh_expr_sql(3)} AS mh_3
+FROM sh GROUP BY id
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                                num_hashes=_NUM_HASHES, bands=_BANDS, n=3, threshold=0.2)
+
+
+def _minhash_lsh_sql() -> str:
+    rows = _NUM_HASHES // _BANDS
+    mh_selects = ",\n       ".join(f"{_mh_expr_sql(i)} AS mh_{i}" for i in range(_NUM_HASHES))
+    band_selects = []
+    for b in range(_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(mh_{i} AS VARCHAR)" for i in range(b * rows, (b + 1) * rows)
+        )
+        band_selects.append(f"SELECT id, md5('{b},' || {cols}) AS band_key FROM sig")
+    banded = "\nUNION ALL\n".join(band_selects)
+    agree = " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(_NUM_HASHES)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT id,
+       {mh_selects}
+  FROM sh GROUP BY id
+),
+banded AS ({banded}),
+candidates AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.id < b.id
+)
+SELECT c.id_a, c.id_b, round(({agree}) / CAST({_NUM_HASHES} AS DOUBLE), 6) AS est_jaccard
+FROM candidates c
+JOIN sig a ON a.id = c.id_a
+JOIN sig b ON b.id = c.id_b
+WHERE round(({agree}) / CAST({_NUM_HASHES} AS DOUBLE), 6) >= 0.2
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures per document (32-bit, engine-portable)."""
+    return DD.simhash_signatures(_t(spark, sf_dir, "documents"), "text", "doc_id") \
+        .select(F.col("id").alias("doc_id"), "simhash")
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    terms = []
+    for j in range(bits):
+        mask = 1 << j
+        terms.append(
+            f"(CASE WHEN len(list_filter(hashes, h -> (h & {mask}) != 0)) * 2 > n THEN {mask} ELSE 0 END)"
+        )
+    total = "\n         + ".join(terms)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform({_NORM_TOKS_SQL},
+                        w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)) AS hashes
+  FROM documents
+), m AS (
+  SELECT doc_id, hashes, greatest(len(hashes), 1) AS n FROM t
+)
+SELECT doc_id,
+       CAST({total} AS BIGINT) AS simhash
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _cos_sql(a: str = "a_vec", b: str = "b_vec") -> str:
+    dot = f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+    na = f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> x * x)))"
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 fixed query vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return SIM.cosine_topk(emb, queries, k=10)
+
+
+SQL_SIMILARITY_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS a_vec FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS b_vec FROM embeddings
+), scored AS (
+  SELECT query_id, vec_id, {_cos_sql("a_vec", "b_vec")} AS cos_sim
+  FROM q CROSS JOIN c
+  WHERE vec_id != query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style top-10: probe only the query's own cluster (label)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding"), F.col("label")
+    )
+    return SIM.cosine_topk_ivf(emb, queries, k=10)
+
+
+SQL_SIMILARITY_TOPK_IVF = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS a_vec, label FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS b_vec, label FROM embeddings
+), scored AS (
+  SELECT query_id, vec_id, {_cos_sql("a_vec", "b_vec")} AS cos_sim
+  FROM q JOIN c ON q.label = c.label
+  WHERE vec_id != query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors within label blocks, cosine >= 0.35
+    (threshold sits at the top ~0.1% of this synthetic corpus's
+    similarity distribution)."""
+    return SIM.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+SQL_EMBEDDING_NEAR_DUPS = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql("a.vec", "b.vec")} AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_cos_sql("a.vec", "b.vec")} >= 0.35
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "nation_revenue": q_nation_revenue,
+        "returned_items": q_returned_items,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "customers_without_orders": q_customers_without_orders,
+        "active_suppliers": q_active_suppliers,
+        "customer_order_merge": q_customer_order_merge,
+        "orders_rollup": q_orders_rollup,
+        "events_daily": q_events_daily,
+        "events_sessionize": q_events_sessionize,
+        "events_json_props": q_events_json_props,
+        "finished_not_pending_custs": q_finished_not_pending_custs,
+        "docs_by_lang": q_docs_by_lang,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_language_id": q_text_language_id,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "similarity_topk": q_similarity_topk,
+        "similarity_topk_ivf": q_similarity_topk_ivf,
+        "embedding_near_dups": q_embedding_near_dups,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "top_orders": SQL_TOP_ORDERS,
+        "nation_revenue": SQL_NATION_REVENUE,
+        "returned_items": SQL_RETURNED_ITEMS,
+        "top_parts_per_brand": SQL_TOP_PARTS_PER_BRAND,
+        "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "active_suppliers": SQL_ACTIVE_SUPPLIERS,
+        "customer_order_merge": SQL_CUSTOMER_ORDER_MERGE,
+        "orders_rollup": SQL_ORDERS_ROLLUP,
+        "events_daily": SQL_EVENTS_DAILY,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "events_json_props": SQL_EVENTS_JSON_PROPS,
+        "finished_not_pending_custs": SQL_FINISHED_NOT_PENDING_CUSTS,
+        "docs_by_lang": SQL_DOCS_BY_LANG,
+        "text_stats": SQL_TEXT_STATS,
+        "text_quality": SQL_TEXT_QUALITY,
+        "text_language_id": _langid_sql(),
+        "text_fingerprint": SQL_TEXT_FINGERPRINT,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_minhash": SQL_DEDUP_MINHASH,
+        "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "similarity_topk": SQL_SIMILARITY_TOPK,
+        "similarity_topk_ivf": SQL_SIMILARITY_TOPK_IVF,
+        "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    }
