@@ -138,18 +138,32 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.encode(F.array_join(toks, " "), "utf-8"))
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles, 1-based construction identical to DuckDB's
-    list indexing so oracle SQL can mirror it exactly."""
-    toks = tokens_col(F.lower(F.col(text) if isinstance(text, str) else text))
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token-array column, 1-based construction
+    identical to DuckDB's list indexing so oracle SQL can mirror it.
+
+    ``toks`` MUST be a materialized column reference (not an inline
+    tokenization expression): lambda bodies re-evaluate their inputs per
+    element, so an inline split would turn this O(len) into O(len²).
+    """
     count = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(count - (n - 1), F.lit(0)))
-    return F.when(count < n, F.array()).otherwise(
+    return F.when(count < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             idx,
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
         )
     )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles straight from a text column.
+
+    Convenience form; prefer tokenizing into a column first and calling
+    :func:`shingles_from_tokens` in hot paths (see its note).
+    """
+    toks = tokens_col(F.lower(F.col(text) if isinstance(text, str) else text))
+    return shingles_from_tokens(toks, n)
 
 
 def md5_long(col: Column, chars: int = 8) -> Column:

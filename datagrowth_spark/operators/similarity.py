@@ -113,6 +113,13 @@ def cosine_topk_ivf(
     )
 
 
+def unit_normalize(vec: Column) -> Column:
+    """L2-normalize once so pairwise cosine reduces to a dot product."""
+    v = _to_double(vec)
+    n = norm(v)
+    return F.transform(v, lambda x: x / n)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.99,
@@ -122,11 +129,14 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate vector pairs by cosine ≥ threshold.
 
-    With a cluster column, pairs are only formed within a cluster
-    (blocking); without, a full self-join (only for small corpora).
+    Vectors are unit-normalized once up front (norms are not recomputed
+    per pair — at k pairs per vector that is the difference between
+    O(n·d) and O(k·n·d) norm work). With a cluster column, pairs are
+    only formed within a cluster (blocking); without, a full self-join
+    (only for small corpora).
     Output: (id_a, id_b, cos_sim) with id_a < id_b.
     """
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    cols = [F.col(id_col).alias("id"), unit_normalize(F.col(vec_col)).alias("nvec")]
     if cluster_col:
         cols.append(F.col(cluster_col).alias("cluster"))
     base = embeddings.select(*cols)
@@ -137,7 +147,7 @@ def embedding_near_dup_pairs(
         cond = cond & (F.col("a.cluster") == F.col("b.cluster"))
     return (
         a.join(b, cond)
-        .withColumn("cos_sim", cosine(F.col("a.vec"), F.col("b.vec")))
+        .withColumn("cos_sim", F.round(dot(F.col("a.nvec"), F.col("b.nvec")), 6))
         .where(F.col("cos_sim") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim")
     )

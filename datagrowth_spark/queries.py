@@ -586,7 +586,10 @@ _BANDS = 4
 
 
 def _mh_expr_sql(i: int) -> str:
-    return (f"MIN(CAST(('0x' || substr(md5('{i}:' || shingle), 1, 8)) AS BIGINT))")
+    a, b = DD.minhash_params(i)
+    return (
+        f"MIN(({a} * CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) + {b}) % {DD.MINHASH_P})"
+    )
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -744,11 +747,20 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+_NDOT_SQL = ("round(list_sum(list_transform(generate_series(1, len(a.nvec)), "
+             "i -> a.nvec[i] * b.nvec[i])), 6)")
+
 SQL_EMBEDDING_NEAR_DUPS = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql("a.vec", "b.vec")} AS cos_sim
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS nvec,
+         label
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_NDOT_SQL} AS cos_sim
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_cos_sql("a.vec", "b.vec")} >= 0.35
+WHERE {_NDOT_SQL} >= 0.35
 """
 
 
