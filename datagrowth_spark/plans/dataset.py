@@ -1,0 +1,261 @@
+"""Dataset versioning + growth strategies + driver task DAG (P9-P11).
+
+A Dataset is a declarative pipeline spec; a DatasetWarehouse materializes
+its versions as parquet snapshot directories:
+
+    <root>/<dataset_signature>/v<NNN>/<collection>.parquet
+    <root>/<dataset_signature>/meta.json   (versions, states, is_current)
+
+Growth strategies (reference dataset.py:302-332, constants.py:11-15):
+
+* FREEZE — immutable once complete; growing again raises DGGrowthFrozen.
+* RESET  — every grow starts a new empty version.
+* REVISE — clone the current version's collections, then re-run over it.
+* STACK  — new version per grow; all versions stay queryable, no
+  ``is_current`` flip.
+
+The task DAG: each collection declares named tasks with ``depends_on``
+and ``checks``; the driver scheduler loops (depth-bounded) running every
+task whose dependencies succeeded and which hasn't succeeded itself,
+until a fixpoint — the set-oriented form of the reference's recursive
+Celery dispatchers (tasks/base.py:27-66). Task callables are resolved by
+name through the registry so specs stay JSON-serializable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from enum import Enum
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from datagrowth_spark.core.registry import Registry, get_registry
+from datagrowth_spark.datatypes.collection import Collection
+from datagrowth_spark.datatypes.document import task_result_success
+from datagrowth_spark.sources.signatures import make_signature
+
+
+class GrowthStrategy(str, Enum):
+    FREEZE = "freeze"
+    RESET = "reset"
+    REVISE = "revise"
+    STACK = "stack"
+
+
+class GrowthState(str, Enum):
+    PENDING = "pending"
+    GROWING = "growing"
+    COMPLETE = "complete"
+    ERROR = "error"
+
+
+class DGGrowthFrozen(Exception):
+    pass
+
+
+class Dataset:
+    """Declarative pipeline definition (the reference's Dataset class
+    constants, dataset.py:22-54)."""
+
+    NAME: str = "dataset"
+    GROWTH_STRATEGY: GrowthStrategy = GrowthStrategy.REVISE
+    COLLECTION_IDENTIFIER: str | None = "id"
+    COLLECTION_REFEREE: str | None = None
+    SEEDING_PHASES: list[dict] = []
+    DOCUMENT_TASKS: dict[str, dict] = {}
+    COLLECTION_TASKS: dict[str, dict] = {}
+
+    def __init__(self, config: dict | None = None) -> None:
+        self.config = config or {}
+
+    @property
+    def signature(self) -> str:
+        """Deterministic identity from name + sorted config (the
+        reference's get_signature_from_input, dataset.py:116-131)."""
+        keys = sorted(k for k in self.config if not k.startswith("$"))
+        parts = [f"{k}={self.config[k]}" for k in keys]
+        return f"{self.NAME}-" + make_signature("&".join(parts))[:16]
+
+    def weed_document(self, content: dict) -> bool:
+        """Per-document delete predicate applied on regrow (default: keep)."""
+        return False
+
+
+class DatasetWarehouse:
+    def __init__(self, spark: SparkSession, root: str, registry: Registry | None = None) -> None:
+        self.spark = spark
+        self.root = root
+        self.registry = registry or get_registry()
+        os.makedirs(root, exist_ok=True)
+
+    # -- metadata ---------------------------------------------------------
+    def _meta_path(self, dataset: Dataset) -> str:
+        return os.path.join(self.root, dataset.signature, "meta.json")
+
+    def read_meta(self, dataset: Dataset) -> dict:
+        path = self._meta_path(dataset)
+        if not os.path.exists(path):
+            return {"signature": dataset.signature, "versions": []}
+        with open(path) as fh:
+            return json.load(fh)
+
+    def write_meta(self, dataset: Dataset, meta: dict) -> None:
+        path = self._meta_path(dataset)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, indent=2)
+        os.replace(tmp, path)  # atomic is_current flip
+
+    def current_version(self, dataset: Dataset) -> dict | None:
+        versions = self.read_meta(dataset)["versions"]
+        current = [v for v in versions if v.get("is_current")]
+        return current[-1] if current else (versions[-1] if versions else None)
+
+    def _version_dir(self, dataset: Dataset, version: int) -> str:
+        return os.path.join(self.root, dataset.signature, f"v{version:03d}")
+
+    # -- collection io ----------------------------------------------------
+    def load_collection(self, dataset: Dataset, version: int, name: str = "main") -> Collection:
+        path = os.path.join(self._version_dir(dataset, version), f"{name}.parquet")
+        if os.path.exists(path):
+            return Collection.from_file(self.spark, path, name=name,
+                                        identifier=dataset.COLLECTION_IDENTIFIER,
+                                        referee=dataset.COLLECTION_REFEREE)
+        return Collection(self.spark, name=name,
+                          identifier=dataset.COLLECTION_IDENTIFIER,
+                          referee=dataset.COLLECTION_REFEREE)
+
+    def save_collection(self, dataset: Dataset, version: int, collection: Collection) -> None:
+        path = os.path.join(self._version_dir(dataset, version), f"{collection.name}.parquet")
+        # Write via tmp dir: the collection df may itself read `path`
+        # (REVISE clones), and overwrite-in-place would corrupt the input.
+        tmp = path + ".tmp"
+        collection.df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+        collection._df = self.spark.read.parquet(path)
+
+    # -- grow -------------------------------------------------------------
+    def grow(
+        self,
+        dataset: Dataset,
+        seed_collection: Callable[[Collection], Collection] | None = None,
+        strategy: GrowthStrategy | None = None,
+        retry: bool = False,
+    ) -> dict:
+        """One growth run; returns the updated version metadata entry.
+
+        ``seed_collection`` receives the working Collection (empty, or a
+        clone of current for REVISE) and returns it grown — typically a
+        :class:`SeedingProcessor` followed by :class:`GrowthProcessor`
+        runs; kept as a callable so the warehouse stays agnostic of the
+        pipeline's internals.
+        """
+        strategy = strategy or dataset.GROWTH_STRATEGY
+        meta = self.read_meta(dataset)
+        current = self.current_version(dataset)
+
+        if strategy == GrowthStrategy.FREEZE and current and not retry:
+            if current.get("state") == GrowthState.COMPLETE:
+                raise DGGrowthFrozen(
+                    f"dataset {dataset.signature} is frozen (version {current['version']} complete)"
+                )
+
+        if retry and current:
+            version = current["version"]
+            entry = current
+        else:
+            version = (current["version"] + 1) if current else 1
+            entry = {"version": version, "state": GrowthState.GROWING,
+                     "is_current": False, "task_results": {}, "errors": {}}
+            meta["versions"].append(entry)
+            if strategy == GrowthStrategy.REVISE and current:
+                self._clone_version(dataset, current["version"], version)
+        entry["state"] = GrowthState.GROWING
+        self.write_meta(dataset, meta)
+
+        collection = self.load_collection(dataset, version)
+        if strategy == GrowthStrategy.REVISE and len(collection) and hasattr(dataset, "weed_document"):
+            keep = [c for c in collection.content() if not dataset.weed_document(c)]
+            weeded = Collection(self.spark, name=collection.name,
+                                identifier=collection.identifier, referee=collection.referee)
+            weeded.add([{k: v for k, v in c.items() if k != "_id"} for c in keep])
+            collection = weeded
+
+        try:
+            if seed_collection is not None:
+                collection = seed_collection(collection)
+            collection = self.run_tasks(dataset, collection)
+            self.save_collection(dataset, version, collection)
+            entry["task_results"] = self.evaluate(dataset, collection)
+            entry["state"] = GrowthState.COMPLETE
+        except Exception as exc:  # noqa: BLE001 — recorded, then re-raised
+            entry["state"] = GrowthState.ERROR
+            entry.setdefault("errors", {})["grow"] = f"{type(exc).__name__}: {exc}"
+            self.write_meta(dataset, meta)
+            raise
+
+        if strategy != GrowthStrategy.STACK:
+            for v in meta["versions"]:
+                v["is_current"] = False
+            entry["is_current"] = True
+        self.write_meta(dataset, meta)
+        return entry
+
+    def _clone_version(self, dataset: Dataset, src: int, dst: int) -> None:
+        src_dir = self._version_dir(dataset, src)
+        dst_dir = self._version_dir(dataset, dst)
+        if os.path.exists(src_dir):
+            shutil.copytree(src_dir, dst_dir, dirs_exist_ok=True)
+
+    # -- task DAG ---------------------------------------------------------
+    def run_tasks(self, dataset: Dataset, collection: Collection,
+                  max_depth: int = 10) -> Collection:
+        """Driver scheduler: run document tasks until fixpoint.
+
+        A task spec: {"depends_on": [task names], "checks": [callable
+        names], "run": "registry_name"}; the callable gets
+        (collection_df, pending_mask_column) and returns the new df with
+        ``task_results[name]`` written for processed rows. Simpler tasks
+        can be plain column transforms registered under the name.
+        """
+        tasks = dataset.DOCUMENT_TASKS
+        if not tasks:
+            return collection
+        for _depth in range(max_depth):
+            progressed = False
+            for name, spec in tasks.items():
+                df = collection.df
+                pending = task_result_success("task_results", name).isNull()
+                for dep in spec.get("depends_on", []):
+                    pending = pending & (task_result_success("task_results", dep) == F.lit(True))
+                n_pending = df.where(pending).count()
+                if n_pending == 0:
+                    continue
+                runner = self.registry.get(spec["run"])
+                collection._df = runner(df, pending, name)
+                progressed = True
+            if not progressed:
+                break
+        return collection
+
+    def evaluate(self, dataset: Dataset, collection: Collection) -> dict:
+        """Per-task success/fail/skipped tallies (version.py:50-69)."""
+        out: dict[str, dict] = {}
+        df = collection.df
+        for name in dataset.DOCUMENT_TASKS:
+            success = task_result_success("task_results", name)
+            counts = df.agg(
+                F.sum(F.when(success == True, 1).otherwise(0)).alias("success"),  # noqa: E712
+                F.sum(F.when(success == False, 1).otherwise(0)).alias("fail"),  # noqa: E712
+                F.sum(F.when(success.isNull(), 1).otherwise(0)).alias("skipped"),
+            ).collect()[0]
+            out[name] = {"success": counts["success"] or 0, "fail": counts["fail"] or 0,
+                         "skipped": counts["skipped"] or 0}
+        return out

@@ -1,0 +1,197 @@
+"""Growth (enrichment) operator (SURVEY §2.4 P6-P8).
+
+One growth run enriches every pending document of a collection against
+an external resource and folds the results back in — the reference's
+batch fan-out/fan-in (Celery chords, row locks) becomes one Spark
+pipeline over immutable snapshots:
+
+    pending = filter(task_results)           # E8 predicate, Catalyst
+    requests = mapInPandas(template)         # per-row request building
+    responses = fetch(requests, cache)       # the cached scan (R1)
+    contributions = mapInPandas(extract)     # objective over bodies
+    new_df = collection ⟕ contributions      # one keyed join + column edits
+
+No locking, no work-claim tables: replays are free because fetches are
+memoized and the merge is a deterministic transform to a NEW snapshot.
+
+Config (JSON-serializable, mirroring growth_processor defaults in the
+reference's datagrowth.yml):
+
+* ``growth_phase`` — name under which results land in
+  ``derivatives[phase]`` and ``task_results[phase]``
+* ``depends_on`` — phase that must have succeeded first
+* ``retrieve_data.request_template`` — callable(content) -> request row
+* ``contribute_data.objective`` — extraction objective for bodies
+* ``to_property`` — route the contribution into ``properties[key]``
+  instead of derivatives (reference "field/prop" spec)
+* ``reduce`` — "first" (default): one contribution per document
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datagrowth_spark.datatypes.collection import Collection
+from datagrowth_spark.datatypes.document import document_content, task_result_success
+from datagrowth_spark.operators.extraction import ExtractProcessor
+from datagrowth_spark.sources.cache import REQUEST_SCHEMA, ResourceCache, fetch
+
+_REQ_WITH_ID = T.StructType(
+    [T.StructField("identity", T.StringType())] + list(REQUEST_SCHEMA.fields)
+)
+
+_CONTRIB_SCHEMA = T.StructType([
+    T.StructField("identity", T.StringType()),
+    T.StructField("success", T.BooleanType()),
+    T.StructField("contribution", T.StringType()),          # plain JSON object
+    T.StructField("contribution_encoded", T.StringType()),  # values JSON-encoded (properties convention)
+    T.StructField("status", T.IntegerType()),
+])
+
+
+class GrowthProcessor:
+    def __init__(self, config: dict, transport=None) -> None:
+        self.phase = config["growth_phase"]
+        self.depends_on = config.get("depends_on")
+        self.request_template: Callable[[dict], dict] = config["retrieve_data"]["request_template"]
+        self.objective: dict = config.get("contribute_data", {}).get("objective", {})
+        self.to_property: str | None = config.get("to_property")
+        self.reduce: str = config.get("reduce", "first")
+        self.transport = transport
+
+    # -- E8: the pending predicate ---------------------------------------
+    def filter_documents(self, df: DataFrame) -> DataFrame:
+        phase_success = task_result_success("task_results", self.phase)
+        pred = phase_success.isNull() | (phase_success == F.lit(False))
+        if self.depends_on:
+            pred = pred & (task_result_success("task_results", self.depends_on) == F.lit(True))
+        return df.where(pred)
+
+    # -- distributed request building ------------------------------------
+    def _build_requests(self, pending: DataFrame) -> DataFrame:
+        template = self.request_template
+
+        def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+            import pandas as pd
+
+            for batch in batches:
+                rows = []
+                for rec in batch.to_dict("records"):
+                    content = document_content(rec)
+                    req = template(content)
+                    if req is None:
+                        continue
+                    rows.append({"identity": rec["identity"], **req})
+                yield pd.DataFrame(rows, columns=[f.name for f in _REQ_WITH_ID.fields])
+
+        return pending.select("identity", "properties", "derivatives").mapInPandas(
+            run, schema=_REQ_WITH_ID
+        )
+
+    # -- contribution extraction -----------------------------------------
+    def _extract_contributions(self, joined: DataFrame) -> DataFrame:
+        objective = self.objective
+        reduce_mode = self.reduce
+
+        def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+            import pandas as pd
+
+            from datagrowth_spark.datatypes.document import encode_properties
+
+            processor = ExtractProcessor(objective=objective)
+            for batch in batches:
+                rows = []
+                for rec in batch.to_dict("records"):
+                    status = rec["status"]
+                    ok = status is not None and 200 <= status < 300
+                    contribution = encoded = None
+                    if ok and rec["body"]:
+                        extracted = list(processor.extract("application/json", rec["body"]))
+                        if extracted:
+                            value = extracted[0] if reduce_mode == "first" else extracted
+                            if not isinstance(value, dict):
+                                # scalar contributions wrap as {"value": x}
+                                # (reference growth.py:131-136)
+                                value = {"value": value}
+                            contribution = json.dumps(value)
+                            encoded = json.dumps(encode_properties(value))
+                    rows.append({
+                        "identity": rec["identity"],
+                        "success": bool(ok and contribution is not None),
+                        "contribution": contribution,
+                        "contribution_encoded": encoded,
+                        "status": None if status is None else int(status),
+                    })
+                yield pd.DataFrame(rows, columns=[f.name for f in _CONTRIB_SCHEMA.fields])
+
+        return joined.mapInPandas(run, schema=_CONTRIB_SCHEMA)
+
+    # -- the full pipeline ------------------------------------------------
+    def __call__(self, collection: Collection, cache: ResourceCache) -> Collection:
+        df = collection.df
+        pending = self.filter_documents(df)
+        requests = self._build_requests(pending)
+
+        fetch_kwargs = {"transport": self.transport} if self.transport else {}
+        responses = fetch(requests.select([f.name for f in REQUEST_SCHEMA.fields]),
+                          cache, **fetch_kwargs)
+        joined = requests.select("identity", "signature").join(responses, "signature", "left")
+        contributions = self._extract_contributions(joined)
+
+        phase = self.phase
+        to_property = self.to_property
+        c = contributions.select(
+            F.col("identity").alias("__cid"),
+            F.col("success").alias("__success"),
+            F.col("contribution").alias("__contribution"),
+            F.col("contribution_encoded").alias("__cenc"),
+            F.col("status").alias("__status"),
+        )
+        out = df.join(c, df["identity"] == c["__cid"], "left")
+
+        task_result = F.to_json(F.struct(
+            F.coalesce(F.col("__success"), F.lit(False)).alias("success"),
+            F.col("__status").alias("status"),
+        ))
+        new_task_results = F.when(
+            F.col("__cid").isNotNull(),
+            F.map_concat(
+                F.coalesce(F.col("task_results"), F.from_json(F.lit("{}"), "map<string,string>")),
+                F.create_map(F.lit(phase), task_result),
+            ),
+        ).otherwise(F.col("task_results"))
+
+        if to_property:
+            # Route the contribution into properties[to_property]
+            # (reference to_property "field/prop" spec, growth.py:131-149).
+            new_properties = F.when(
+                F.col("__cid").isNotNull() & F.col("__success"),
+                F.map_concat(
+                    F.col("properties"),
+                    F.create_map(F.lit(to_property), F.col("__contribution")),
+                ),
+            ).otherwise(F.col("properties"))
+            out = out.withColumn("properties", new_properties)
+        else:
+            # __cenc values are already in the properties encoding
+            # (every map value is itself JSON), so parsing the outer
+            # object as map<string,string> is lossless.
+            contribution_map = F.from_json(F.col("__cenc"), "map<string,string>")
+            new_derivatives = F.when(
+                F.col("__cid").isNotNull() & F.col("__success"),
+                F.map_concat(
+                    F.coalesce(F.col("derivatives"),
+                               F.from_json(F.lit("{}"), "map<string,map<string,string>>")),
+                    F.create_map(F.lit(phase), contribution_map),
+                ),
+            ).otherwise(F.col("derivatives"))
+            out = out.withColumn("derivatives", new_derivatives)
+
+        out = out.withColumn("task_results", new_task_results)
+        collection._df = out.drop("__cid", "__success", "__contribution", "__cenc", "__status")
+        return collection

@@ -1,0 +1,296 @@
+"""Pipeline-plan tests: seeding strategies, growth enrichment, dataset
+versioning strategies and the task DAG.
+
+End-to-end against the deterministic mock entity API — the reference's
+test strategy (SURVEY §5): assert resulting documents, cache behavior,
+and delta/tombstone handling for simple / merge / back_fill pipelines.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from datagrowth_spark.core.registry import Registry
+from datagrowth_spark.datatypes.collection import Collection
+from datagrowth_spark.plans.dataset import (
+    Dataset,
+    DatasetWarehouse,
+    DGGrowthFrozen,
+    GrowthStrategy,
+)
+from datagrowth_spark.plans.growth import GrowthProcessor
+from datagrowth_spark.plans.seeding import SeedingProcessor
+from datagrowth_spark.sources.cache import ResourceCache
+from datagrowth_spark.sources.http import http_request
+
+from mock_transports import TOTAL, mock_api_transport
+
+
+def entity_pages_phase(**over):
+    phase = {
+        "phase": "entities",
+        "strategy": "initial",
+        "retrieve_data": {
+            "requests": [http_request("http://mockapi/entities", params={"page": 0})],
+            "next_request": _next_page,
+            "continuation_limit": 10,
+        },
+        "contribute_data": {
+            "objective": {"@": "$.results", "id": "$.id", "name": "$.name", "group": "$.group"},
+        },
+    }
+    phase.update(over)
+    return phase
+
+
+def _next_page(response):
+    body = json.loads(response["body"])
+    if body.get("next_page") is not None:
+        return http_request("http://mockapi/entities", params={"page": body["next_page"]})
+    return None
+
+
+def _detail_request(seed):
+    return http_request("http://mockapi/entities/{}".format(seed["id"]))
+
+
+class TestSeeding:
+    def test_initial_strategy_seeds_all_entities(self, spark, tmp_path):
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        coll = Collection(spark, name="entities", identifier="id")
+        processor = SeedingProcessor(spark, cache, [entity_pages_phase()],
+                                     transport=mock_api_transport)
+        processor(coll)
+        assert len(coll) == TOTAL
+        contents = {c["id"]: c for c in coll.content()}
+        assert contents[7]["name"] == "entity 7"
+        assert processor.report[0]["seeds"] == TOTAL
+
+    def test_merge_strategy_joins_details(self, spark, tmp_path):
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        coll = Collection(spark, name="entities", identifier="id")
+        phases = [
+            entity_pages_phase(),
+            {
+                "phase": "details",
+                "strategy": "merge",
+                "retrieve_data": {"request_template": _detail_request},
+                "contribute_data": {
+                    "objective": {"id": "$.id", "detail": "$.detail", "score": "$.score"},
+                    "merge_on": "id",
+                },
+            },
+        ]
+        SeedingProcessor(spark, cache, phases, transport=mock_api_transport)(coll)
+        contents = {c["id"]: c for c in coll.content()}
+        assert len(contents) == TOTAL
+        assert contents[3]["detail"] == "detail 3"
+        assert contents[3]["name"] == "entity 3"  # phase-1 keys survive the merge
+
+    def test_merge_composition_to_nests(self, spark, tmp_path):
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        coll = Collection(spark, name="entities", identifier="id")
+        phases = [
+            entity_pages_phase(),
+            {
+                "phase": "details",
+                "strategy": "merge",
+                "retrieve_data": {"request_template": _detail_request},
+                "contribute_data": {
+                    "objective": {"id": "$.id", "detail": "$.detail"},
+                    "merge_on": "id",
+                    "composition_to": "meta",
+                },
+            },
+        ]
+        SeedingProcessor(spark, cache, phases, transport=mock_api_transport)(coll)
+        contents = {c["id"]: c for c in coll.content()}
+        assert contents[3]["meta"]["detail"] == "detail 3"
+
+    def test_back_fill_tombstones(self, spark, tmp_path):
+        """deletes=5 marks every 5th entity deleted; back_fill expands the
+        tombstones into delete-marker updates (reference nested-seeding
+        delta test shape)."""
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        coll = Collection(spark, name="entities", identifier="id")
+        SeedingProcessor(spark, cache, [entity_pages_phase()], transport=mock_api_transport)(coll)
+
+        def tombstone_callback(seed, collection):
+            if seed.get("deleted"):
+                return [{"id": seed["id"], "state": "deleted"}]
+            return [{"id": seed["id"], "state": "active",
+                     "name": seed.get("name"), "group": seed.get("group")}]
+
+        delta_phases = [
+            entity_pages_phase(retrieve_data={
+                "requests": [http_request("http://mockapi/entities",
+                                          params={"page": 0, "deletes": 5})],
+                "next_request": None,
+                "continuation_limit": 1,
+            }, contribute_data={
+                "objective": {"@": "$.results", "id": "$.id", "name": "$.name",
+                              "group": "$.group", "deleted": "$.deleted"},
+            }),
+            {"phase": "tombstones", "strategy": "back_fill",
+             "contribute_data": {"callback": tombstone_callback}},
+        ]
+        SeedingProcessor(spark, cache, delta_phases, transport=mock_api_transport)(coll)
+        contents = {c["id"]: c for c in coll.content()}
+        assert len(contents) == TOTAL  # updates, not duplicates
+        assert contents[0]["state"] == "deleted"
+        assert contents[1]["state"] == "active"
+        assert contents[1]["name"] == "entity 1"
+
+    def test_limit_bounds_first_phase(self, spark, tmp_path):
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        coll = Collection(spark, name="entities", identifier="id")
+        SeedingProcessor(spark, cache, [entity_pages_phase()],
+                         transport=mock_api_transport)(coll, limit=5)
+        assert len(coll) == 5
+
+    def test_retry_only_limit_skips_seeding(self, spark, tmp_path):
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        coll = Collection(spark, name="entities", identifier="id")
+        processor = SeedingProcessor(spark, cache, [entity_pages_phase()],
+                                     transport=mock_api_transport)
+        processor(coll, limit=-1)
+        assert len(coll) == 0
+        assert processor.report[0].get("skipped") is True
+
+
+class TestGrowth:
+    @pytest.fixture()
+    def seeded(self, spark, tmp_path):
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        coll = Collection(spark, name="entities", identifier="id")
+        coll.add([{"id": i, "name": f"entity {i}"} for i in range(5)])
+        return coll, cache
+
+    def growth_config(self, **over):
+        config = {
+            "growth_phase": "detail",
+            "retrieve_data": {"request_template": _detail_request},
+            "contribute_data": {"objective": {"detail": "$.detail", "score": "$.score"}},
+        }
+        config.update(over)
+        return config
+
+    def test_growth_writes_derivatives_and_task_results(self, seeded):
+        coll, cache = seeded
+        processor = GrowthProcessor(self.growth_config(), transport=mock_api_transport)
+        processor(coll, cache)
+        contents = {c["id"]: c for c in coll.content()}
+        assert contents[2]["detail"] == "detail 2"  # via derivatives merge
+        assert contents[2]["score"] == 0.2
+        row = coll.df.where("identity = '2'").collect()[0]
+        assert json.loads(row["task_results"]["detail"])["success"] is True
+
+    def test_growth_skips_already_processed(self, seeded):
+        coll, cache = seeded
+        processor = GrowthProcessor(self.growth_config(), transport=mock_api_transport)
+        processor(coll, cache)
+        assert processor.filter_documents(coll.df).count() == 0
+
+    def test_growth_to_property_routing(self, seeded):
+        coll, cache = seeded
+        processor = GrowthProcessor(self.growth_config(to_property="enriched"),
+                                    transport=mock_api_transport)
+        processor(coll, cache)
+        contents = {c["id"]: c for c in coll.content()}
+        assert contents[1]["enriched"] == {"detail": "detail 1", "score": 0.1}
+
+    def test_growth_failure_recorded(self, spark, tmp_path):
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        coll = Collection(spark, name="entities", identifier="id")
+        coll.add([{"id": 999}])  # 404 from the mock API
+        processor = GrowthProcessor(self.growth_config(), transport=mock_api_transport)
+        processor(coll, cache)
+        row = coll.df.collect()[0]
+        result = json.loads(row["task_results"]["detail"])
+        assert result["success"] is False
+        assert result["status"] == 404
+        # failed docs stay pending for retry
+        assert processor.filter_documents(coll.df).count() == 1
+
+
+def _mark_long_names(df, pending, name):
+    """Document task: succeed when the name is 'long' (>= 8 chars)."""
+    result = F.to_json(F.struct(
+        (F.length(F.get_json_object(F.col("properties")["name"], "$")) >= 8).alias("success")
+    ))
+    new = F.when(
+        pending,
+        F.map_concat(
+            F.coalesce(F.col("task_results"), F.from_json(F.lit("{}"), "map<string,string>")),
+            F.create_map(F.lit(name), result),
+        ),
+    ).otherwise(F.col("task_results"))
+    return df.withColumn("task_results", new)
+
+
+class EntityDataset(Dataset):
+    NAME = "entities"
+    COLLECTION_IDENTIFIER = "id"
+    DOCUMENT_TASKS = {"check_name": {"run": "mark_long_names"}}
+
+
+class TestDatasetVersioning:
+    @pytest.fixture()
+    def warehouse(self, spark, tmp_path):
+        registry = Registry()
+        registry.register("mark_long_names", _mark_long_names)
+        return DatasetWarehouse(spark, str(tmp_path / "warehouse"), registry=registry)
+
+    def seeder(self, spark, tmp_path, n=5, prefix="entity"):
+        def run(collection):
+            collection.add([{"id": i, "name": f"{prefix} {i}"} for i in range(n)])
+            return collection
+
+        return run
+
+    def test_grow_creates_version_and_runs_tasks(self, spark, tmp_path, warehouse):
+        ds = EntityDataset({"n": 5})
+        entry = warehouse.grow(ds, self.seeder(spark, tmp_path))
+        assert entry["version"] == 1 and entry["is_current"]
+        assert entry["task_results"]["check_name"]["success"] == 5  # "entity N" >= 8 chars
+        coll = warehouse.load_collection(ds, 1)
+        assert len(coll) == 5
+
+    def test_reset_strategy_starts_empty(self, spark, tmp_path, warehouse):
+        ds = EntityDataset({"s": "reset"})
+        warehouse.grow(ds, self.seeder(spark, tmp_path, n=5), strategy=GrowthStrategy.RESET)
+        entry = warehouse.grow(ds, self.seeder(spark, tmp_path, n=3), strategy=GrowthStrategy.RESET)
+        assert entry["version"] == 2
+        assert len(warehouse.load_collection(ds, 2)) == 3  # not 5+3
+
+    def test_revise_strategy_clones_current(self, spark, tmp_path, warehouse):
+        ds = EntityDataset({"s": "revise"})
+        warehouse.grow(ds, self.seeder(spark, tmp_path, n=5), strategy=GrowthStrategy.REVISE)
+
+        def add_more(collection):
+            collection.update([{"id": 99, "name": "latecomer 99"}], by_property="id")
+            return collection
+
+        entry = warehouse.grow(ds, add_more, strategy=GrowthStrategy.REVISE)
+        assert entry["version"] == 2
+        coll = warehouse.load_collection(ds, 2)
+        assert len(coll) == 6  # 5 cloned + 1 new
+
+    def test_freeze_strategy_raises_after_complete(self, spark, tmp_path, warehouse):
+        ds = EntityDataset({"s": "freeze"})
+        warehouse.grow(ds, self.seeder(spark, tmp_path), strategy=GrowthStrategy.FREEZE)
+        with pytest.raises(DGGrowthFrozen):
+            warehouse.grow(ds, self.seeder(spark, tmp_path), strategy=GrowthStrategy.FREEZE)
+
+    def test_stack_strategy_keeps_all_versions(self, spark, tmp_path, warehouse):
+        ds = EntityDataset({"s": "stack"})
+        warehouse.grow(ds, self.seeder(spark, tmp_path, n=2), strategy=GrowthStrategy.STACK)
+        warehouse.grow(ds, self.seeder(spark, tmp_path, n=2), strategy=GrowthStrategy.STACK)
+        meta = warehouse.read_meta(ds)
+        assert [v["version"] for v in meta["versions"]] == [1, 2]
+        assert not any(v["is_current"] for v in meta["versions"])
+
+    def test_signature_depends_on_config(self):
+        assert EntityDataset({"a": 1}).signature != EntityDataset({"a": 2}).signature
+        assert EntityDataset({"a": 1}).signature == EntityDataset({"a": 1}).signature

@@ -25,28 +25,7 @@ from datagrowth_spark.sources.signatures import (
     normalize_url,
 )
 
-PAGE_SIZE = 10
-TOTAL = 35
-
-
-def mock_api_transport(method, url, headers, data):
-    """Deterministic entity API: /entities?page=N and /entities/<id>."""
-    from urllib.parse import parse_qs, urlparse
-
-    parsed = urlparse(url if "://" in url else f"http://{url}")
-    if parsed.path == "/entities":
-        page = int(parse_qs(parsed.query).get("page", ["0"])[0])
-        start = page * PAGE_SIZE
-        ids = list(range(start, min(start + PAGE_SIZE, TOTAL)))
-        body = {
-            "results": [{"id": i, "name": f"entity {i}", "group": i % 3} for i in ids],
-            "next_page": page + 1 if start + PAGE_SIZE < TOTAL else None,
-        }
-        return 200, {"content-type": "application/json"}, json.dumps(body)
-    if parsed.path.startswith("/entities/"):
-        i = int(parsed.path.rsplit("/", 1)[1])
-        return 200, {}, json.dumps({"id": i, "detail": f"detail {i}"})
-    return 404, {}, ""
+from mock_transports import PAGE_SIZE, TOTAL, mock_api_transport  # noqa: E402
 
 
 class TestSignatures:
