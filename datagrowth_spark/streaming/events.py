@@ -1,0 +1,174 @@
+"""Event-time streaming analytics: watermarks, windows, session state.
+
+Batch analogues of these plans live in ``queries.py`` (events_daily,
+events_sessionize); this module is the ``readStream`` path. Design for
+scale: every operator here keys state by ``user_id`` (or window), so
+state is hash-partitioned across executors and bounded by the
+watermark — late rows older than the delay are dropped instead of
+growing state forever. On a 1000-executor cluster the only shuffle is
+the keyed exchange into the stateful stage; file listing is incremental
+(``maxFilesPerTrigger``) so a 100 TB backlog drains in bounded
+micro-batches instead of one giant batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over events parquet (directory of files).
+
+    The testdata's ``ts`` is parquet TIMESTAMP(NANOS), which the
+    vectorized reader rejects; read it as long (legacy conf) and
+    floor-divide to micros — same convention as the batch path
+    (``queries._events``).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time windows with a watermark.
+
+    State per (window, event_type); windows older than the watermark
+    are finalized and evicted, so state size is O(active windows), not
+    O(stream length).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (30-min inactivity gap), keyed by user.
+
+    The streaming twin of ``queries.q_events_sessionize``: Spark's
+    ``session_window`` merges overlapping per-event windows in the
+    state store — the same gap rule the batch plan expresses with a
+    lag() window function.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events", "total_value",
+        )
+    )
+
+
+STATEFUL_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+    T.StructField("n_batches", T.LongType()),
+])
+
+STATEFUL_STATE_SCHEMA = T.StructType([
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+    T.StructField("n_batches", T.LongType()),
+])
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user stats via
+    ``applyInPandasWithState``.
+
+    This is the streaming analogue of the reference's per-document task
+    state accumulated across growth runs
+    (``datagrowth/datatypes/storage.py:71-106`` — task_results merged
+    into each row as more batches arrive). State is one small tuple per
+    user, Arrow-batched in and out of Python; emits the updated running
+    totals for every user seen in the micro-batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState  # noqa: F821
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        n_events, total_value, n_batches = (
+            state.get if state.exists else (0, 0.0, 0)
+        )
+        for pdf in pdfs:
+            n_events += len(pdf)
+            total_value += float(pdf["value"].sum())
+        n_batches += 1
+        state.update((n_events, total_value, n_batches))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [n_events],
+            "total_value": [round(total_value, 2)],
+            "n_batches": [n_batches],
+        })
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=STATEFUL_OUTPUT_SCHEMA,
+        stateStructType=STATEFUL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "update",
+    timeout_s: int = 120,
+) -> Any:
+    """Drain a stream into an in-memory table with availableNow and block.
+
+    Test/driver helper: availableNow processes the whole backlog in
+    micro-batches then stops — the bounded-reprocessing trigger you'd
+    use for nightly catch-up on a cluster.
+    """
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return query

@@ -1,0 +1,111 @@
+"""Micro-batch streaming seeder: raw payload stream → extract → upsert.
+
+The Structured Streaming form of the seeding pipeline
+(``datagrowth/processors/input/seeding.py:168-213``): where the
+reference pulls continuation pages in a driver loop and upserts each
+page's seeds into the collection, here each micro-batch of fetched
+bodies plays the role of one page batch — ``foreachBatch`` runs the
+same extract → tombstone-split → keyed-upsert plan the batch seeder
+uses, so delta semantics (new seeds insert, changed seeds merge,
+``state == deleted`` seeds remove documents — the behavior pinned by
+the reference's delta tests,
+``tests/django_project/processors/tests/seeding/simple.py:71-110``)
+are identical between the batch and streaming paths.
+
+Scale design: the collection snapshot is local-checkpointed after every
+micro-batch — state carried between batches is a materialized frame,
+not an ever-growing lineage of per-batch joins (which both blows up
+the plan and, on current Spark, risks exchange-reuse collapsing
+repeated per-batch join subtrees). On a real cluster the checkpoint
+would be a table write (Delta/Iceberg MERGE per micro-batch); the
+operator structure is the same.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datagrowth_spark.datatypes.collection import Collection
+from datagrowth_spark.datatypes.document import prop_col
+from datagrowth_spark.operators.extraction import extract_df
+
+
+class StreamingSeeder:
+    """Drives a streaming DataFrame of raw bodies into a Collection.
+
+    Parameters mirror one seeding phase's ``contribute_data``: an
+    extraction ``objective`` plus the upsert key (defaults to the
+    collection identifier, like ``merge_on`` in the reference's merge
+    strategy, seeding.py:86-112). ``tombstone_field``/``tombstone_value``
+    configure delete-marker detection.
+    """
+
+    def __init__(
+        self,
+        collection: Collection,
+        objective: dict,
+        by_property: str | None = None,
+        body_col: str = "body",
+        content_type: str = "application/json",
+        tombstone_field: str = "state",
+        tombstone_value: str = "deleted",
+    ) -> None:
+        self.collection = collection
+        self.objective = objective
+        self.by_property = by_property or collection.identifier
+        assert self.by_property, "need by_property or a collection identifier"
+        self.body_col = body_col
+        self.content_type = content_type
+        self.tombstone_field = tombstone_field
+        self.tombstone_value = tombstone_value
+        self.batches_processed = 0
+
+    # -- one micro-batch ---------------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        seeds = extract_df(
+            batch_df, self.body_col, self.objective, content_type=self.content_type
+        )
+        state = prop_col("properties", f"$.{self.tombstone_field}")
+        is_tombstone = state == F.lit(self.tombstone_value)
+        alive = seeds.filter(~F.coalesce(is_tombstone, F.lit(False)))
+        dead = seeds.filter(F.coalesce(is_tombstone, F.lit(False)))
+
+        self.collection.update(alive, by_property=self.by_property)
+
+        dead_keys = dead.select(
+            prop_col("properties", f"$.{self.by_property}").alias("__dkey")
+        ).distinct()
+        key = prop_col("properties", f"$.{self.by_property}")
+        self.collection._df = (
+            self.collection._df.withColumn("__key", key)
+            .join(F.broadcast(dead_keys), F.col("__key") == F.col("__dkey"), "left_anti")
+            .drop("__key")
+        )
+
+        # Materialize the new snapshot: bounded plan depth across
+        # arbitrarily many micro-batches (table MERGE on a cluster).
+        self.collection._df = self.collection._df.localCheckpoint(eager=True)
+        self.batches_processed += 1
+
+    # -- stream driver -----------------------------------------------------
+    def start(self, stream_df: DataFrame, available_now: bool = True,
+              timeout_s: int = 300, **trigger_kwargs: Any):
+        """Attach to a streaming DataFrame and (by default) drain it.
+
+        ``availableNow`` processes the current backlog micro-batch by
+        micro-batch then stops — the incremental-catch-up trigger. Pass
+        ``available_now=False`` with e.g. ``processingTime='10 seconds'``
+        for a continuous run.
+        """
+        writer = stream_df.writeStream.foreachBatch(self.process_batch)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_kwargs:
+            writer = writer.trigger(**trigger_kwargs)
+        query = writer.start()
+        if available_now:
+            query.awaitTermination(timeout_s)
+        return query

@@ -1,0 +1,155 @@
+"""Structured Streaming tests.
+
+Each test drains a bounded file-source stream with availableNow and
+asserts the result equals the equivalent batch computation (windows,
+session windows) or the reference's delta-seeding semantics (upsert +
+tombstone, mirroring tests/django_project/processors/tests/seeding/
+simple.py's delta expectations).
+"""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from datagrowth_spark.datatypes import Collection
+from datagrowth_spark.streaming import (
+    StreamingSeeder,
+    read_events_stream,
+    sessionize_stream,
+    stateful_user_stats,
+    windowed_counts,
+)
+from datagrowth_spark.streaming.events import run_to_memory
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events subset rewritten as a 4-file parquet directory (so
+    maxFilesPerTrigger yields real multi-batch streams)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df.repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, events_dir):
+    df = spark.read.parquet(events_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_windowed_counts_matches_batch(spark, events_dir, events_batch):
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    query = run_to_memory(windowed_counts(stream), "win_counts", output_mode="complete")
+    try:
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in spark.table("win_counts").collect()
+        }
+        expected = {
+            (r.win.start, r.event_type): (r.n_events, r.total_value)
+            for r in events_batch.groupBy(
+                F.window("ts", "1 hour").alias("win"), "event_type"
+            ).agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            ).collect()
+        }
+        assert got == expected and len(got) > 10
+    finally:
+        query.stop()
+
+
+def test_sessionize_stream_matches_batch(spark, events_dir, events_batch):
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    query = run_to_memory(
+        sessionize_stream(stream), "sessions", output_mode="complete"
+    )
+    try:
+        got = {
+            (r.user_id, r.session_start): (r.session_end, r.n_events)
+            for r in spark.table("sessions").collect()
+        }
+        expected = {
+            (r.user_id, r.sess.start): (r.sess.end, r.n_events)
+            for r in events_batch.groupBy(
+                F.session_window("ts", "30 minutes").alias("sess"), "user_id"
+            ).agg(F.count("*").alias("n_events")).collect()
+        }
+        assert got == expected and len(got) > 10
+    finally:
+        query.stop()
+
+
+def test_stateful_user_stats_accumulates_across_batches(spark, events_dir, events_batch):
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    query = run_to_memory(stateful_user_stats(stream), "user_stats", output_mode="update")
+    try:
+        rows = spark.table("user_stats").collect()
+        # final emission per user = the one with the highest batch count
+        final = {}
+        for r in rows:
+            if r.user_id not in final or r.n_batches > final[r.user_id].n_batches:
+                final[r.user_id] = r
+        expected = {
+            r.user_id: (r.n, round(r.tv, 2))
+            for r in events_batch.groupBy("user_id").agg(
+                F.count("*").alias("n"), F.sum("value").alias("tv")
+            ).collect()
+        }
+        assert {u: (r.n_events, r.total_value) for u, r in final.items()} == expected
+        # state genuinely crossed micro-batches (4 files, 1 per trigger)
+        assert max(r.n_batches for r in rows) > 1
+    finally:
+        query.stop()
+
+
+OBJECTIVE = {
+    "@": "$.records",
+    "id": "$.id",
+    "title": "$.title",
+    "state": "$.state",
+}
+
+
+def _write_page(path: str, name: str, records: list[dict], mtime: float) -> None:
+    file_path = os.path.join(path, name)
+    with open(file_path, "w") as handle:
+        handle.write(json.dumps({"records": records}))
+    os.utime(file_path, (mtime, mtime))
+
+
+def test_streaming_seeder_upsert_and_tombstone(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    os.makedirs(src)
+    now = time.time()
+    _write_page(src, "page1.json", [
+        {"id": 1, "title": "one", "state": "active"},
+        {"id": 2, "title": "two", "state": "active"},
+    ], now - 60)
+    _write_page(src, "page2.json", [
+        {"id": 1, "state": "deleted"},                      # tombstone
+        {"id": 2, "title": "two-v2", "state": "active"},    # merge
+        {"id": 3, "title": "three", "state": "active"},     # insert
+    ], now - 30)
+
+    coll = Collection(spark, name="stream_seed", identifier="id")
+    seeder = StreamingSeeder(coll, OBJECTIVE, body_col="value")
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .text(src)
+    )
+    query = seeder.start(stream, timeout_s=120)
+    query.stop()
+
+    assert seeder.batches_processed == 2
+    content = {d["id"]: d for d in coll.content()}
+    assert set(content) == {2, 3}
+    assert content[2]["title"] == "two-v2"
+    assert content[2]["_id"] == "2"
+    assert content[3]["title"] == "three"
