@@ -159,6 +159,18 @@ class Collection:
         self._df = merged.unionByName(self.influence(inserts))
         return self
 
+    def validate(self, schema: dict, raise_on_error: bool = True) -> DataFrame:
+        """JSON-Schema validation of all documents (E11, collection.py:61-74).
+
+        Returns the (identity, error) violations frame; with
+        ``raise_on_error`` raises :class:`ValidationError` when non-empty.
+        """
+        from datagrowth_spark.datatypes.validation import validate, validation_errors
+
+        if raise_on_error:
+            validate(self._df, schema)
+        return validation_errors(self._df, schema)
+
     # -- read side --------------------------------------------------------
     def content(self) -> list[dict[str, Any]]:
         """Driver-side merged content of every document (C4)."""

@@ -228,3 +228,8 @@ def _wrap_schema_for_path(path: str | None, leaf: T.DataType) -> T.DataType:
     for part in reversed(parts):
         leaf = T.StructType([T.StructField(part, leaf)])
     return leaf
+
+
+class TransformProcessor(ExtractProcessor):
+    """Alias of ExtractProcessor under the transform name (E3, reference
+    datagrowth/processors/input/transform.py:5-15)."""

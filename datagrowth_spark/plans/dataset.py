@@ -68,6 +68,13 @@ class Dataset:
     SEEDING_PHASES: list[dict] = []
     DOCUMENT_TASKS: dict[str, dict] = {}
     COLLECTION_TASKS: dict[str, dict] = {}
+    #: Ordered post-processing chain applied to grown documents (P12,
+    #: reference dataset.py:50 + processors/base.py:64-95): registry
+    #: names of DataFrame -> DataFrame transforms, e.g. enumerate /
+    #: filter processors (tests/django_project/processors/processors/
+    #: output.py:10-27). Chained with df.transform — stays one lazy
+    #: Catalyst plan, no materialization between phases.
+    HARVEST_PHASES: list[str] = []
 
     def __init__(self, config: dict | None = None) -> None:
         self.config = config or {}
@@ -192,6 +199,7 @@ class DatasetWarehouse:
             if seed_collection is not None:
                 collection = seed_collection(collection)
             collection = self.run_tasks(dataset, collection)
+            collection = self.harvest(dataset, collection)
             self.save_collection(dataset, version, collection)
             entry["task_results"] = self.evaluate(dataset, collection)
             entry["state"] = GrowthState.COMPLETE
@@ -243,6 +251,14 @@ class DatasetWarehouse:
                 progressed = True
             if not progressed:
                 break
+        return collection
+
+    def harvest(self, dataset: Dataset, collection: Collection) -> Collection:
+        """Apply the dataset's HARVEST_PHASES transform chain (P12)."""
+        df = collection.df
+        for name in dataset.HARVEST_PHASES:
+            df = df.transform(self.registry.get(name))
+        collection._df = df
         return collection
 
     def evaluate(self, dataset: Dataset, collection: Collection) -> dict:

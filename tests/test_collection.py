@@ -154,3 +154,38 @@ class TestTypedConversion:
         collection.to_file(path)
         loaded = Collection.from_file(spark, path, identifier="id")
         assert len(loaded) == 3
+
+
+class TestValidation:
+    SCHEMA = {
+        "type": "object",
+        "required": ["id", "name"],
+        "properties": {
+            "id": {"type": "integer"},
+            "name": {"type": "string", "minLength": 3},
+        },
+    }
+
+    def test_valid_collection_passes(self, spark):
+        coll = Collection(spark, identifier="id")
+        coll.add([{"id": 1, "name": "alpha"}, {"id": 2, "name": "beta"}])
+        assert coll.validate(self.SCHEMA).count() == 0
+
+    def test_invalid_documents_reported_and_raise(self, spark):
+        from datagrowth_spark.datatypes.validation import ValidationError
+
+        coll = Collection(spark, identifier="id")
+        coll.add([
+            {"id": 1, "name": "ok-name"},
+            {"id": "not-int", "name": "xy"},   # two violations
+            {"id": 3},                         # missing name
+        ])
+        errors = coll.validate(self.SCHEMA, raise_on_error=False).collect()
+        assert len(errors) == 3
+        by_identity = {}
+        for e in errors:
+            by_identity.setdefault(e.identity, []).append(e.error)
+        assert len(by_identity["not-int"]) == 2
+        assert any("name" in msg for msg in by_identity["3"])
+        with pytest.raises(ValidationError):
+            coll.validate(self.SCHEMA)

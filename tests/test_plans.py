@@ -294,3 +294,46 @@ class TestDatasetVersioning:
     def test_signature_depends_on_config(self):
         assert EntityDataset({"a": 1}).signature != EntityDataset({"a": 2}).signature
         assert EntityDataset({"a": 1}).signature == EntityDataset({"a": 1}).signature
+
+
+def _number_documents(df):
+    """Harvest-phase example: enumerate documents (reference
+    tests/django_project/processors/processors/output.py:10-27)."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("identity"))
+    return df.withColumn(
+        "properties",
+        F.map_concat(
+            F.col("properties"),
+            F.create_map(F.lit("number"), F.row_number().over(w).cast("string")),
+        ),
+    )
+
+
+def _filter_even(df):
+    return df.where(F.col("properties")["number"].cast("int") % 2 == 0)
+
+
+class HarvestDataset(Dataset):
+    NAME = "harvested"
+    COLLECTION_IDENTIFIER = "id"
+    HARVEST_PHASES = ["number_documents", "filter_even"]
+
+
+class TestHarvestPhases:
+    def test_harvest_chain_applied_after_growth(self, spark, tmp_path):
+        registry = Registry()
+        registry.register("number_documents", _number_documents)
+        registry.register("filter_even", _filter_even)
+        warehouse = DatasetWarehouse(spark, str(tmp_path / "wh"), registry=registry)
+        ds = HarvestDataset()
+
+        def seed(collection):
+            collection.add([{"id": i, "name": f"doc {i}"} for i in range(6)])
+            return collection
+
+        warehouse.grow(ds, seed)
+        coll = warehouse.load_collection(ds, 1)
+        content = sorted(coll.content(), key=lambda d: int(d["number"]))
+        assert [int(d["number"]) for d in content] == [2, 4, 6]

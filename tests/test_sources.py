@@ -6,6 +6,7 @@ extract flows; cache behavior is asserted via the cache table itself.
 """
 
 import json
+import os
 
 import pytest
 
@@ -130,3 +131,35 @@ class TestPagination:
         assert [r["url"] for r in reqs] == [
             "http://mockapi/bulk/a|b", "http://mockapi/bulk/c|d", "http://mockapi/bulk/e",
         ]
+
+
+class TestFileStore:
+    def test_download_files_sharded_and_idempotent(self, spark, tmp_path):
+        from datagrowth_spark.sources.files import download_files, shard_path
+
+        root = str(tmp_path / "blobs")
+        df = spark.createDataFrame(
+            [("sig-a", "alpha content"), ("sig-b", "beta content"),
+             ("sig-c", "alpha content"),  # duplicate content, distinct id
+             ("sig-d", None)],
+            ["signature", "body"],
+        )
+        manifest = {r.signature: r for r in download_files(df, root).collect()}
+
+        import hashlib
+        h_alpha = hashlib.sha256(b"alpha content").hexdigest()
+        assert manifest["sig-a"].path == shard_path(root, h_alpha)
+        assert manifest["sig-a"].size_bytes == 13
+        with open(manifest["sig-a"].path, "rb") as fh:
+            assert fh.read() == b"alpha content"
+        # content-addressed: duplicate content -> same path, one blob
+        assert manifest["sig-c"].path == manifest["sig-a"].path
+        assert manifest["sig-d"].path is None and manifest["sig-d"].written is False
+        # two-level hex sharding
+        rel = os.path.relpath(manifest["sig-b"].path, root)
+        parts = rel.split(os.sep)
+        assert parts[0] == manifest["sig-b"].content_hash[0]
+        assert parts[1] == manifest["sig-b"].content_hash[1:3]
+        # idempotent replay: nothing rewritten
+        again = {r.signature: r for r in download_files(df, root).collect()}
+        assert not any(r.written for r in again.values() if r.path)
