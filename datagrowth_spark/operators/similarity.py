@@ -7,10 +7,12 @@ assignment), queries probe only their own cluster's partition — the
 relational form of an IVF index, where partition pruning does the work
 an ANN index would.
 
-All arithmetic is array fold over doubles (F.aggregate / F.zip_with),
-kept strictly sequential so results are reproducible and portable;
-similarities are rounded before thresholding/ranking so cross-engine
-float summation differences cannot flip comparisons.
+All arithmetic is sequential left-to-right array-fold summation over
+doubles (F.aggregate / F.zip_with). Similarities are rounded before
+thresholding/ranking so cross-engine float summation differences
+cannot flip comparisons. Pairwise plans carry scalar norms next to
+raw vectors rather than normalized arrays — see the
+projection-collapse warning on :func:`unit_normalize`.
 """
 
 from __future__ import annotations
@@ -25,6 +27,15 @@ def _to_double(col: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
+    """Sequential fold dot product.
+
+    Measured note: statically unrolling this into a 64-term
+    element_at expression tree was tried and is ~2x SLOWER than the
+    interpreted fold at dim 64 (giant codegen'd expressions hit janino
+    compile cost and codegen size limits) — the fold is the right
+    default; the real per-pair cost lever is NOT re-deriving array
+    columns per pair (see embedding_near_dup_pairs).
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -114,7 +125,14 @@ def cosine_topk_ivf(
 
 
 def unit_normalize(vec: Column) -> Column:
-    """L2-normalize once so pairwise cosine reduces to a dot product."""
+    """L2-normalize a vector column.
+
+    WARNING: do not feed this into a pairwise join and then access the
+    result per pair — Catalyst collapses projections, so the transform
+    (and the norm inside it) is re-derived every time the array column
+    is consumed downstream. For pairwise work carry the raw vector plus
+    a scalar norm instead (embedding_near_dup_pairs).
+    """
     v = _to_double(vec)
     n = norm(v)
     return F.transform(v, lambda x: x / n)
@@ -129,14 +147,25 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate vector pairs by cosine ≥ threshold.
 
-    Vectors are unit-normalized once up front (norms are not recomputed
-    per pair — at k pairs per vector that is the difference between
-    O(n·d) and O(k·n·d) norm work). With a cluster column, pairs are
-    only formed within a cluster (blocking); without, a full self-join
-    (only for small corpora).
+    cos(a, b) is computed as raw-dot / (|a|·|b|) with the norms carried
+    as scalar columns, NOT by materializing normalized arrays: Catalyst
+    collapses projections, so a pre-normalized array column would be
+    re-derived (transform + norm) on every pair the join emits — O(d)
+    work becomes O(pairs·d) silently. Scalar norms inline to one fused
+    multiply per pair. With a cluster column, pairs are only formed
+    within a cluster (blocking); without, a full self-join (only for
+    small corpora).
     Output: (id_a, id_b, cos_sim) with id_a < id_b.
     """
-    cols = [F.col(id_col).alias("id"), unit_normalize(F.col(vec_col)).alias("nvec")]
+    # Keep the RAW stored array in the projection; fuse the float→double
+    # cast into the fold lambdas. A transform-cast array column here
+    # would be re-derived per pair by projection collapse (two extra
+    # interpreted passes + allocations per pair).
+    raw = F.col(vec_col)
+    raw_norm = F.sqrt(F.aggregate(
+        raw, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    ))
+    cols = [F.col(id_col).alias("id"), raw.alias("vec"), raw_norm.alias("nrm")]
     if cluster_col:
         cols.append(F.col(cluster_col).alias("cluster"))
     base = embeddings.select(*cols)
@@ -145,9 +174,16 @@ def embedding_near_dup_pairs(
     cond = F.col("a.id") < F.col("b.id")
     if cluster_col:
         cond = cond & (F.col("a.cluster") == F.col("b.cluster"))
+    raw_dot = F.aggregate(
+        F.zip_with(F.col("a.vec"), F.col("b.vec"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(raw_dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
     return (
         a.join(b, cond)
-        .withColumn("cos_sim", F.round(dot(F.col("a.nvec"), F.col("b.nvec")), 6))
+        .withColumn("cos_sim", cos)
         .where(F.col("cos_sim") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim")
     )

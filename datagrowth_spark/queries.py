@@ -748,14 +748,15 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
-_NDOT_SQL = ("round(list_sum(list_transform(generate_series(1, len(a.nvec)), "
-             "i -> a.nvec[i] * b.nvec[i])), 6)")
+# Raw-dot / norm-product — the exact expression shape of
+# SIM.embedding_near_dup_pairs (scalar norms, no normalized arrays).
+_NDOT_SQL = ("round(list_sum(list_transform(generate_series(1, len(a.vec)), "
+             "i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm), 6)")
 
 SQL_EMBEDDING_NEAR_DUPS = f"""
 WITH e AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-                        x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS nvec,
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm,
          label
   FROM embeddings
 )

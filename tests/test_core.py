@@ -118,3 +118,40 @@ class TestRegistry:
         factory = ProcessorFactory("EchoProcessor.run", registry=reg)
         method = factory.build({"batch_size": 7})
         assert method("x") == ("x", 7)
+
+
+class TestDatetimeParity:
+    """Reference utils/datetime.py round-trip semantics."""
+
+    def test_driver_roundtrip_and_fallback(self):
+        from datetime import datetime
+
+        from datagrowth_spark.functions.datetime import (
+            format_datetime,
+            parse_datetime_string,
+        )
+
+        dt = datetime(2020, 5, 17, 13, 45, 30, 123456)
+        assert parse_datetime_string(format_datetime(dt)) == dt
+        assert parse_datetime_string("garbage") == datetime(1970, 1, 1)
+        assert parse_datetime_string(None) == datetime(1970, 1, 1)
+
+    def test_column_roundtrip_matches_driver(self, spark):
+        from datetime import datetime
+
+        from datagrowth_spark.functions.datetime import (
+            format_datetime,
+            format_datetime_col,
+            parse_datetime_col,
+        )
+
+        dt = datetime(2020, 5, 17, 13, 45, 30, 123456)
+        df = spark.createDataFrame([(format_datetime(dt),), ("junk",), (None,)], ["s"])
+        rows = df.select(parse_datetime_col("s").alias("ts")).collect()
+        assert rows[0].ts == dt
+        assert rows[1].ts == datetime(1970, 1, 1)
+        assert rows[2].ts == datetime(1970, 1, 1)
+        back = df.limit(1).select(
+            format_datetime_col(parse_datetime_col("s")).alias("s2")
+        ).collect()[0].s2
+        assert back == format_datetime(dt)
