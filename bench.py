@@ -40,6 +40,10 @@ HEADLINE = [
     "similarity_topk",
     "similarity_topk_ivf",
     "embedding_near_dups",
+    "media_decode",
+    "media_frames",
+    "media_features",
+    "streaming_events_hourly",
 ]
 
 

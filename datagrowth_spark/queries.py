@@ -862,6 +862,40 @@ FROM f
 
 
 # ---------------------------------------------------------------------------
+# Structured Streaming (bounded drain -> same answer as the batch plan)
+# ---------------------------------------------------------------------------
+
+def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window counts computed BY THE STREAMING PATH:
+    file-source readStream -> watermark -> windowed agg, drained with
+    availableNow into a memory sink. Proves the streaming operators
+    produce the exact batch answer on a bounded backlog (the reference's
+    continuation-paged incremental seeding analogue, run as micro-batches).
+    """
+    from datagrowth_spark.streaming import read_events_stream, windowed_counts
+    from datagrowth_spark.streaming.events import run_to_memory
+
+    name = "stream_events_hourly"
+    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    query = run_to_memory(
+        windowed_counts(stream, window="1 hour", watermark="2 hours"),
+        name, output_mode="complete",
+    )
+    query.stop()
+    return spark.table(name)
+
+
+SQL_STREAMING_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -897,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
+        "streaming_events_hourly": q_streaming_events_hourly,
     }
 
 
@@ -932,4 +967,5 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": SQL_MEDIA_RESIZE,
         "media_frames": SQL_MEDIA_FRAMES,
         "media_features": SQL_MEDIA_FEATURES,
+        "streaming_events_hourly": SQL_STREAMING_EVENTS_HOURLY,
     }

@@ -43,6 +43,12 @@ def read_events_stream(
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    import os
+
+    if os.path.isfile(path):
+        # The file streaming source only accepts directories/globs; a
+        # single-file table streams fine through a glob of itself.
+        path = path + "*"
     df = reader.parquet(path)
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
