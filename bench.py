@@ -54,8 +54,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm up the JVM/session so the first measured query doesn't pay
-    # session-bootstrap costs.
+    # session-bootstrap costs: exercise codegen, the parquet scan
+    # codepath (on the 5-row region table — no query data precomputed),
+    # and the noop sink's class loading.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")) \
+        .write.format("noop").mode("overwrite").save()
 
     registry = Q.queries()
     timings: dict[str, float] = {}

@@ -337,3 +337,51 @@ class TestHarvestPhases:
         coll = warehouse.load_collection(ds, 1)
         content = sorted(coll.content(), key=lambda d: int(d["number"]))
         assert [int(d["number"]) for d in content] == [2, 4, 6]
+
+
+class TestSkewUtilities:
+    def _skewed(self, spark):
+        # 900 rows of hot key "A", 100 spread over others
+        rows = [("A", i) for i in range(900)] + [(chr(66 + i % 5), i) for i in range(100)]
+        return spark.createDataFrame(rows, ["k", "v"])
+
+    def test_salted_join_matches_plain_join(self, spark):
+        from datagrowth_spark.operators.skew import salted_join
+
+        left = self._skewed(spark)
+        right = spark.createDataFrame(
+            [("A", "hot"), ("B", "b"), ("Z", "unmatched")], ["k", "tag"])
+        plain = left.join(right, "k", "inner")
+        salted = salted_join(left, right, "k", "inner", salt=8)
+        assert sorted(salted.columns) == sorted(plain.columns)
+        assert salted.count() == plain.count() == 900 + 20
+        a = {(r.k, r.v, r.tag) for r in plain.collect()}
+        b = {(r.k, r.v, r.tag) for r in salted.collect()}
+        assert a == b
+        # left join keeps unmatched left rows exactly once
+        from pyspark.sql import functions as F
+        lp = left.join(right, "k", "left")
+        ls = salted_join(left, right, "k", "left", salt=8)
+        assert ls.count() == lp.count() == 1000
+
+    def test_salted_aggregate_matches_plain(self, spark):
+        from pyspark.sql import functions as F
+
+        from datagrowth_spark.operators.skew import salted_aggregate
+
+        df = self._skewed(spark)
+        plain = {
+            (r.k): (r.n, r.total, r.lo, r.hi)
+            for r in df.groupBy("k").agg(
+                F.count("*").alias("n"), F.sum("v").alias("total"),
+                F.min("v").alias("lo"), F.max("v").alias("hi")).collect()
+        }
+        salted = {
+            (r.k): (r.n, r.total, r.lo, r.hi)
+            for r in salted_aggregate(
+                df, "k",
+                {"n": ("count", F.lit(1)), "total": ("sum", F.col("v")),
+                 "lo": ("min", F.col("v")), "hi": ("max", F.col("v"))},
+                salt=8).collect()
+        }
+        assert salted == plain
