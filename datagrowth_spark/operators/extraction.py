@@ -113,11 +113,14 @@ class ExtractProcessor:
             yield row
 
     def text_html(self, data: Any) -> Iterator[dict]:
-        if not HAS_BS4:
-            raise NotImplementedError(
-                "HTML/XML extraction requires beautifulsoup4, which is not installed"
-            )
-        soup = bs4.BeautifulSoup(data, "html.parser")
+        if HAS_BS4:
+            soup = bs4.BeautifulSoup(data, "html.parser")
+        else:
+            # stdlib fallback: call-compatible find/find_all/.text subset
+            # (operators/html.py) so objectives work without bs4.
+            from datagrowth_spark.operators.html import mini_soup
+
+            soup = mini_soup(data)
         context = {
             k: v(soup) if callable(v) else eval(v, {"soup": soup})  # noqa: S307 — mirrors reference semantics
             for k, v in self._context.items()

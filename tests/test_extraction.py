@@ -103,3 +103,94 @@ class TestDataFrameOps:
         # No Python evaluation in the plan (pure Catalyst).
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# E2: HTML/XML extraction on the stdlib mini-soup fallback (golden tests
+# mirroring the reference's transformation tests: objective over markup
+# with soup/el expressions and callables — reference
+# tests/django_project/processors/tests/transformation.py:45-140)
+# ---------------------------------------------------------------------------
+
+PAGE_HTML = """
+<!doctype html>
+<html>
+<head><title>Catalog</title></head>
+<body>
+<div id="content" class="main listing">
+  <p>Links:
+    <ul>
+      <li><a href="/items/1">alpha</a></li>
+      <li><a href="/items/2">beta</a></li>
+      <li><a href="/items/3">gamma</a></li>
+      <li>no link here</li>
+    </ul>
+  </p>
+  <img src="/banner.png">
+</div>
+</body>
+</html>
+"""
+
+PAGE_XML = """
+<xml>
+  <meta><title>Feed</title></meta>
+  <results>
+    <result><label>one</label><url>/r/1</url></result>
+    <result><label>two</label><url>/r/2</url></result>
+  </results>
+</xml>
+"""
+
+
+class TestHtmlExtraction:
+    def test_mini_soup_dom(self):
+        from datagrowth_spark.operators.html import mini_soup
+
+        soup = mini_soup(PAGE_HTML)
+        assert soup.find("title").text == "Catalog"
+        anchors = soup.find_all("a")
+        assert [a["href"] for a in anchors] == ["/items/1", "/items/2", "/items/3"]
+        assert [a.text for a in anchors] == ["alpha", "beta", "gamma"]
+        div = soup.find("div", {"class": "listing"})
+        assert div is not None and div.get("id") == "content"
+        # void element does not swallow siblings
+        assert soup.find("img").get("src") == "/banner.png"
+        assert soup.find("img").children == []
+
+    def test_html_objective_eval_strings(self):
+        processor = ExtractProcessor(objective={
+            "@": "soup.find_all('a')",
+            "text": "el.text",
+            "link": "el['href']",
+            "#page": "soup.find('title').text",
+        })
+        rows = list(processor.extract("text/html", PAGE_HTML))
+        assert rows == [
+            {"text": "alpha", "link": "/items/1", "page": "Catalog"},
+            {"text": "beta", "link": "/items/2", "page": "Catalog"},
+            {"text": "gamma", "link": "/items/3", "page": "Catalog"},
+        ]
+
+    def test_html_objective_callables(self):
+        processor = ExtractProcessor(objective={
+            "@": lambda soup: soup.find_all("a"),
+            "text": lambda el: el.text,
+            "link": lambda el: el["href"],
+            "#page": lambda soup: soup.find("title").text,
+        })
+        rows = list(processor.extract("text/html", PAGE_HTML))
+        assert [r["link"] for r in rows] == ["/items/1", "/items/2", "/items/3"]
+        assert rows[0]["page"] == "Catalog"
+
+    def test_xml_objective(self):
+        processor = ExtractProcessor(objective={
+            "@": "soup.find_all('result')",
+            "label": "el.find('label').text",
+            "url": "el.find('url').text",
+        })
+        rows = list(processor.extract("application/xml", PAGE_XML))
+        assert rows == [
+            {"label": "one", "url": "/r/1"},
+            {"label": "two", "url": "/r/2"},
+        ]
