@@ -8,6 +8,7 @@ pandas-interop, shuffle partitions sized by the caller.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -41,6 +42,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # managed-table root (bucketed layouts etc.) — keep out of the
+        # source tree locally; a cluster deployment overrides this
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               os.path.join(tempfile.gettempdir(), "dgs-warehouse")))
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

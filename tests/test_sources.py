@@ -163,3 +163,31 @@ class TestFileStore:
         # idempotent replay: nothing rewritten
         again = {r.signature: r for r in download_files(df, root).collect()}
         assert not any(r.written for r in again.values() if r.path)
+
+
+class TestBucketing:
+    def test_bucketed_join_has_no_shuffle(self, spark):
+        from datagrowth_spark.sources.bucketing import bucketed_join, save_bucketed
+
+        left = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS a")
+        right = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS b")
+        save_bucketed(left, "bkt_left", "k", buckets=4)
+        save_bucketed(right, "bkt_right", "k", buckets=4)
+        # force the sort-merge path so the bucketing (not a broadcast)
+        # is what eliminates the exchanges
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed_join(spark, "bkt_left", "bkt_right", "k")
+            assert joined.count() == 1000
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            # contrast: the same join on plain frames DOES shuffle
+            shuffled = left.join(right, "k")
+            shuffled.count()
+            plan2 = shuffled._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in plan2
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS bkt_left")
+            spark.sql("DROP TABLE IF EXISTS bkt_right")
