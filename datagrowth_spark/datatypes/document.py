@@ -68,7 +68,12 @@ def prop_col(properties: Column | str, path: str) -> Column:
     assert path.startswith("$."), f"prop path must start with $. — got {path!r}"
     first, _, rest = path[2:].partition(".")
     value = props[first]
-    jpath = "$" if not rest else "$." + rest
+    if not rest:
+        return F.get_json_object(value, "$")
+    # integer segments are array indexes in get_json_object syntax: $.b[1]
+    jpath = "$" + "".join(
+        f"[{p}]" if p.lstrip("-").isdigit() else f".{p}" for p in rest.split(".")
+    )
     return F.get_json_object(value, jpath)
 
 

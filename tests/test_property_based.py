@@ -1,0 +1,164 @@
+"""Property-based tests (hypothesis) for the engine kernel.
+
+The reference's path language, signature hashing, and properties
+encoding are the invariants the whole engine leans on (cache keys,
+upsert keys, extraction); fuzzing them buys more assurance than more
+examples would. Spark-side equivalence (prop_col vs reach) runs once
+over a seeded generated corpus in a single action — hypothesis drives
+the pure-Python invariants only, so the suite stays fast.
+"""
+
+import json
+import random
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datagrowth_spark.core.reach import override_dict, reach
+from datagrowth_spark.datatypes.document import decode_properties, encode_properties
+from datagrowth_spark.sources.signatures import (
+    make_signature,
+    normalize_cmd,
+    normalize_url,
+)
+
+# -- strategies -------------------------------------------------------------
+
+keys = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=6)
+scalars = st.one_of(
+    st.none(), st.booleans(), st.integers(-10**6, 10**6),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=20),
+)
+json_data = st.recursive(
+    scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(keys, children, max_size=4),
+    ),
+    max_leaves=12,
+)
+payloads = st.dictionaries(keys, json_data, max_size=6)
+
+
+# -- reach ------------------------------------------------------------------
+
+def _all_paths(data, prefix="$"):
+    """Every resolvable dot-path (skipping dict keys that contain dots —
+    those are only reachable via the literal-key fallback)."""
+    out = []
+    if isinstance(data, dict):
+        for key, value in data.items():
+            if "." in key or not key:
+                continue
+            out.append((f"{prefix}.{key}", value))
+            out.extend(_all_paths(value, f"{prefix}.{key}"))
+    elif isinstance(data, (list, tuple)):
+        for idx, value in enumerate(data):
+            out.append((f"{prefix}.{idx}", value))
+            out.extend(_all_paths(value, f"{prefix}.{idx}"))
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(json_data)
+def test_reach_resolves_every_existing_path(data):
+    for path, expected in _all_paths(data):
+        assert reach(path, data) == expected
+    assert reach("$", data) == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(payloads)
+def test_reach_missing_paths_return_default(data):
+    sentinel = object()
+    assert reach("$.zzznot.there", data, default=sentinel) is sentinel
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.dictionaries(keys, scalars, max_size=4), json_data)
+def test_reach_literal_dotted_key_fallback(data, value):
+    data = dict(data)
+    data["a.b.c"] = value
+    result = reach("$.a.b.c", data)
+    if "a" not in data:  # stepwise walk fails -> whole-path literal key
+        assert result == value
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.dictionaries(keys, scalars), st.dictionaries(keys, scalars))
+def test_override_dict_is_union_child_wins(parent, child):
+    merged = override_dict(parent, child)
+    assert set(merged) == set(parent) | set(child)
+    for key in child:
+        assert merged[key] == child[key]
+    for key in set(parent) - set(child):
+        assert merged[key] == parent[key]
+
+
+# -- signatures -------------------------------------------------------------
+
+@settings(max_examples=150, deadline=None)
+@given(payloads)
+def test_signature_key_order_invariant(data):
+    shuffled_items = list(data.items())
+    random.Random(0).shuffle(shuffled_items)
+    assert make_signature("u", data) == make_signature("u", dict(shuffled_items))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(keys, st.text(string.ascii_letters, max_size=8)), max_size=5))
+def test_url_normalization_param_order_invariant(params):
+    from urllib.parse import quote
+
+    base = "https://api.example.org/path"
+    qs = "&".join(f"{quote(k)}={quote(v)}" for k, v in params)
+    reordered = "&".join(f"{quote(k)}={quote(v)}" for k, v in reversed(params))
+    assert normalize_url(f"{base}?{qs}") == normalize_url(f"{base}?{reordered}")
+    assert normalize_url(f"http://api.example.org/path?{qs}") == normalize_url(
+        f"https://api.example.org/path?{qs}")
+
+
+def test_cmd_normalization_flag_order_invariant():
+    assert normalize_cmd(["tool", "--b=2", "--a=1", "input"]) == \
+        normalize_cmd(["tool", "--a=1", "--b=2", "input"])
+
+
+@settings(max_examples=100, deadline=None)
+@given(payloads)
+def test_properties_encoding_roundtrip(data):
+    assert decode_properties(encode_properties(data)) == json.loads(json.dumps(data))
+
+
+def test_prop_col_matches_reach_on_generated_corpus(spark):
+    """Column path compiler agrees with the driver-side reach on a
+    seeded random corpus — one DataFrame, one action."""
+    from datagrowth_spark.datatypes.document import prop_col
+
+    rng = random.Random(7)
+    corpus = []
+    for i in range(60):
+        corpus.append({
+            "id": i,
+            "a": {"b": [rng.randint(0, 9) for _ in range(3)], "c": f"s{i}"},
+            "flag": rng.random() < 0.5,
+            "items": [{"k": rng.randint(0, 3)} for _ in range(2)],
+        })
+    df = spark.createDataFrame(
+        [(encode_properties(p),) for p in corpus], "properties map<string,string>")
+    paths = ["$.id", "$.a.b.1", "$.a.c", "$.flag", "$.items.0.k", "$.a", "$.missing"]
+    cols = [prop_col("properties", p).alias(f"c{i}") for i, p in enumerate(paths)]
+    rows = df.select(*cols).collect()
+
+    def as_json_string(value):
+        if value is None:
+            return None
+        if isinstance(value, str):
+            return value  # get_json_object unquotes scalars
+        return json.dumps(value, sort_keys=True, separators=(",", ":"))
+
+    for row, payload in zip(rows, corpus):
+        for i, path in enumerate(paths):
+            assert row[f"c{i}"] == as_json_string(reach(path, payload)), (
+                f"path {path} over {payload}")
