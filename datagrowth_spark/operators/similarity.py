@@ -187,3 +187,86 @@ def embedding_near_dup_pairs(
         .where(F.col("cos_sim") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF with a real coarse quantizer (MLlib KMeans) + multi-probe search.
+# cosine_topk_ivf above is the exact-within-partition primitive; these
+# build the partitioning a production ANN index would: kmeans centroids
+# as the inverted-file lists, queries probing their nprobe nearest lists.
+# At scale: write the indexed corpus partitioned by `cluster` so a probe
+# reads only nprobe partitions (partition pruning = the inverted index).
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """KMeans-assign every vector to a coarse cluster.
+
+    Returns (indexed_df with a `cluster` column, centroids) where
+    centroids is a small driver-side list[list[float]] (one per
+    cluster) — the only state a query needs, broadcast-sized by
+    construction.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.withColumn("__features", array_to_vector(_to_double(F.col(vec_col))))
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter,
+                   featuresCol="__features", predictionCol="cluster").fit(feats)
+    indexed = model.transform(feats).drop("__features")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return indexed, centroids
+
+
+def cosine_topk_ivf_probe(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: each query scores only its nprobe nearest
+    centroids' inverted lists.
+
+    The query→centroid assignment is a tiny cross join against the
+    broadcast centroid table (n_clusters rows); the corpus side then
+    joins on `cluster`, so the scan covers ~nprobe/n_clusters of the
+    corpus — with the corpus written partitioned-by-cluster, that is
+    literal partition pruning. Output: (query_id, vec_id, cos_sim, rank).
+    """
+    spark = indexed.sparkSession
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], ["cluster", "centroid"]
+    )
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probe_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("cluster"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("c_sim", cosine(F.col("q_vec"), F.col("centroid")))
+        .withColumn("__pr", F.row_number().over(probe_rank))
+        .where(F.col("__pr") <= nprobe)
+        .select("query_id", "q_vec", "cluster")
+    )
+    scored = (
+        indexed.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"),
+                       "cluster")
+        .join(F.broadcast(probes), "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("c_vec"), F.col("q_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
