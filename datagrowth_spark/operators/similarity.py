@@ -270,3 +270,104 @@ def cosine_topk_ivf_probe(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+
+def embedding_near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs WITHOUT a blocking column: random-hyperplane LSH.
+
+    When no natural cluster/label exists, the all-pairs join is O(n²) —
+    this is the scale path: ``n_tables`` independent sign-bit sketches
+    (``n_bits`` seeded hyperplanes each) bucket the corpus; candidate
+    pairs come only from shared buckets, then are RESCORED EXACTLY with
+    the same fold arithmetic as :func:`embedding_near_dup_pairs`, so
+    precision is 1.0 and only recall is approximate (higher thresholds →
+    fewer differing bits → higher recall; more tables → higher recall).
+
+    Bucketing runs in one Arrow-batched mapInPandas stage (numpy matrix
+    multiply per batch — the bucket ids are candidate-generation only,
+    so float summation order cannot affect result VALUES, just which
+    pairs get rescored). One shuffle groups by (table, bucket); the
+    per-bucket pair explosion mirrors the posting-list dedup plan.
+    Output: (id_a, id_b, cos_sim) with id_a < id_b, exact cos ≥ threshold.
+    """
+    import random as _random
+
+    from pyspark.sql import types as T
+
+    rng = _random.Random(seed)
+    # hyperplanes drawn once driver-side; shipped in the closure
+    dim_probe = len(embeddings.select(vec_col).first()[0])
+    planes = [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim_probe)] for _ in range(n_bits)]
+        for _ in range(n_tables)
+    ]
+
+    bucket_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("table", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+    ])
+
+    def bucketize(batches):
+        import numpy as np
+        import pandas as pd
+
+        mats = [np.array(p).T for p in planes]  # (dim, n_bits) each
+        weights = 1 << np.arange(n_bits, dtype=np.int64)
+        for batch in batches:
+            vecs = np.stack(batch[vec_col].map(
+                lambda v: np.asarray(v, dtype=np.float64)))
+            ids = batch[id_col].to_numpy()
+            frames = []
+            for t, mat in enumerate(mats):
+                bits = (vecs @ mat) > 0
+                buckets = (bits * weights).sum(axis=1)
+                frames.append(pd.DataFrame(
+                    {"id": ids, "table": t, "bucket": buckets}))
+            yield pd.concat(frames, ignore_index=True)
+
+    buckets = embeddings.select(id_col, vec_col).mapInPandas(bucketize, bucket_schema)
+    posts = (
+        buckets.groupBy("table", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    candidates = posts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+
+    raw = F.col(vec_col)
+    raw_norm = F.sqrt(F.aggregate(
+        raw, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    ))
+    side = embeddings.select(F.col(id_col).alias("id"), raw.alias("vec"),
+                             raw_norm.alias("nrm"))
+    a = side.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+                    F.col("nrm").alias("nrm_a"))
+    b = side.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+                    F.col("nrm").alias("nrm_b"))
+    rescored_dot = F.aggregate(
+        F.zip_with(F.col("vec_a"), F.col("vec_b"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        candidates.join(a, "id_a").join(b, "id_b")
+        .withColumn("cos_sim", F.round(rescored_dot / (F.col("nrm_a") * F.col("nrm_b")), 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
