@@ -199,9 +199,11 @@ class DatasetWarehouse:
             if seed_collection is not None:
                 collection = seed_collection(collection)
             collection = self.run_tasks(dataset, collection)
+            collection, collection_task_results = self.run_collection_tasks(dataset, collection)
             collection = self.harvest(dataset, collection)
             self.save_collection(dataset, version, collection)
             entry["task_results"] = self.evaluate(dataset, collection)
+            entry["task_results"].update(collection_task_results)
             entry["state"] = GrowthState.COMPLETE
         except Exception as exc:  # noqa: BLE001 — recorded, then re-raised
             entry["state"] = GrowthState.ERROR
@@ -252,6 +254,38 @@ class DatasetWarehouse:
             if not progressed:
                 break
         return collection
+
+    def run_collection_tasks(
+        self, dataset: Dataset, collection: Collection
+    ) -> tuple[Collection, dict]:
+        """Collection-level tasks after the document fixpoint (reference
+        dispatch order: document → collection → dataset_version tasks,
+        tasks/collection.py:47-84).
+
+        Spec: {"run": registry_name, "depends_on": [document task
+        names]} — the runner gets and returns the Collection; a task is
+        skipped (recorded success=None) when any dependency document
+        task has failures, mirroring the reference's dependency checks.
+        """
+        results: dict[str, dict] = {}
+        for name, spec in dataset.COLLECTION_TASKS.items():
+            key = f"collection:{name}"
+            doc_tallies = self.evaluate(dataset, collection)
+            blocked = any(
+                doc_tallies.get(dep, {}).get("fail", 0) > 0
+                or doc_tallies.get(dep, {}).get("success", 0) == 0
+                for dep in spec.get("depends_on", [])
+            )
+            if blocked:
+                results[key] = {"success": None, "skipped": True}
+                continue
+            try:
+                collection = self.registry.get(spec["run"])(collection)
+                results[key] = {"success": True}
+            except Exception as exc:  # noqa: BLE001 — recorded per task
+                results[key] = {"success": False,
+                                "error": f"{type(exc).__name__}: {exc}"}
+        return collection, results
 
     def harvest(self, dataset: Dataset, collection: Collection) -> Collection:
         """Apply the dataset's HARVEST_PHASES transform chain (P12)."""

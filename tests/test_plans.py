@@ -385,3 +385,47 @@ class TestSkewUtilities:
                 salt=8).collect()
         }
         assert salted == plain
+
+
+class TestCollectionTasks:
+    def test_collection_tasks_run_after_document_fixpoint(self, spark, tmp_path):
+        registry = Registry()
+        registry.register("mark_long_names", _mark_long_names)
+
+        def summarize(collection):
+            # collection-level task: write a count into the collection name
+            n = len(collection)
+            collection.name = f"main"  # unchanged; side-effect free check
+            assert n == 3
+            return collection
+
+        def explode_task(collection):
+            raise RuntimeError("boom")
+
+        registry.register("summarize", summarize)
+        registry.register("explode_task", explode_task)
+
+        class DS(Dataset):
+            NAME = "ct"
+            COLLECTION_IDENTIFIER = "id"
+            DOCUMENT_TASKS = {"check_name": {"run": "mark_long_names"}}
+            COLLECTION_TASKS = {
+                "summary": {"run": "summarize", "depends_on": ["check_name"]},
+                "broken": {"run": "explode_task"},
+                "blocked": {"run": "summarize", "depends_on": ["missing_task"]},
+            }
+
+        warehouse = DatasetWarehouse(spark, str(tmp_path / "wh"), registry=registry)
+
+        def seed(collection):
+            collection.add([{"id": i, "name": f"entity {i}"} for i in range(3)])
+            return collection
+
+        entry = warehouse.grow(DS(), seed)
+        tr = entry["task_results"]
+        assert tr["collection:summary"] == {"success": True}
+        assert tr["collection:broken"]["success"] is False
+        assert "boom" in tr["collection:broken"]["error"]
+        assert tr["collection:blocked"] == {"success": None, "skipped": True}
+        # document tallies still present
+        assert tr["check_name"]["success"] == 3

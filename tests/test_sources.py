@@ -191,3 +191,34 @@ class TestBucketing:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             spark.sql("DROP TABLE IF EXISTS bkt_left")
             spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+class TestRetryBackoff:
+    def test_fetch_retries_throttled_then_caches(self, spark, tmp_path):
+        """Reference backoff semantics (http/generic.py:541-563): retry
+        on 429 through the delay schedule, cache the final result."""
+        attempts_log = str(tmp_path / "attempts.log")
+
+        def flaky_transport(method, url, headers, data,
+                            _log=attempts_log):
+            # executors run in separate python workers: count via file
+            with open(_log, "a") as fh:
+                fh.write("x\n")
+            with open(_log) as fh:
+                n = len(fh.readlines())
+            if n < 3:
+                return 429, {}, "slow down"
+            return 200, {"ok": "yes"}, '{"fine": true}'
+
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        reqs = requests_to_df(spark, [http_request("http://mockapi/flaky")])
+        out = fetch(reqs, cache, transport=flaky_transport,
+                    backoff_delays=[0, 0, 0], fetch_partitions=1).collect()
+        assert len(out) == 1 and out[0].status == 200
+        with open(attempts_log) as fh:
+            assert len(fh.readlines()) == 3  # 2 throttled + 1 success
+        # replay: served from cache, no new attempts
+        again = fetch(reqs, cache, transport=flaky_transport).collect()
+        assert again[0].status == 200
+        with open(attempts_log) as fh:
+            assert len(fh.readlines()) == 3
