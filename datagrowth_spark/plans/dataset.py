@@ -75,6 +75,11 @@ class Dataset:
     #: output.py:10-27). Chained with df.transform — stays one lazy
     #: Catalyst plan, no materialization between phases.
     HARVEST_PHASES: list[str] = []
+    #: Version-level tasks (reference DATASET_VERSION_TASKS,
+    #: tasks/dataset_version.py:13-48): run last, after collection
+    #: tasks; callable(collection, entry) -> dict|None merged into the
+    #: version entry (e.g. final validation, publishing markers).
+    DATASET_VERSION_TASKS: dict[str, dict] = {}
 
     def __init__(self, config: dict | None = None) -> None:
         self.config = config or {}
@@ -204,6 +209,8 @@ class DatasetWarehouse:
             self.save_collection(dataset, version, collection)
             entry["task_results"] = self.evaluate(dataset, collection)
             entry["task_results"].update(collection_task_results)
+            entry["task_results"].update(
+                self.run_version_tasks(dataset, collection, entry))
             entry["state"] = GrowthState.COMPLETE
         except Exception as exc:  # noqa: BLE001 — recorded, then re-raised
             entry["state"] = GrowthState.ERROR
@@ -286,6 +293,24 @@ class DatasetWarehouse:
                 results[key] = {"success": False,
                                 "error": f"{type(exc).__name__}: {exc}"}
         return collection, results
+
+    def run_version_tasks(self, dataset: Dataset, collection: Collection,
+                          entry: dict) -> dict:
+        """Version-level tasks, last in the dispatch order (reference
+        tasks/dataset_version.py:13-48). Runner may return a dict that
+        merges into the version entry."""
+        results: dict[str, dict] = {}
+        for name, spec in dataset.DATASET_VERSION_TASKS.items():
+            key = f"version:{name}"
+            try:
+                update = self.registry.get(spec["run"])(collection, entry)
+                if isinstance(update, dict):
+                    entry.update(update)
+                results[key] = {"success": True}
+            except Exception as exc:  # noqa: BLE001 — recorded per task
+                results[key] = {"success": False,
+                                "error": f"{type(exc).__name__}: {exc}"}
+        return results
 
     def harvest(self, dataset: Dataset, collection: Collection) -> Collection:
         """Apply the dataset's HARVEST_PHASES transform chain (P12)."""

@@ -189,3 +189,41 @@ class TestValidation:
         assert any("name" in msg for msg in by_identity["3"])
         with pytest.raises(ValidationError):
             coll.validate(self.SCHEMA)
+
+
+class TestAnnotations:
+    def test_make_annotations_xor_rule(self, spark):
+        from datagrowth_spark.datatypes.annotations import make_annotations
+
+        df = make_annotations(spark, [
+            {"user": "ann", "reference": "r1", "name": "quality", "value": 0.9},
+            {"user": "bob", "reference": "r2", "name": "quality", "string": "bad"},
+        ])
+        assert df.count() == 2
+        with pytest.raises(ValueError):
+            make_annotations(spark, [{"reference": "r", "name": "x"}])
+        with pytest.raises(ValueError):
+            make_annotations(spark, [
+                {"reference": "r", "name": "x", "value": 1.0, "string": "both"}])
+
+    def test_annotate_documents_latest_wins(self, spark):
+        from datetime import datetime
+
+        from datagrowth_spark.datatypes.annotations import (
+            annotate_documents,
+            make_annotations,
+        )
+
+        docs = spark.createDataFrame(
+            [("r1", "alpha"), ("r2", "beta"), ("r3", "gamma")], ["reference", "title"])
+        ann = make_annotations(spark, [
+            {"reference": "r1", "name": "quality", "value": 0.2,
+             "created_at": datetime(2026, 1, 1)},
+            {"reference": "r1", "name": "quality", "value": 0.8,
+             "created_at": datetime(2026, 2, 1)},   # newer wins
+            {"reference": "r2", "name": "quality", "string": "good"},
+            {"reference": "r2", "name": "other", "string": "ignored"},
+        ])
+        out = {r.reference: r.annotation_quality
+               for r in annotate_documents(docs, ann, "quality").collect()}
+        assert out == {"r1": "0.8", "r2": "good", "r3": None}

@@ -429,3 +429,36 @@ class TestCollectionTasks:
         assert tr["collection:blocked"] == {"success": None, "skipped": True}
         # document tallies still present
         assert tr["check_name"]["success"] == 3
+
+
+class TestVersionTasks:
+    def test_version_task_merges_entry_and_records_outcome(self, spark, tmp_path):
+        registry = Registry()
+
+        def publish(collection, entry):
+            return {"published": True, "n_docs": len(collection)}
+
+        def broken(collection, entry):
+            raise ValueError("nope")
+
+        registry.register("publish", publish)
+        registry.register("broken", broken)
+
+        class DS(Dataset):
+            NAME = "vt"
+            COLLECTION_IDENTIFIER = "id"
+            DATASET_VERSION_TASKS = {
+                "publish": {"run": "publish"},
+                "broken": {"run": "broken"},
+            }
+
+        warehouse = DatasetWarehouse(spark, str(tmp_path / "wh"), registry=registry)
+
+        def seed(collection):
+            collection.add([{"id": 1}, {"id": 2}])
+            return collection
+
+        entry = warehouse.grow(DS(), seed)
+        assert entry["published"] is True and entry["n_docs"] == 2
+        assert entry["task_results"]["version:publish"] == {"success": True}
+        assert entry["task_results"]["version:broken"]["success"] is False
