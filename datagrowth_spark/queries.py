@@ -861,6 +861,33 @@ FROM f
 """
 
 
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value quantiles (sort-based percentile).
+
+    Exact percentile needs the group's values together — fine for
+    bounded group counts; at 100 TB with huge groups switch to
+    approx_percentile (t-digest, mergeable map-side) and accept the
+    documented error bound. Rounded to 6dp; linear interpolation
+    matches DuckDB quantile_cont bit-for-bit on this data.
+    """
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+SQL_EVENTS_VALUE_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming (bounded drain -> same answer as the batch plan)
 # ---------------------------------------------------------------------------
@@ -913,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": q_events_daily,
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
+        "events_value_quantiles": q_events_value_quantiles,
         "finished_not_pending_custs": q_finished_not_pending_custs,
         "docs_by_lang": q_docs_by_lang,
         "text_stats": q_text_stats,
@@ -949,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
         "events_daily": SQL_EVENTS_DAILY,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_json_props": SQL_EVENTS_JSON_PROPS,
+        "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
         "finished_not_pending_custs": SQL_FINISHED_NOT_PENDING_CUSTS,
         "docs_by_lang": SQL_DOCS_BY_LANG,
         "text_stats": SQL_TEXT_STATS,
