@@ -27,7 +27,14 @@ HEADLINE = [
     "returned_items",
     "top_parts_per_brand",
     "customer_order_merge",
+    "order_count_distribution",
+    "big_orders",
+    "rich_idle_customers",
+    "promo_share_monthly",
+    "order_priority_check",
+    "supplier_diversity",
     "events_daily",
+    "events_value_quantiles",
     "events_sessionize",
     "docs_by_lang",
     "text_stats",

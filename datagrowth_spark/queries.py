@@ -306,6 +306,214 @@ GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """
 
 
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: filtered LEFT OUTER join + two-level aggregation.
+
+    The outer join shuffles on custkey; the second groupBy collapses to
+    at most a few hundred distinct counts, so its shuffle is trivial.
+    At 100 TB the first agg is the cost — it map-side combines because
+    orders is already being counted per custkey within each partition
+    only after the shuffle; AQE coalesces the tiny second stage.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+SQL_ORDER_COUNT_DISTRIBUTION = """
+WITH c_orders AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist FROM c_orders GROUP BY c_count
+"""
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate used as a semi-join.
+
+    The qualifying-orderkey set after HAVING is tiny (top fraction of a
+    percent) — broadcast it into both the lineitem re-scan and orders,
+    so the only big shuffle is the first per-orderkey aggregation.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(qualifying), orders["o_orderkey"] == qualifying["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_BIG_ORDERS = """
+WITH qualifying AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders JOIN qualifying ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti-join.
+
+    The global average is one broadcast row (exact decimal sum / count,
+    so the threshold is bit-identical cross-engine); the anti-join
+    shuffles customer vs orders' distinct custkeys. At 100 TB pre-
+    aggregate orders to distinct o_custkey before the anti-join — done
+    here via select+distinct so the join side carries one row per
+    customer, not one per order.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg((_dec_sum("c_acctbal") / F.count("*")).alias("avg_bal"))
+    )
+    buyers = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey").distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(buyers, cust["c_custkey"] == buyers["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dec_sum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+SQL_RICH_IDLE_CUSTOMERS = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_mktsegment
+"""
+
+
+def q_promo_share_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a dim join, by month.
+
+    part is the small side — broadcast it; lineitem never shuffles
+    until the per-month agg (84 groups), which is all map-side combine.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev.cast("decimal(18,4)")) \
+        .otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo_rev).cast("double")
+                / F.sum(rev.cast("decimal(18,4)")).cast("double"),
+                6,
+            ).alias("promo_share")
+        )
+    )
+
+
+SQL_PROMO_SHARE_MONTHLY = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+             6) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY strftime(l_shipdate, '%Y-%m')
+"""
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS as a left-semi join with a
+    non-equi term (l_shipdate > o_orderdate) alongside the key.
+
+    The semi-join shuffles both sides on orderkey; the non-equi term is
+    evaluated post-match, so no range-join blowup. Counts collapse to 5
+    priority groups — map-side combine does the rest.
+    """
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+SQL_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) per group over a dim join.
+
+    Distinct-count expands to a two-phase agg (partial distinct on
+    (brand, suppkey), then count) — Catalyst plans that automatically;
+    broadcast part keeps lineitem shuffle-free until the agg.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count("*").alias("item_cnt"),
+        )
+    )
+
+
+SQL_SUPPLIER_DIVERSITY = """
+SELECT p_brand, COUNT(DISTINCT l_suppkey) AS supplier_cnt, COUNT(*) AS item_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events (stream-shaped table): sessionization, time rollups, JSON props
 # ---------------------------------------------------------------------------
@@ -937,6 +1145,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_suppliers": q_active_suppliers,
         "customer_order_merge": q_customer_order_merge,
         "orders_rollup": q_orders_rollup,
+        "order_count_distribution": q_order_count_distribution,
+        "big_orders": q_big_orders,
+        "rich_idle_customers": q_rich_idle_customers,
+        "promo_share_monthly": q_promo_share_monthly,
+        "order_priority_check": q_order_priority_check,
+        "supplier_diversity": q_supplier_diversity,
         "events_daily": q_events_daily,
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
@@ -974,6 +1188,12 @@ def oracle_sql() -> dict[str, str]:
         "active_suppliers": SQL_ACTIVE_SUPPLIERS,
         "customer_order_merge": SQL_CUSTOMER_ORDER_MERGE,
         "orders_rollup": SQL_ORDERS_ROLLUP,
+        "order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
+        "big_orders": SQL_BIG_ORDERS,
+        "rich_idle_customers": SQL_RICH_IDLE_CUSTOMERS,
+        "promo_share_monthly": SQL_PROMO_SHARE_MONTHLY,
+        "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
+        "supplier_diversity": SQL_SUPPLIER_DIVERSITY,
         "events_daily": SQL_EVENTS_DAILY,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_json_props": SQL_EVENTS_JSON_PROPS,
