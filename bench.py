@@ -50,6 +50,8 @@ HEADLINE = [
     "media_decode",
     "media_frames",
     "media_features",
+    "pipeline_seed_merge",
+    "pipeline_growth_enrich",
     "streaming_events_hourly",
 ]
 

@@ -45,6 +45,12 @@ class Collection:
         self.identifier = identifier  # property path (no $ prefix), e.g. "id" or "a.b"
         self.referee = referee
         self._df = df if df is not None else spark.createDataFrame([], DOCUMENT_SCHEMA)
+        # A collection that has never held rows: the first add() replaces
+        # the frame instead of unioning onto the empty placeholder — the
+        # placeholder carries default-parallelism empty partitions that
+        # would otherwise pad EVERY downstream stage with no-op tasks
+        # (32 extra Python workers per mapInPandas stage).
+        self._pristine = df is None
 
     # -- plumbing ---------------------------------------------------------
     @property
@@ -114,7 +120,8 @@ class Collection:
         """Bulk insert (C1). ``reset=True`` replaces the collection."""
         new = data if isinstance(data, DataFrame) else self._rows_from_dicts(data)
         new = self.influence(self._conform(new))
-        self._df = new if reset else self._df.unionByName(new)
+        self._df = new if (reset or self._pristine) else self._df.unionByName(new)
+        self._pristine = False
         return self
 
     def update(self, data: Iterable[dict[str, Any]] | DataFrame, by_property: str,
@@ -157,6 +164,7 @@ class Collection:
         )
         inserts = updates.join(target.select("__key"), "__key", "left_anti").drop("__key")
         self._df = merged.unionByName(self.influence(inserts))
+        self._pristine = False
         return self
 
     def validate(self, schema: dict, raise_on_error: bool = True) -> DataFrame:

@@ -77,6 +77,33 @@ def prop_col(properties: Column | str, path: str) -> Column:
     return F.get_json_object(value, jpath)
 
 
+def encode_value_col(col: Column) -> Column:
+    """JVM-side JSON encoding of one scalar column (the Column twin of
+    ``encode_properties`` for a single value).
+
+    ``to_json`` only accepts complex types, so the scalar is wrapped in
+    a one-element array and the brackets stripped — escaping comes out
+    identical to ``json.dumps`` (nulls become ``null``).
+    """
+    wrapped = F.to_json(F.array(col))
+    return wrapped.substr(F.lit(2), F.length(wrapped) - F.lit(2))
+
+
+def properties_from_columns(*cols: str) -> Column:
+    """Lift named table columns into an encoded properties map.
+
+    Turns any relational frame into document payloads entirely JVM-side
+    (no Python round-trip): ``df.select(properties_from_columns("a",
+    "b").alias("properties"))`` conforms to ``DOCUMENT_SCHEMA`` via
+    ``Collection._conform``.
+    """
+    pairs: list[Column] = []
+    for name in cols:
+        pairs.append(F.lit(name))
+        pairs.append(encode_value_col(F.col(name)))
+    return F.create_map(*pairs)
+
+
 def document_content(row: dict[str, Any]) -> dict[str, Any]:
     """Driver-side content projection for one document row dict.
 

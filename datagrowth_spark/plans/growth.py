@@ -20,11 +20,26 @@ reference's datagrowth.yml):
 * ``growth_phase`` — name under which results land in
   ``derivatives[phase]`` and ``task_results[phase]``
 * ``depends_on`` — phase that must have succeeded first
-* ``retrieve_data.request_template`` — callable(content) -> request row
-* ``contribute_data.objective`` — extraction objective for bodies
+* ``retrieve_data.request_template`` — either a callable(content) ->
+  request row (runs in a Python stage), or a declarative spec
+  ``{"uri_template": "http://h/x/{}", "args": ["$.path", ...],
+  "method": "GET"}`` mirroring the reference's ``$``-path arg
+  templating (resources/growth.py:49-69). The declarative form
+  compiles to pure Column expressions — url, and the sha256 request
+  signature, are computed inside whole-stage codegen; no Python stage.
+* ``contribute_data.objective`` — extraction objective for bodies. A
+  *flat* objective (no ``@`` node selector, no ``#`` context keys, no
+  callables — just ``key: "$.path"``) compiles to JVM variant
+  expressions (``try_parse_json`` + ``try_variant_get``), again no
+  Python stage; anything richer falls back to ExtractProcessor in
+  ``mapInPandas``.
 * ``to_property`` — route the contribution into ``properties[key]``
   instead of derivatives (reference "field/prop" spec)
 * ``reduce`` — "first" (default): one contribution per document
+
+With a declarative template AND a flat objective, the only Python in
+the whole growth pipeline is the fetch worker for cache *misses* — the
+part that is genuinely network-bound at scale.
 """
 
 from __future__ import annotations
@@ -72,8 +87,48 @@ class GrowthProcessor:
             pred = pred & (task_result_success("task_results", self.depends_on) == F.lit(True))
         return df.where(pred)
 
+    # -- declarative (JVM) request building -------------------------------
+    def _build_requests_jvm(self, pending: DataFrame) -> DataFrame | None:
+        """Compile a dict request template to Column expressions.
+
+        Returns None when the template is a callable (Python path).
+        Signature parity: reproduces ``http_signature`` exactly —
+        sha256 over the canonical JSON ``{"data":null,"uri":"<METHOD>
+        <protocol-stripped url>"}`` — so JVM-built and Python-built
+        requests share cache rows. Query strings in the template must
+        already be in sorted-param form (they are static template text,
+        so this is a spec-authoring rule, not a runtime cost).
+        """
+        spec = self.request_template
+        if not isinstance(spec, dict):
+            return None
+        from datagrowth_spark.datatypes.document import encode_value_col, prop_col
+
+        method = spec.get("method", "GET").upper()
+        template: str = spec["uri_template"]
+        args = [prop_col("properties", p) for p in spec.get("args", [])]
+        stripped = template.split("://", 1)[1] if "://" in template else template
+        fmt = lambda t: F.format_string(t.replace("%", "%%").replace("{}", "%s"), *args)  # noqa: E731
+        url = fmt(template)
+        canonical = F.concat(
+            F.lit('{"data":null,"uri":'),
+            encode_value_col(F.concat(F.lit(f"{method} "), fmt(stripped))),
+            F.lit("}"),
+        )
+        return pending.select(
+            "identity",
+            F.sha2(canonical, 256).alias("signature"),
+            F.lit(method).alias("method"),
+            url.alias("url"),
+            F.lit(None).cast("string").alias("headers"),
+            F.lit(None).cast("string").alias("data"),
+        )
+
     # -- distributed request building ------------------------------------
     def _build_requests(self, pending: DataFrame) -> DataFrame:
+        jvm = self._build_requests_jvm(pending)
+        if jvm is not None:
+            return jvm
         template = self.request_template
 
         def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
@@ -93,8 +148,55 @@ class GrowthProcessor:
             run, schema=_REQ_WITH_ID
         )
 
+    # -- flat-objective (JVM) contribution extraction ---------------------
+    def _flat_objective(self) -> dict[str, str] | None:
+        """The objective as key->``$.path`` when it is JVM-compilable."""
+        obj = self.objective
+        if not obj or self.reduce != "first":
+            return None
+        if any(k.startswith(("@", "#")) or not isinstance(p, str) or not p.startswith("$.")
+               for k, p in obj.items()):
+            return None
+        return obj
+
+    def _extract_contributions_jvm(self, joined: DataFrame) -> DataFrame | None:
+        flat = self._flat_objective()
+        if flat is None:
+            return None
+        body = F.col("body")
+        ok = (
+            F.col("status").isNotNull()
+            & (F.col("status") >= 200) & (F.col("status") < 300)
+            & body.isNotNull() & (body != "")
+        )
+        parsed = F.try_parse_json(body)
+        success = ok & parsed.isNotNull()
+        # try_variant_get keeps the raw JSON type; to_json re-serializes
+        # the fragment — the Column twin of json.dumps(value) per key.
+        # Caveat: variant canonicalizes number TEXT ("0.0" -> "0"), so
+        # fragments are value-equal but not always byte-equal with the
+        # Python path; decoded contents compare equal numerically.
+        opts = {"ignoreNullFields": "false"}
+        frags = {k: F.to_json(F.try_variant_get(parsed, path, "variant"), opts)
+                 for k, path in flat.items()}
+        contribution = F.to_json(
+            F.struct(*[F.try_variant_get(parsed, path, "variant").alias(k) for k, path in flat.items()]),
+            opts,
+        )
+        encoded = F.to_json(F.struct(*[frag.alias(k) for k, frag in frags.items()]), opts)
+        return joined.select(
+            "identity",
+            success.alias("success"),
+            F.when(success, contribution).alias("contribution"),
+            F.when(success, encoded).alias("contribution_encoded"),
+            F.col("status").cast("int").alias("status"),
+        )
+
     # -- contribution extraction -----------------------------------------
     def _extract_contributions(self, joined: DataFrame) -> DataFrame:
+        jvm = self._extract_contributions_jvm(joined)
+        if jvm is not None:
+            return jvm
         objective = self.objective
         reduce_mode = self.reduce
 
@@ -135,7 +237,10 @@ class GrowthProcessor:
     def __call__(self, collection: Collection, cache: ResourceCache) -> Collection:
         df = collection.df
         pending = self.filter_documents(df)
-        requests = self._build_requests(pending)
+        # Persisted: consumed by both the fetch (request rows) and the
+        # signature join-back — otherwise the Python templating stage
+        # runs once per consumer.
+        requests = self._build_requests(pending).persist()
 
         fetch_kwargs = {"transport": self.transport} if self.transport else {}
         responses = fetch(requests.select([f.name for f in REQUEST_SCHEMA.fields]),

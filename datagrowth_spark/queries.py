@@ -31,6 +31,7 @@ from datagrowth_spark.functions import text as TX
 from datagrowth_spark.operators import dedup as DD
 from datagrowth_spark.operators import multimodal as MM
 from datagrowth_spark.operators import similarity as SIM
+from datagrowth_spark.sources import testclient as TC
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1097,6 +1098,145 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# End-to-end ETL pipelines under the oracle (the reference's flagship
+# capability — SURVEY §2.4 — not just its relational periphery). Both run
+# hermetically against the in-package deterministic test client (R10), so
+# every seeded/enriched value is pure arithmetic an ANSI-SQL oracle can
+# reproduce: the gate hash-checks the PIPELINE (fetch → extract → merge →
+# upsert → content), not a lookalike query.
+# ---------------------------------------------------------------------------
+
+def _entity_page_request(page: int) -> dict:
+    from datagrowth_spark.sources.http import http_request
+
+    return http_request("http://testclient/entities", params={"page": page})
+
+
+def _entity_next_page(response: dict) -> dict | None:
+    import json as _json
+
+    body = _json.loads(response["body"])
+    if body.get("next_page") is not None:
+        return _entity_page_request(body["next_page"])
+    return None
+
+
+def _entity_detail_request(seed: dict) -> dict:
+    from datagrowth_spark.sources.http import http_request
+
+    return http_request("http://testclient/entities/{}".format(seed["id"]))
+
+
+def q_pipeline_seed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase seeding pipeline (P1-P3): paginated initial fetch →
+    per-seed detail fetch → keyed merge → upsert into a collection.
+
+    The cold fetch goes through the full cached-scan machinery (anti-
+    join miss detection, partition-parallel transport, append-before-
+    consume); the oracle regenerates the same rows from pure arithmetic.
+    """
+    import tempfile
+
+    from datagrowth_spark.datatypes.collection import Collection
+    from datagrowth_spark.datatypes.document import prop_col
+    from datagrowth_spark.plans.seeding import SeedingProcessor
+    from datagrowth_spark.sources.cache import ResourceCache
+
+    cache = ResourceCache(spark, tempfile.mkdtemp(prefix="seed-cache-"))
+    phases = [
+        {
+            "phase": "entities",
+            "strategy": "initial",
+            "retrieve_data": {
+                "requests": [_entity_page_request(0)],
+                "next_request": _entity_next_page,
+                "continuation_limit": 10,
+            },
+            "contribute_data": {
+                "objective": {"@": "$.results", "id": "$.id", "name": "$.name",
+                              "group": "$.group"},
+            },
+        },
+        {
+            "phase": "details",
+            "strategy": "merge",
+            "retrieve_data": {"request_template": _entity_detail_request},
+            "contribute_data": {
+                "objective": {"id": "$.id", "detail": "$.detail", "score": "$.score"},
+                "merge_on": "id",
+            },
+        },
+    ]
+    coll = Collection(spark, name="entities", identifier="id")
+    SeedingProcessor(spark, cache, phases, transport=TC.testclient_transport)(coll)
+    return coll.df.select(
+        prop_col("properties", "$.id").cast("long").alias("id"),
+        prop_col("properties", "$.name").alias("name"),
+        prop_col("properties", "$.group").cast("long").alias("grp"),
+        prop_col("properties", "$.detail").alias("detail"),
+        prop_col("properties", "$.score").cast("double").alias("score"),
+    )
+
+
+SQL_PIPELINE_SEED_MERGE = f"""
+SELECT i AS id, 'entity ' || i AS name, i % 3 AS grp,
+       'detail ' || i AS detail, i / 10.0 AS score
+FROM generate_series(0, {TC.TOTAL - 1}) t(i)
+"""
+
+
+def q_pipeline_growth_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth enrichment pipeline (P6-P8) over the documents table:
+    lift rows to documents (JVM-side payload encoding), fetch one
+    enrichment per document through the cached scan, extract with an
+    objective, merge into derivatives, project typed columns back out.
+
+    Scale shape: request building, fetch and merge are all partition-
+    parallel; the only driver-side state is the pipeline spec. At 100 TB
+    the cache table turns replays and overlapping runs into joins.
+    """
+    import tempfile
+
+    from datagrowth_spark.datatypes.collection import Collection
+    from datagrowth_spark.datatypes.document import properties_from_columns
+    from datagrowth_spark.plans.growth import GrowthProcessor
+    from datagrowth_spark.sources.cache import ResourceCache
+
+    docs = _t(spark, sf_dir, "documents")
+    lifted = docs.select(properties_from_columns("doc_id", "lang").alias("properties"))
+    coll = Collection(spark, name="docs", identifier="doc_id")
+    coll.add(lifted)
+
+    cache = ResourceCache(spark, tempfile.mkdtemp(prefix="growth-cache-"))
+    # Declarative template + flat objective => request building, request
+    # signatures AND contribution extraction all compile to JVM Columns;
+    # the only Python stage left is the fetch worker on cache misses.
+    config = {
+        "growth_phase": "analyze",
+        "retrieve_data": {"request_template": {
+            "uri_template": "http://testclient/analyze/{}", "args": ["$.doc_id"],
+        }},
+        "contribute_data": {"objective": {"score": "$.score", "flag": "$.flag"}},
+    }
+    GrowthProcessor(config, transport=TC.testclient_transport)(coll, cache)
+
+    analysis = F.col("derivatives")["analyze"]
+    return coll.df.select(
+        F.col("identity").cast("long").alias("doc_id"),
+        analysis["score"].cast("double").alias("score"),
+        F.get_json_object(analysis["flag"], "$").alias("flag"),
+    )
+
+
+SQL_PIPELINE_GROWTH_ENRICH = f"""
+SELECT doc_id,
+       (doc_id * {TC.KNUTH}) % 1000 / 1000.0 AS score,
+       CASE WHEN doc_id % 3 = 0 THEN 'hi' ELSE 'lo' END AS flag
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Structured Streaming (bounded drain -> same answer as the batch plan)
 # ---------------------------------------------------------------------------
 
@@ -1173,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
+        "pipeline_seed_merge": q_pipeline_seed_merge,
+        "pipeline_growth_enrich": q_pipeline_growth_enrich,
         "streaming_events_hourly": q_streaming_events_hourly,
     }
 
@@ -1216,5 +1358,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": SQL_MEDIA_RESIZE,
         "media_frames": SQL_MEDIA_FRAMES,
         "media_features": SQL_MEDIA_FEATURES,
+        "pipeline_seed_merge": SQL_PIPELINE_SEED_MERGE,
+        "pipeline_growth_enrich": SQL_PIPELINE_GROWTH_ENRICH,
         "streaming_events_hourly": SQL_STREAMING_EVENTS_HOURLY,
     }

@@ -99,7 +99,10 @@ class ResourceCache:
         self.path = path
 
     def read(self) -> DataFrame:
-        if not os.path.exists(self.path):
+        if not os.path.exists(self.path) or not any(
+            not n.startswith((".", "_")) for n in os.listdir(self.path)
+        ):
+            # absent or still-empty cache directory (no committed parquet)
             return self.spark.createDataFrame([], RESPONSE_SCHEMA)
         df = self.spark.read.parquet(self.path)
         # TTL purge predicate (reference: purge_at checked on every
@@ -189,7 +192,12 @@ def fetch(
     downstream stages re-read parquet instead of re-firing transports.
     """
     spark = requests_df.sparkSession
-    requests_df = requests_df.select([f.name for f in REQUEST_SCHEMA.fields]).dropDuplicates(["signature"])
+    # Persist: the request frame is consumed by the hit-join, the miss
+    # anti-join, the fetch worker and the final semi-join — without a
+    # persist each consumer re-runs the (often Python) request-building
+    # lineage. Small frame by construction (requests, not payloads).
+    requests_df = requests_df.select([f.name for f in REQUEST_SCHEMA.fields]) \
+        .dropDuplicates(["signature"]).persist()
 
     cached = cache.latest().select("signature").withColumn("__hit", F.lit(True))
     misses = (
@@ -201,8 +209,15 @@ def fetch(
     if n_misses:
         if cache_only:
             raise LookupError(f"cache_only fetch: {n_misses} request(s) not in cache at {cache.path}")
-        if fetch_partitions:
-            misses = misses.repartition(fetch_partitions)
+        # The transport is latency-bound, so parallelism is set by the
+        # MISS COUNT, not by upstream partitioning (which AQE may have
+        # coalesced to 1): one partition per ~8 requests up to the
+        # cluster width. Callers with rate limits or slow endpoints
+        # override via fetch_partitions.
+        parts = fetch_partitions or min(
+            spark.sparkContext.defaultParallelism, -(-n_misses // 8)
+        )
+        misses = misses.repartition(parts)
         fetched = misses.mapInPandas(
             _fetch_worker(transport, backoff_delays or [2, 4, 8, 16],
                           interval_duration, purge_after_seconds),

@@ -462,3 +462,61 @@ class TestVersionTasks:
         assert entry["published"] is True and entry["n_docs"] == 2
         assert entry["task_results"]["version:publish"] == {"success": True}
         assert entry["task_results"]["version:broken"]["success"] is False
+
+
+class TestGrowthJvmPaths:
+    """Declarative request templates and flat objectives compile to pure
+    Column expressions; these pin their equivalence to the Python paths."""
+
+    def test_declarative_template_signature_parity(self, spark):
+        coll = Collection(spark, name="x", identifier="id")
+        coll.add([{"id": 7}])
+        gp = GrowthProcessor({
+            "growth_phase": "p",
+            "retrieve_data": {"request_template": {
+                "uri_template": "http://mockapi/entities/{}", "args": ["$.id"],
+            }},
+        })
+        row = gp._build_requests(gp.filter_documents(coll.df)).collect()[0]
+        expected = http_request("http://mockapi/entities/7")
+        assert row.url == "http://mockapi/entities/7"
+        assert row.signature == expected["signature"]  # shared cache rows
+
+    def test_flat_objective_jvm_matches_python_path(self, spark, tmp_path):
+        coll = Collection(spark, name="entities", identifier="id")
+        coll.add([{"id": i} for i in range(4)] + [{"id": 999}])  # 999 -> 404
+
+        def run(force_python):
+            c = Collection(spark, name="entities", identifier="id", df=coll.df)
+            cache = ResourceCache(
+                spark, str(tmp_path / f"cache-{force_python}"))
+            gp = GrowthProcessor({
+                "growth_phase": "detail",
+                "retrieve_data": {"request_template": {
+                    "uri_template": "http://mockapi/entities/{}", "args": ["$.id"],
+                }},
+                "contribute_data": {"objective": {"detail": "$.detail", "score": "$.score"}},
+            }, transport=mock_api_transport)
+            if force_python:
+                gp._extract_contributions_jvm = lambda joined: None
+            gp(c, cache)
+            return {r["identity"]: r.asDict() for r in c.df.collect()}
+
+        jvm, py = run(False), run(True)
+        assert set(jvm) == set(py)
+        for k in jvm:
+            # value-equality, not byte-equality: the variant path
+            # canonicalizes number text ("0.0" -> "0")
+            jd = {p: {t: json.loads(v) for t, v in (m or {}).items()}
+                  for p, m in (jvm[k]["derivatives"] or {}).items()}
+            pd_ = {p: {t: json.loads(v) for t, v in (m or {}).items()}
+                   for p, m in (py[k]["derivatives"] or {}).items()}
+            assert jd == pd_, k
+            jr = {t: json.loads(v) for t, v in (jvm[k]["task_results"] or {}).items()}
+            pr = {t: json.loads(v) for t, v in (py[k]["task_results"] or {}).items()}
+            assert jr == pr, k
+        ok = jvm["2"]
+        assert json.loads(ok["derivatives"]["detail"]["detail"]) == "detail 2"
+        assert json.loads(ok["derivatives"]["detail"]["score"]) == 0.2
+        bad = jvm["999"]
+        assert json.loads(bad["task_results"]["detail"])["success"] is False
