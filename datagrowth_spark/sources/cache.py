@@ -200,11 +200,14 @@ def fetch(
         .dropDuplicates(["signature"]).persist()
 
     cached = cache.latest().select("signature").withColumn("__hit", F.lit(True))
+    # Persisted: consumed by the count below AND the fetch job — without
+    # it the cache anti-join (and any Python request lineage above the
+    # persist boundary) runs twice per fetch call.
     misses = (
         requests_df.join(cached, "signature", "left")
         .where(F.col("__hit").isNull())
         .drop("__hit")
-    )
+    ).persist()
     n_misses = misses.count()
     if n_misses:
         if cache_only:
@@ -225,5 +228,6 @@ def fetch(
         )
         cache.append(fetched)
 
+    misses.unpersist()  # append() consumed it eagerly
     sigs = requests_df.select("signature")
     return cache.latest().join(sigs, "signature", "left_semi")
