@@ -135,36 +135,56 @@ def _fetch_worker(
     backoff_delays: list[int],
     interval_duration: float,
     purge_after_seconds: float | None,
+    follow: tuple[Callable[[dict], dict | None], int] | None = None,
 ):
-    """Build the mapInPandas worker for cache misses."""
+    """Build the mapInPandas worker for cache misses.
+
+    With ``follow=(next_request, limit)`` each miss is treated as the
+    head of a continuation chain and the worker walks the chain in
+    place, emitting one response row per page up to ``limit`` pages —
+    the reference's ``send_iterator`` shape (http/iterators.py:29-52):
+    pages of one link are inherently serial, so looping them inside the
+    worker costs nothing in parallelism, while distinct links still fan
+    out across partitions.
+    """
     import pandas as pd
+
+    follow_fn, follow_limit = follow if follow is not None else (None, 1)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for batch in batches:
             rows = []
             for rec in batch.to_dict("records"):
-                headers = json.loads(rec["headers"]) if rec.get("headers") else {}
-                data = json.loads(rec["data"]) if rec.get("data") else None
-                status, head, body = transport(rec["method"], rec["url"], headers, data)
-                # Backoff retry on throttle/transient statuses
-                # (reference schedule: [2,4,8,16]s on 420/429/5xx).
-                for delay in backoff_delays:
-                    if status not in RETRY_STATUSES:
+                req = {k: rec.get(k) for k in ("signature", "method", "url", "headers", "data")}
+                pages = 0
+                while req is not None:
+                    headers = json.loads(req["headers"]) if req.get("headers") else {}
+                    data = json.loads(req["data"]) if req.get("data") else None
+                    status, head, body = transport(req["method"], req["url"], headers, data)
+                    # Backoff retry on throttle/transient statuses
+                    # (reference schedule: [2,4,8,16]s on 420/429/5xx).
+                    for delay in backoff_delays:
+                        if status not in RETRY_STATUSES:
+                            break
+                        time.sleep(delay)
+                        status, head, body = transport(req["method"], req["url"], headers, data)
+                    now = pd.Timestamp.utcnow().tz_localize(None)
+                    row = {
+                        **req,
+                        "status": status,
+                        "head": json.dumps(head),
+                        "body": body,
+                        "fetched_at": now,
+                        "purge_at": (now + pd.Timedelta(seconds=purge_after_seconds))
+                        if purge_after_seconds else None,
+                    }
+                    rows.append(row)
+                    if interval_duration:
+                        time.sleep(interval_duration / 1000.0)
+                    pages += 1
+                    if follow_fn is None or pages >= follow_limit:
                         break
-                    time.sleep(delay)
-                    status, head, body = transport(rec["method"], rec["url"], headers, data)
-                now = pd.Timestamp.utcnow().tz_localize(None)
-                rows.append({
-                    **{k: rec.get(k) for k in ("signature", "method", "url", "headers", "data")},
-                    "status": status,
-                    "head": json.dumps(head),
-                    "body": body,
-                    "fetched_at": now,
-                    "purge_at": (now + pd.Timedelta(seconds=purge_after_seconds))
-                    if purge_after_seconds else None,
-                })
-                if interval_duration:
-                    time.sleep(interval_duration / 1000.0)
+                    req = follow_fn(row)
             yield pd.DataFrame(rows, columns=[f.name for f in RESPONSE_SCHEMA.fields])
 
     return run
@@ -179,6 +199,7 @@ def fetch(
     interval_duration: float = 0,
     purge_after_seconds: float | None = None,
     fetch_partitions: int | None = None,
+    follow: tuple[Callable[[dict], dict | None], int] | None = None,
 ) -> DataFrame:
     """The cached fetch operator: requests in, responses out.
 
@@ -223,11 +244,23 @@ def fetch(
         misses = misses.repartition(parts)
         fetched = misses.mapInPandas(
             _fetch_worker(transport, backoff_delays or [2, 4, 8, 16],
-                          interval_duration, purge_after_seconds),
+                          interval_duration, purge_after_seconds, follow),
             schema=RESPONSE_SCHEMA,
         )
+        if follow is not None:
+            # Persist BEFORE append: the followed-page signatures are
+            # collected afterwards, and an unpersisted mapInPandas
+            # lineage would re-fire every transport on that collect.
+            fetched = fetched.persist()
         cache.append(fetched)
 
+    extra_sigs: list = []
+    if n_misses and follow is not None:
+        extra_sigs = [r["signature"] for r in fetched.select("signature").collect()]
+        fetched.unpersist()
     misses.unpersist()  # append() consumed it eagerly
     sigs = requests_df.select("signature")
-    return cache.latest().join(sigs, "signature", "left_semi")
+    if extra_sigs:
+        spark_local = spark.createDataFrame([(s,) for s in set(extra_sigs)], "signature string")
+        sigs = sigs.unionByName(spark_local)
+    return cache.latest().join(sigs.dropDuplicates(["signature"]), "signature", "left_semi")

@@ -86,27 +86,58 @@ def paginated_fetch(
     parallel), then the loop advances — the driver loop is O(pages),
     never O(links).
 
-    Returns the responses for every page fetched, as ONE semi-join of
-    the final cache state against the full signature set (never a union
-    of per-page plans: unions of many small same-schema local relations
-    through broadcast joins tickle incorrect exchange reuse, and each
-    per-page plan would also pin a stale parquet file listing).
+    Execution shape: cache-MISS chains are walked entirely inside the
+    fetch worker (``fetch(follow=...)`` — pages of one link are serial
+    anyway, links fan out across partitions), so the cold path costs ONE
+    distributed fetch round regardless of page depth. The driver then
+    walks every chain through the returned pages and only issues extra
+    rounds for pages it has not seen — on a warm cache those rounds are
+    hit-only joins with no transport.
+
+    Returns the responses for every page reached within the limit, as
+    ONE semi-join of the final cache state against the full signature
+    set (never a union of per-page plans: unions of many small
+    same-schema local relations through broadcast joins tickle incorrect
+    exchange reuse, and each per-page plan would also pin a stale
+    parquet file listing).
     """
-    all_signatures: list[str] = []
-    current = requests
-    for _page in range(max(continuation_limit, 1)):
-        if not current:
-            break
-        df = requests_to_df(spark, current)
-        responses = fetch(df, cache, **fetch_kwargs)
-        all_signatures.extend(r["signature"] for r in current)
-        if next_request is None:
-            break
-        next_batch = []
+    limit = max(continuation_limit, 1)
+    collected: dict[str, dict] = {}
+
+    def fetch_round(reqs: list[dict]) -> None:
+        follow = (next_request, limit) if next_request is not None else None
+        responses = fetch(requests_to_df(spark, reqs), cache, follow=follow, **fetch_kwargs)
         for row in responses.collect():
-            nxt = next_request(row.asDict())
-            if nxt is not None:
-                next_batch.append(nxt)
-        current = next_batch
-    sigs = spark.createDataFrame([(s,) for s in set(all_signatures)], "signature string")
+            collected[row["signature"]] = row.asDict()
+
+    fetch_round(requests)
+    result_sigs: set[str] = set()
+    # (cursor signature, pages consumed up to and including it) per chain
+    pending = [(r["signature"], 1) for r in requests]
+    for _round in range(limit + 1):
+        if not pending:
+            break
+        frontier: dict[str, dict] = {}
+        resumed: list[tuple[str, int]] = []
+        for sig, pages in pending:
+            row = collected.get(sig)
+            if row is None:  # transport produced no row (defensive)
+                continue
+            result_sigs.add(sig)
+            while next_request is not None and pages < limit:
+                nxt = next_request(row)
+                if nxt is None:
+                    break
+                sig, pages = nxt["signature"], pages + 1
+                row = collected.get(sig)
+                if row is None:
+                    frontier[sig] = nxt
+                    resumed.append((sig, pages))
+                    break
+                result_sigs.add(sig)
+        if not frontier:
+            break
+        fetch_round(list(frontier.values()))
+        pending = resumed
+    sigs = spark.createDataFrame([(s,) for s in result_sigs], "signature string")
     return cache.latest().join(sigs, "signature", "left_semi")

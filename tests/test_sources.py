@@ -126,6 +126,34 @@ class TestPagination:
                               continuation_limit=2, transport=mock_api_transport)
         assert out.count() == 2
 
+    def test_cold_chain_costs_one_fetch_round(self, spark, tmp_path, monkeypatch):
+        """Cache-miss chains are walked inside the fetch worker
+        (fetch(follow=...)), so a cold N-page chain costs ONE
+        distributed fetch round, not N driver-side rounds."""
+        import datagrowth_spark.sources.http as http_mod
+
+        rounds = []
+        real_fetch = http_mod.fetch
+
+        def counting_fetch(*a, **k):
+            rounds.append(1)
+            return real_fetch(*a, **k)
+
+        monkeypatch.setattr(http_mod, "fetch", counting_fetch)
+
+        def next_request(response):
+            body = json.loads(response["body"])
+            if body.get("next_page") is not None:
+                return http_request("http://mockapi/entities", params={"page": body["next_page"]})
+            return None
+
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        first = [http_request("http://mockapi/entities", params={"page": 0})]
+        out = paginated_fetch(spark, cache, first, next_request,
+                              continuation_limit=10, transport=mock_api_transport)
+        assert out.count() == 4
+        assert len(rounds) == 1  # all 4 pages in a single distributed round
+
     def test_coalesced_requests(self):
         reqs = coalesced_requests("http://mockapi/bulk/{}", ["a", "b", "c", "d", "e"],
                                   concat_size=2, concat_symbol="|")
