@@ -548,8 +548,12 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # Full-precision timestamp arithmetic (not unix_timestamp, which truncates
+    # to whole seconds and would mis-bucket sub-second gaps at the boundary).
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
     return (
         ev.withColumn("new_sess", new_sess)
         .groupBy("user_id")
@@ -569,7 +573,7 @@ WITH flagged AS (
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 )
-SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events,
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM flagged
 GROUP BY user_id
@@ -632,7 +636,7 @@ def q_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOCS_BY_LANG = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        STRING_AGG(lpad(CAST(doc_id AS VARCHAR), 10, '0'), ',' ORDER BY lpad(CAST(doc_id AS VARCHAR), 10, '0')) AS doc_ids
 FROM documents
 GROUP BY lang
