@@ -238,14 +238,22 @@ class GrowthProcessor:
         df = collection.df
         pending = self.filter_documents(df)
         # Persisted: consumed by both the fetch (request rows) and the
-        # signature join-back — otherwise the Python templating stage
-        # runs once per consumer.
+        # signature join-back — otherwise the templating stage runs once
+        # per consumer. Released below once the join-back's (identity,
+        # signature) projection is snapshotted; without that, the lazy
+        # collection._df lineage would pin the cached RDD for the life
+        # of the session (one leak per grow cycle).
         requests = self._build_requests(pending).persist()
-
-        fetch_kwargs = {"transport": self.transport} if self.transport else {}
-        responses = fetch(requests.select([f.name for f in REQUEST_SCHEMA.fields]),
-                          cache, **fetch_kwargs)
-        joined = requests.select("identity", "signature").join(responses, "signature", "left")
+        try:
+            fetch_kwargs = {"transport": self.transport} if self.transport else {}
+            responses = fetch(requests.select([f.name for f in REQUEST_SCHEMA.fields]),
+                              cache, **fetch_kwargs)
+            # Two strings per pending document — the minimal state the
+            # join-back needs; eager so `requests` can be unpersisted.
+            id_sig = requests.select("identity", "signature").localCheckpoint(eager=True)
+        finally:
+            requests.unpersist()
+        joined = id_sig.join(responses, "signature", "left")
         contributions = self._extract_contributions(joined)
 
         phase = self.phase

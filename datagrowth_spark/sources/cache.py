@@ -30,7 +30,7 @@ import os
 import time
 from typing import Any, Callable, Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -58,6 +58,12 @@ RETRY_STATUSES = (420, 429, 502, 503, 504)
 
 Transport = Callable[[str, str, dict, Any], tuple[int, dict, str]]
 """(method, url, headers, data) -> (status, response_headers, body)"""
+
+
+def success_predicate(status: Column | str = "status") -> Column:
+    """Success per the reference's Resource.success (2xx HTTP, 0 shell)."""
+    col = F.col(status) if isinstance(status, str) else status
+    return ((col >= 200) & (col < 300)) | (col == 0)
 
 
 def requests_transport(method: str, url: str, headers: dict, data: Any) -> tuple[int, dict, str]:
@@ -219,48 +225,70 @@ def fetch(
     # lineage. Small frame by construction (requests, not payloads).
     requests_df = requests_df.select([f.name for f in REQUEST_SCHEMA.fields]) \
         .dropDuplicates(["signature"]).persist()
-
-    cached = cache.latest().select("signature").withColumn("__hit", F.lit(True))
-    # Persisted: consumed by the count below AND the fetch job — without
-    # it the cache anti-join (and any Python request lineage above the
-    # persist boundary) runs twice per fetch call.
-    misses = (
-        requests_df.join(cached, "signature", "left")
-        .where(F.col("__hit").isNull())
-        .drop("__hit")
-    ).persist()
-    n_misses = misses.count()
-    if n_misses:
-        if cache_only:
-            raise LookupError(f"cache_only fetch: {n_misses} request(s) not in cache at {cache.path}")
-        # The transport is latency-bound, so parallelism is set by the
-        # MISS COUNT, not by upstream partitioning (which AQE may have
-        # coalesced to 1): one partition per ~8 requests up to the
-        # cluster width. Callers with rate limits or slow endpoints
-        # override via fetch_partitions.
-        parts = fetch_partitions or min(
-            spark.sparkContext.defaultParallelism, -(-n_misses // 8)
-        )
-        misses = misses.repartition(parts)
-        fetched = misses.mapInPandas(
-            _fetch_worker(transport, backoff_delays or [2, 4, 8, 16],
-                          interval_duration, purge_after_seconds, follow),
-            schema=RESPONSE_SCHEMA,
-        )
-        if follow is not None:
-            # Persist BEFORE append: the followed-page signatures are
-            # collected afterwards, and an unpersisted mapInPandas
-            # lineage would re-fire every transport on that collect.
-            fetched = fetched.persist()
-        cache.append(fetched)
-
-    extra_sigs: list = []
-    if n_misses and follow is not None:
-        extra_sigs = [r["signature"] for r in fetched.select("signature").collect()]
-        fetched.unpersist()
-    misses.unpersist()  # append() consumed it eagerly
-    sigs = requests_df.select("signature")
-    if extra_sigs:
-        spark_local = spark.createDataFrame([(s,) for s in set(extra_sigs)], "signature string")
-        sigs = sigs.unionByName(spark_local)
-    return cache.latest().join(sigs.dropDuplicates(["signature"]), "signature", "left_semi")
+    try:
+        # Only SUCCESSFUL cached responses count as hits (reference
+        # generic.py:133-135: a cached resource is returned only when
+        # resource.success; failures are re-sent). Otherwise a transient
+        # 5xx cached with purge_after_seconds=None would shadow the
+        # signature forever and the document could never be enriched.
+        # cache_only replay is the exception: nothing can be re-sent, so
+        # serve whatever is cached (hermetic fixture mode).
+        hit_src = cache.latest()
+        if not cache_only:
+            hit_src = hit_src.where(success_predicate())
+        cached = hit_src.select("signature").withColumn("__hit", F.lit(True))
+        # Persisted: consumed by the count below AND the fetch job — without
+        # it the cache anti-join (and any Python request lineage above the
+        # persist boundary) runs twice per fetch call.
+        misses = (
+            requests_df.join(cached, "signature", "left")
+            .where(F.col("__hit").isNull())
+            .drop("__hit")
+        ).persist()
+        extra_sigs: list = []
+        try:
+            n_misses = misses.count()
+            if n_misses:
+                if cache_only:
+                    raise LookupError(
+                        f"cache_only fetch: {n_misses} request(s) not in cache at {cache.path}")
+                # The transport is latency-bound, so parallelism is set by the
+                # MISS COUNT, not by upstream partitioning (which AQE may have
+                # coalesced to 1): one partition per ~8 requests up to the
+                # cluster width. Callers with rate limits or slow endpoints
+                # override via fetch_partitions.
+                parts = fetch_partitions or min(
+                    spark.sparkContext.defaultParallelism, -(-n_misses // 8)
+                )
+                misses_parts = misses.repartition(parts)
+                fetched = misses_parts.mapInPandas(
+                    _fetch_worker(transport,
+                                  backoff_delays if backoff_delays is not None else [2, 4, 8, 16],
+                                  interval_duration, purge_after_seconds, follow),
+                    schema=RESPONSE_SCHEMA,
+                )
+                if follow is not None:
+                    # Persist BEFORE append: the followed-page signatures are
+                    # collected afterwards, and an unpersisted mapInPandas
+                    # lineage would re-fire every transport on that collect.
+                    fetched = fetched.persist()
+                    try:
+                        cache.append(fetched)
+                        extra_sigs = [r["signature"] for r in fetched.select("signature").collect()]
+                    finally:
+                        fetched.unpersist()
+                else:
+                    cache.append(fetched)
+        finally:
+            misses.unpersist()  # append() consumed it eagerly
+        sigs = requests_df.select("signature").dropDuplicates(["signature"])
+        if extra_sigs:
+            spark_local = spark.createDataFrame([(s,) for s in set(extra_sigs)], "signature string")
+            sigs = sigs.unionByName(spark_local).dropDuplicates(["signature"])
+        # Eager snapshot of the (tiny: signatures only) frame so the
+        # request-building lineage and its persisted RDD can be released
+        # now instead of leaking until executor storage evicts them.
+        sigs = sigs.localCheckpoint(eager=True)
+        return cache.latest().join(sigs, "signature", "left_semi")
+    finally:
+        requests_df.unpersist()

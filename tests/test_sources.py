@@ -83,6 +83,48 @@ class TestFetch:
         out = fetch(reqs, cache, transport=mock_api_transport)
         assert out.collect()[0]["status"] == 404
 
+    def test_cached_failure_is_refetched(self, spark, tmp_path):
+        """A cached failure row is NOT a hit: the signature falls into the
+        miss anti-join and is re-sent (reference generic.py:133-135 only
+        returns a cached resource when resource.success). Without this a
+        transient 504 with purge_after=None shadows the url forever."""
+        recover_log = str(tmp_path / "recover.log")
+
+        def recovering_transport(method, url, headers, data, _log=recover_log):
+            with open(_log, "a") as fh:
+                fh.write("x\n")
+            with open(_log) as fh:
+                n = len(fh.readlines())
+            if n == 1:
+                return 504, {}, ""  # transient timeout on first contact
+            return 200, {}, '{"ok": true}'
+
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        reqs = requests_to_df(spark, [http_request("http://mockapi/transient")])
+        first = fetch(reqs, cache, transport=recovering_transport,
+                      backoff_delays=[], fetch_partitions=1).collect()
+        assert first[0]["status"] == 504  # failure recorded (and cached)
+        second = fetch(reqs, cache, transport=recovering_transport,
+                       backoff_delays=[], fetch_partitions=1).collect()
+        assert second[0]["status"] == 200  # refetched, not served stale
+        # and the recovery is itself memoized: third call fires no transport
+        with open(recover_log) as fh:
+            n_before = len(fh.readlines())
+        third = fetch(reqs, cache, transport=recovering_transport,
+                      backoff_delays=[], fetch_partitions=1).collect()
+        assert third[0]["status"] == 200
+        with open(recover_log) as fh:
+            assert len(fh.readlines()) == n_before
+
+    def test_cache_only_serves_cached_failures(self, spark, tmp_path):
+        """cache_only replay cannot re-send, so failure rows still serve
+        (hermetic fixture mode must not raise on recorded errors)."""
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        reqs = requests_to_df(spark, [http_request("http://mockapi/nope")])
+        fetch(reqs, cache, transport=mock_api_transport)  # caches the 404
+        out = fetch(reqs, cache, transport=mock_api_transport, cache_only=True)
+        assert out.collect()[0]["status"] == 404
+
     def test_shell_transport_roundtrip(self, spark, tmp_path):
         from datagrowth_spark.sources.cache import shell_transport
 
