@@ -147,13 +147,17 @@ _EXTRACT_OUT_SCHEMA = T.StructType([T.StructField("properties", PROPERTIES_TYPE)
 
 def extract_df(df: DataFrame, body_col: str, objective: dict,
                content_type: str = "application/json",
-               extract_from_object_values: bool = False) -> DataFrame:
+               extract_from_object_values: bool = False,
+               content_type_col: str | None = None) -> DataFrame:
     """Schema-free extraction over a DataFrame of payload strings.
 
     One input row (a fetched body) flat-maps to N output rows of encoded
     properties — the Spark form of ``content_iterator``
     (reference input/iterators.py:5-13). Callables in the objective are
-    shipped with the closure (must be picklable).
+    shipped with the closure (must be picklable). With
+    ``content_type_col`` the mimetype is read per row (null falls back to
+    ``content_type``) — the response-stream case where each row carries
+    its own Content-Type header.
     """
     from datagrowth_spark.core.config import create_config
 
@@ -166,10 +170,12 @@ def extract_df(df: DataFrame, body_col: str, objective: dict,
         processor = ExtractProcessor(config=config, objective=objective)
         for batch in batches:
             rows = []
-            for body in batch[body_col]:
+            types = batch[content_type_col] if content_type_col else None
+            for i, body in enumerate(batch[body_col]):
                 if body is None:
                     continue
-                for item in processor.extract(content_type, body):
+                row_type = types.iloc[i] if types is not None else None
+                for item in processor.extract(row_type or content_type, body):
                     rows.append({"properties": encode_properties(item)})
             yield pd.DataFrame(rows, columns=["properties"])
 
