@@ -48,7 +48,17 @@ RESPONSE_SCHEMA = T.StructType(REQUEST_SCHEMA.fields + [
     T.StructField("body", T.StringType(), True),
     T.StructField("fetched_at", T.TimestampType(), True),
     T.StructField("purge_at", T.TimestampType(), True),
+    # Signature of the continuation-chain head this row was fetched
+    # under (== own signature outside a chain walk). Lets a warm replay
+    # recover a whole cached chain with ONE relational lookup instead of
+    # one driver round per page.
+    T.StructField("chain", T.StringType(), True),
 ])
+
+# Optional per-row page-budget column on a request frame (continuation
+# chains resumed mid-way carry their remaining budget so the worker
+# never fetches past the chain's continuation_limit).
+BUDGET_COL = "__budget"
 
 # Error statuses mirroring the reference's conventions
 # (http/generic.py: 496 SSL, 502 connection, 504 timeout, 600 unicode).
@@ -111,6 +121,11 @@ class ResourceCache:
             # absent or still-empty cache directory (no committed parquet)
             return self.spark.createDataFrame([], RESPONSE_SCHEMA)
         df = self.spark.read.parquet(self.path)
+        # Forward-compat: caches written before the chain column existed
+        # read back with chain = own signature.
+        if "chain" not in df.columns:
+            df = df.withColumn("chain", F.col("signature"))
+        df = df.select([f.name for f in RESPONSE_SCHEMA.fields])
         # TTL purge predicate (reference: purge_at checked on every
         # validate_request, resources/base.py:47-53).
         return df.where(F.col("purge_at").isNull() | (F.col("purge_at") > F.current_timestamp()))
@@ -162,6 +177,12 @@ def _fetch_worker(
             rows = []
             for rec in batch.to_dict("records"):
                 req = {k: rec.get(k) for k in ("signature", "method", "url", "headers", "data")}
+                head_sig = req["signature"]
+                # A resumed chain carries its remaining page budget so the
+                # walk never overshoots the caller's continuation_limit.
+                budget = rec.get(BUDGET_COL)
+                page_cap = follow_limit if budget is None or pd.isna(budget) \
+                    else min(follow_limit, int(budget))
                 pages = 0
                 while req is not None:
                     headers = json.loads(req["headers"]) if req.get("headers") else {}
@@ -183,12 +204,13 @@ def _fetch_worker(
                         "fetched_at": now,
                         "purge_at": (now + pd.Timedelta(seconds=purge_after_seconds))
                         if purge_after_seconds else None,
+                        "chain": head_sig,
                     }
                     rows.append(row)
                     if interval_duration:
                         time.sleep(interval_duration / 1000.0)
                     pages += 1
-                    if follow_fn is None or pages >= follow_limit:
+                    if follow_fn is None or pages >= page_cap:
                         break
                     req = follow_fn(row)
             yield pd.DataFrame(rows, columns=[f.name for f in RESPONSE_SCHEMA.fields])
@@ -219,12 +241,22 @@ def fetch(
     downstream stages re-read parquet instead of re-firing transports.
     """
     spark = requests_df.sparkSession
+    req_fields = [f.name for f in REQUEST_SCHEMA.fields]
     # Persist: the request frame is consumed by the hit-join, the miss
     # anti-join, the fetch worker and the final semi-join — without a
     # persist each consumer re-runs the (often Python) request-building
     # lineage. Small frame by construction (requests, not payloads).
-    requests_df = requests_df.select([f.name for f in REQUEST_SCHEMA.fields]) \
-        .dropDuplicates(["signature"]).persist()
+    if BUDGET_COL in requests_df.columns:
+        # Converging chains may reach one signature with different
+        # remaining budgets — the generous one wins (never undershoots;
+        # the walk still caps at follow's limit).
+        requests_df = requests_df.select(req_fields + [BUDGET_COL]).groupBy("signature").agg(
+            *[F.first(f).alias(f) for f in req_fields if f != "signature"],
+            F.max(BUDGET_COL).alias(BUDGET_COL),
+        ).persist()
+    else:
+        requests_df = requests_df.select(req_fields) \
+            .dropDuplicates(["signature"]).persist()
     try:
         # Only SUCCESSFUL cached responses count as hits (reference
         # generic.py:133-135: a cached resource is returned only when

@@ -15,8 +15,9 @@ from urllib.parse import urlencode
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from datagrowth_spark.sources.cache import REQUEST_SCHEMA, ResourceCache, fetch
+from datagrowth_spark.sources.cache import BUDGET_COL, REQUEST_SCHEMA, ResourceCache, fetch
 from datagrowth_spark.sources.signatures import http_signature, shell_signature
 
 
@@ -69,6 +70,35 @@ def requests_to_df(spark: SparkSession, requests: list[dict]) -> DataFrame:
     return spark.createDataFrame(rows, REQUEST_SCHEMA)
 
 
+_EDGE_SCHEMA = T.StructType([
+    T.StructField("signature", T.StringType()),
+    T.StructField("next", T.StringType()),  # JSON request dict or null
+])
+
+
+def _edges_of(responses: DataFrame,
+              next_request: Callable[[dict], dict | None]) -> list[tuple[str, dict | None]]:
+    """Apply the pagination contract to response rows EXECUTOR-side and
+    collect only the (signature → next request) edges — page bodies never
+    cross the driver."""
+
+    def run(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for rec in batch.to_dict("records"):
+                nxt = next_request(rec)
+                rows.append({"signature": rec["signature"],
+                             "next": None if nxt is None else json.dumps(nxt)})
+            yield pd.DataFrame(rows, columns=["signature", "next"])
+
+    return [
+        (r["signature"], json.loads(r["next"]) if r["next"] else None)
+        for r in responses.mapInPandas(run, schema=_EDGE_SCHEMA).collect()
+    ]
+
+
 def paginated_fetch(
     spark: SparkSession,
     cache: ResourceCache,
@@ -81,18 +111,23 @@ def paginated_fetch(
 
     ``next_request(response_row) -> request | None`` implements the
     source's pagination contract (the reference's ``next_parameters``,
-    http/generic.py:471-506). Pages are fetched breadth-first: every
-    link's page-N requests go out as ONE set-oriented fetch (partition
-    parallel), then the loop advances — the driver loop is O(pages),
-    never O(links).
+    http/generic.py:471-506).
 
-    Execution shape: cache-MISS chains are walked entirely inside the
-    fetch worker (``fetch(follow=...)`` — pages of one link are serial
-    anyway, links fan out across partitions), so the cold path costs ONE
-    distributed fetch round regardless of page depth. The driver then
-    walks every chain through the returned pages and only issues extra
-    rounds for pages it has not seen — on a warm cache those rounds are
-    hit-only joins with no transport.
+    Execution shape — O(1) driver rounds for both the cold and the
+    fully-cached path:
+
+    * cache-MISS chains are walked entirely inside the fetch worker
+      (``fetch(follow=...)``): pages of one link are serial anyway,
+      links fan out across partitions, and every page row is stamped
+      with its chain-head signature;
+    * the driver then GATHERS all cached rows whose ``chain`` (or own
+      signature) matches the frontier in one relational pass, applies
+      ``next_request`` executor-side, and collects only the tiny
+      (signature → next) edge list — never page bodies;
+    * chains are re-walked over the edge dict; only genuinely missing
+      pages (mid-chain misses, chain segments cached under another
+      head) seed another round, each carrying its REMAINING page budget
+      so resumed walks never overshoot ``continuation_limit``.
 
     Returns the responses for every page reached within the limit, as
     ONE semi-join of the final cache state against the full signature
@@ -102,42 +137,68 @@ def paginated_fetch(
     parquet file listing).
     """
     limit = max(continuation_limit, 1)
-    collected: dict[str, dict] = {}
+    if not requests:
+        return cache.latest().limit(0)
 
-    def fetch_round(reqs: list[dict]) -> None:
-        follow = (next_request, limit) if next_request is not None else None
-        responses = fetch(requests_to_df(spark, reqs), cache, follow=follow, **fetch_kwargs)
-        for row in responses.collect():
-            collected[row["signature"]] = row.asDict()
-
-    fetch_round(requests)
+    edges: dict[str, dict | None] = {}   # sig -> next request (None = chain end)
+    known: set[str] = set()              # sigs with a resolved cache row
     result_sigs: set[str] = set()
-    # (cursor signature, pages consumed up to and including it) per chain
-    pending = [(r["signature"], 1) for r in requests]
+    # One cursor per chain: (current request dict, pages consumed incl. cursor)
+    cursors: list[tuple[dict, int]] = [(dict(r), 1) for r in requests]
+
+    def gather(frontier_sigs: list[str]) -> None:
+        """Resolve every cached row reachable by chain-head or signature
+        and fold its pagination edge into the driver dict."""
+        sig_frame = spark.createDataFrame([(s,) for s in frontier_sigs], "s string")
+        latest = cache.latest()
+        rows = (
+            latest.join(F.broadcast(sig_frame), latest["chain"] == sig_frame["s"], "left_semi")
+            .unionByName(
+                latest.join(F.broadcast(sig_frame), latest["signature"] == sig_frame["s"],
+                            "left_semi"))
+            .dropDuplicates(["signature"])
+        )
+        if next_request is None:
+            resolved = [(r["signature"], None) for r in rows.select("signature").collect()]
+        else:
+            resolved = _edges_of(rows, next_request)
+        for sig, nxt in resolved:
+            known.add(sig)
+            edges[sig] = nxt
+
     for _round in range(limit + 1):
-        if not pending:
-            break
-        frontier: dict[str, dict] = {}
-        resumed: list[tuple[str, int]] = []
-        for sig, pages in pending:
-            row = collected.get(sig)
-            if row is None:  # transport produced no row (defensive)
-                continue
-            result_sigs.add(sig)
-            while next_request is not None and pages < limit:
-                nxt = next_request(row)
-                if nxt is None:
+        frontier = {req["signature"]: (req, limit - pages + 1) for req, pages in cursors
+                    if req["signature"] not in known}
+        if frontier:
+            follow = (next_request, limit) if next_request is not None else None
+            reqs_df = requests_to_df(spark, [req for req, _ in frontier.values()])
+            budgets = spark.createDataFrame(
+                [(sig, budget) for sig, (_, budget) in frontier.items()],
+                f"signature string, {BUDGET_COL} int")
+            fetch(reqs_df.join(budgets, "signature"), cache, follow=follow,
+                  **fetch_kwargs).count()  # materialize: pages land in the cache
+            gather(list(frontier))
+        # Walk every chain as far as the edge dict reaches.
+        advanced: list[tuple[dict, int]] = []
+        progress = False
+        for req, pages in cursors:
+            while True:
+                sig = req["signature"]
+                if sig not in known:
+                    break  # still missing (e.g. transport yielded no row)
+                if sig not in result_sigs:
+                    result_sigs.add(sig)
+                    progress = True
+                nxt = edges.get(sig)
+                if nxt is None or pages >= limit:
+                    req = None
                     break
-                sig, pages = nxt["signature"], pages + 1
-                row = collected.get(sig)
-                if row is None:
-                    frontier[sig] = nxt
-                    resumed.append((sig, pages))
-                    break
-                result_sigs.add(sig)
-        if not frontier:
-            break
-        fetch_round(list(frontier.values()))
-        pending = resumed
+                req, pages = nxt, pages + 1
+            if req is not None:
+                advanced.append((req, pages))
+        cursors = advanced
+        if not cursors or (frontier and not progress):
+            break  # done, or the source stopped yielding rows (defensive)
+
     sigs = spark.createDataFrame([(s,) for s in result_sigs], "signature string")
     return cache.latest().join(sigs, "signature", "left_semi")

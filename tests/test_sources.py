@@ -196,6 +196,77 @@ class TestPagination:
         assert out.count() == 4
         assert len(rounds) == 1  # all 4 pages in a single distributed round
 
+    def test_warm_chain_costs_one_round_and_no_transport(self, spark, tmp_path, monkeypatch):
+        """Fully-cached chains replay as ONE relational round: page rows
+        are stamped with their chain-head signature, so the gather pass
+        recovers the whole chain without per-page driver rounds — and
+        without firing a single transport."""
+        import datagrowth_spark.sources.http as http_mod
+
+        def next_request(response):
+            body = json.loads(response["body"])
+            if body.get("next_page") is not None:
+                return http_request("http://mockapi/entities", params={"page": body["next_page"]})
+            return None
+
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        first = [http_request("http://mockapi/entities", params={"page": 0})]
+        paginated_fetch(spark, cache, first, next_request,
+                        continuation_limit=10, transport=mock_api_transport).count()
+
+        rounds = []
+        real_fetch = http_mod.fetch
+
+        def counting_fetch(*a, **k):
+            rounds.append(1)
+            return real_fetch(*a, **k)
+
+        monkeypatch.setattr(http_mod, "fetch", counting_fetch)
+        transport_log = str(tmp_path / "transports.log")
+
+        def logging_transport(method, url, headers, data, _log=transport_log):
+            with open(_log, "a") as fh:
+                fh.write(url + "\n")
+            return mock_api_transport(method, url, headers, data)
+
+        out = paginated_fetch(spark, cache, first, next_request,
+                              continuation_limit=10, transport=logging_transport)
+        assert out.count() == 4
+        assert len(rounds) == 1  # one hit-only fetch + one gather, no page loop
+        assert not os.path.exists(transport_log)  # zero live requests
+
+    def test_resumed_chain_respects_remaining_budget(self, spark, tmp_path):
+        """A chain resumed mid-way carries its REMAINING page budget into
+        the worker: head pages warm, page 3 cold, continuation_limit=3
+        must fetch exactly one live page — not walk `limit` more pages
+        past the cap (politeness/cost contract)."""
+
+        def next_request(response):
+            body = json.loads(response["body"])
+            if body.get("next_page") is not None:
+                return http_request("http://mockapi/entities", params={"page": body["next_page"]})
+            return None
+
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        first = [http_request("http://mockapi/entities", params={"page": 0})]
+        # Prime pages 0-1 only.
+        paginated_fetch(spark, cache, first, next_request,
+                        continuation_limit=2, transport=mock_api_transport).count()
+
+        transport_log = str(tmp_path / "transports.log")
+
+        def logging_transport(method, url, headers, data, _log=transport_log):
+            with open(_log, "a") as fh:
+                fh.write(url + "\n")
+            return mock_api_transport(method, url, headers, data)
+
+        out = paginated_fetch(spark, cache, first, next_request,
+                              continuation_limit=3, transport=logging_transport)
+        assert out.count() == 3  # pages 0, 1, 2 — capped at the limit
+        with open(transport_log) as fh:
+            lines = fh.readlines()
+        assert len(lines) == 1 and "page=2" in lines[0]  # page 3 never requested
+
     def test_coalesced_requests(self):
         reqs = coalesced_requests("http://mockapi/bulk/{}", ["a", "b", "c", "d", "e"],
                                   concat_size=2, concat_symbol="|")
