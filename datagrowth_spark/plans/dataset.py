@@ -193,12 +193,8 @@ class DatasetWarehouse:
         self.write_meta(dataset, meta)
 
         collection = self.load_collection(dataset, version)
-        if strategy == GrowthStrategy.REVISE and len(collection) and hasattr(dataset, "weed_document"):
-            keep = [c for c in collection.content() if not dataset.weed_document(c)]
-            weeded = Collection(self.spark, name=collection.name,
-                                identifier=collection.identifier, referee=collection.referee)
-            weeded.add([{k: v for k, v in c.items() if k != "_id"} for c in keep])
-            collection = weeded
+        if strategy == GrowthStrategy.REVISE:
+            collection = self._revise_collection(dataset, collection)
 
         try:
             if seed_collection is not None:
@@ -224,6 +220,83 @@ class DatasetWarehouse:
             entry["is_current"] = True
         self.write_meta(dataset, meta)
         return entry
+
+    def _revise_collection(self, dataset: Dataset, collection: Collection) -> Collection:
+        """Prepare a cloned version for regrow — relationally, documents
+        kept intact (reference dataset.py:180-210):
+
+        * weeded documents are anti-joined out (``weed_document`` runs
+          Arrow-batched over content dicts, producing only an identity
+          mask — the corpus never crosses the driver);
+        * failed document tasks are invalidated: their ``task_results``
+          entry and ``derivatives`` phase drop so the task DAG re-runs
+          them (storage.py:119-128);
+        * documents with any missing-or-failed task get
+          ``pending_at=now, finished_at=NULL`` (prepare_processing,
+          storage.py:130-134); fully-successful documents keep their
+          bookkeeping untouched.
+        """
+        df = collection.df
+
+        # Weed only when the dataset actually overrides the predicate —
+        # the default keeps everything and costs nothing.
+        if type(dataset).weed_document is not Dataset.weed_document:
+            weed_fn = dataset.weed_document
+            mask_schema = "identity string, weed boolean"
+
+            def mask(batches):
+                import pandas as pd
+
+                from datagrowth_spark.datatypes.document import document_content
+
+                for batch in batches:
+                    rows = []
+                    for rec in batch.to_dict("records"):
+                        rows.append({"identity": rec.get("identity"),
+                                     "weed": bool(weed_fn(document_content(rec)))})
+                    yield pd.DataFrame(rows, columns=["identity", "weed"])
+
+            weeded = (
+                df.select("identity", "properties", "derivatives")
+                .mapInPandas(mask, schema=mask_schema)
+                .where(F.col("weed") & F.col("identity").isNotNull())
+                .select("identity")
+            )
+            df = df.join(weeded, "identity", "left_anti")
+
+        tasks = list(dataset.DOCUMENT_TASKS)
+        if tasks:
+            names = F.array(*[F.lit(n) for n in tasks])
+            ok = lambda v: F.get_json_object(v, "$.success").cast("boolean") == F.lit(True)  # noqa: E731
+            results = F.coalesce(F.col("task_results"),
+                                 F.from_json(F.lit("{}"), "map<string,string>"))
+            # Invalidate failed results (keep entries that either aren't
+            # declared tasks or succeeded).
+            new_results = F.map_filter(
+                results, lambda k, v: ~F.array_contains(names, k) | ok(v))
+            # Drop the derivative phase of every invalidated task.
+            invalidated = lambda k: (F.array_contains(names, k)  # noqa: E731
+                                     & results[k].isNotNull() & ~ok(results[k]))
+            new_derivatives = F.when(
+                F.col("derivatives").isNotNull(),
+                F.map_filter(F.col("derivatives"), lambda k, v: ~invalidated(k)),
+            ).otherwise(F.col("derivatives"))
+            # prepare_processing for any document with work left to do.
+            needs = F.lit(False)
+            for name in tasks:
+                success = task_result_success(results, name)
+                needs = needs | success.isNull() | (success == F.lit(False))
+            df = (
+                df.withColumn("pending_at",
+                              F.when(needs, F.current_timestamp()).otherwise(F.col("pending_at")))
+                .withColumn("finished_at",
+                            F.when(needs, F.lit(None).cast("timestamp"))
+                            .otherwise(F.col("finished_at")))
+                .withColumn("derivatives", new_derivatives)
+                .withColumn("task_results", new_results)
+            )
+        collection._df = df
+        return collection
 
     def _clone_version(self, dataset: Dataset, src: int, dst: int) -> None:
         src_dir = self._version_dir(dataset, src)

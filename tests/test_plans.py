@@ -277,6 +277,49 @@ class TestDatasetVersioning:
         coll = warehouse.load_collection(ds, 2)
         assert len(coll) == 6  # 5 cloned + 1 new
 
+    def test_revise_keeps_documents_and_invalidates_failed_tasks(self, spark, tmp_path, warehouse):
+        """REVISE prepares the clone relationally (reference
+        dataset.py:180-210): weeded docs anti-joined out, documents kept
+        INTACT ('_'-keys, derivatives, bookkeeping survive), failed task
+        results + their derivative phases invalidated, missing/failed
+        docs re-flagged pending."""
+
+        class WeedingDataset(EntityDataset):
+            NAME = "weeding"
+
+            def weed_document(self, content):
+                return content.get("name") == "drop me"
+
+        ds = WeedingDataset({})
+        coll = Collection(spark, name="main", identifier="id")
+        coll.add([
+            {"id": 1, "name": "long enough name", "_secret": "s1"},
+            {"id": 2, "name": "shrt", "_secret": "s2"},
+            {"id": 3, "name": "drop me"},
+        ])
+        coll._df = _mark_long_names(coll.df, F.lit(True), "check_name")
+        coll._df = coll.df.withColumn(
+            "derivatives",
+            F.create_map(
+                F.lit("check_name"), F.create_map(F.lit("d"), F.lit('"1"')),
+                F.lit("other"), F.create_map(F.lit("x"), F.lit('"2"')),
+            ),
+        ).withColumn("finished_at", F.current_timestamp())
+
+        revised = warehouse._revise_collection(ds, coll)
+        rows = {r["identity"]: r for r in revised.df.collect()}
+        assert set(rows) == {"1", "2"}  # id 3 weeded, others kept intact
+        assert json.loads(rows["1"]["properties"]["_secret"]) == "s1"  # '_' keys survive
+        assert json.loads(rows["2"]["properties"]["_secret"]) == "s2"
+        # success kept, failure invalidated (result + derivative phase)
+        assert "check_name" in rows["1"]["task_results"]
+        assert "check_name" not in rows["2"]["task_results"]
+        assert set(rows["1"]["derivatives"]) == {"check_name", "other"}
+        assert set(rows["2"]["derivatives"]) == {"other"}
+        # prepare_processing only where work remains
+        assert rows["2"]["pending_at"] is not None and rows["2"]["finished_at"] is None
+        assert rows["1"]["pending_at"] is None and rows["1"]["finished_at"] is not None
+
     def test_freeze_strategy_raises_after_complete(self, spark, tmp_path, warehouse):
         ds = EntityDataset({"s": "freeze"})
         warehouse.grow(ds, self.seeder(spark, tmp_path), strategy=GrowthStrategy.FREEZE)
