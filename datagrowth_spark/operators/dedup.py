@@ -235,18 +235,51 @@ def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                       bits: int = 32, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs whose SimHash hamming distance ≤ max_hamming.
 
-    Blocked on the top half of the signature (documents differing only
-    in low bits still collide), then verified with bit_count(xor) —
-    avoids the full cross join.
+    Pigeonhole banding (full recall): the signature splits into
+    ``max_hamming + 1`` bit blocks, so any pair within the hamming
+    budget is IDENTICAL in at least one block. Candidates are the union
+    of per-block equi-joins (one shuffle keyed on (block_idx, value)),
+    deduped, then verified with bit_count(xor) — never a cross join,
+    and never the half-signature heuristic that silently drops pairs
+    whose differing bits land in the blocked half.
+
+    Scale note: a degenerate block value (e.g. all-zero signatures from
+    empty documents) concentrates its candidates in one key, exactly
+    like a hot shingle — pre-filter empty/boilerplate docs or lower
+    max_hamming if a block key grows pathological.
     """
     sig = simhash_signatures(df, text_col, id_col, bits)
-    block = F.shiftright(F.col("simhash"), bits // 2)
-    blocked = sig.withColumn("block", block)
-    a = blocked.alias("a")
-    b = blocked.alias("b")
+    return simhash_pairs_from_signatures(sig, bits=bits, max_hamming=max_hamming)
+
+
+def simhash_pairs_from_signatures(sig: DataFrame, bits: int = 32,
+                                  max_hamming: int = 3) -> DataFrame:
+    """Pair finding over an (id, simhash) frame — split out so recall can
+    be verified against adversarial signatures directly."""
+    nblocks = max_hamming + 1
+    base, extra = divmod(bits, nblocks)
+    blocks = []
+    offset = 0
+    for i in range(nblocks):
+        width = base + (1 if i < extra else 0)
+        blocks.append(F.struct(
+            F.lit(i).alias("bi"),
+            F.shiftright(F.col("simhash"), offset)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("bv"),
+        ))
+        offset += width
+    exploded = sig.select(
+        "id", "simhash", F.explode(F.array(*blocks)).alias("blk")
+    ).select("id", "simhash", F.col("blk.bi").alias("bi"), F.col("blk.bv").alias("bv"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
+        a.join(b, (F.col("a.bi") == F.col("b.bi")) & (F.col("a.bv") == F.col("b.bv"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("__sa"), F.col("b.simhash").alias("__sb"))
+        .dropDuplicates(["id_a", "id_b"])  # a pair may agree in several blocks
+        .withColumn("hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))))
         .where(F.col("hamming") <= max_hamming)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+        .select("id_a", "id_b", "hamming")
     )

@@ -889,6 +889,27 @@ FROM m
 """
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (hamming ≤ 3) via pigeonhole banding: the
+    32-bit signature splits into 4 blocks, candidates are per-block
+    equi-joins, verified with bit_count(xor). The oracle is the
+    EXHAUSTIVE O(n²) SQL self-join, so a hash-match proves the banding
+    loses no pairs (full recall)."""
+    return DD.simhash_dup_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                                max_hamming=3) \
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    return f"""
+WITH sigs AS ({_simhash_sql()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1310,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "similarity_topk": q_similarity_topk,
         "similarity_topk_ivf": q_similarity_topk_ivf,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1355,6 +1377,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_simhash": _simhash_sql(),
+        "dedup_simhash_pairs": _simhash_pairs_sql(),
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "similarity_topk_ivf": SQL_SIMILARITY_TOPK_IVF,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,

@@ -162,3 +162,40 @@ def test_prop_col_matches_reach_on_generated_corpus(spark):
         for i, path in enumerate(paths):
             assert row[f"c{i}"] == as_json_string(reach(path, payload)), (
                 f"path {path} over {payload}")
+
+
+def test_simhash_banding_full_recall_on_adversarial_signatures(spark):
+    """Pigeonhole banding recall: EVERY pair within the hamming budget is
+    found, regardless of WHICH bits differ — including pairs whose
+    differing bits all sit in the high half (the case a top-half-only
+    blocking scheme silently drops). Verified against the exhaustive
+    O(n²) answer on seeded random signatures plus adversarial flips."""
+    from datagrowth_spark.operators.dedup import simhash_pairs_from_signatures
+
+    rng = random.Random(11)
+    bits, max_hamming = 32, 3
+    sigs = []
+    base_ids = []
+    for i in range(40):
+        sigs.append((2 * i, rng.getrandbits(bits)))
+        base_ids.append(2 * i)
+    # One partner per base, flipping 1..max_hamming bits biased to the
+    # HIGH half so every block boundary gets exercised.
+    for i, base in enumerate(base_ids):
+        flips = rng.sample(range(16, 32), k=(i % max_hamming) + 1) if i % 2 \
+            else rng.sample(range(32), k=(i % max_hamming) + 1)
+        partner = sigs[i][1]
+        for b in flips:
+            partner ^= 1 << b
+        sigs.append((base + 1, partner))
+    df = spark.createDataFrame(sigs, "id long, simhash long")
+
+    found = {(r["id_a"], r["id_b"], r["hamming"])
+             for r in simhash_pairs_from_signatures(df, bits, max_hamming).collect()}
+    expected = set()
+    for (ia, sa) in sigs:
+        for (ib, sb) in sigs:
+            if ia < ib and bin(sa ^ sb).count("1") <= max_hamming:
+                expected.add((ia, ib, bin(sa ^ sb).count("1")))
+    assert found == expected
+    assert len(expected) >= 40  # every constructed partner pair present
