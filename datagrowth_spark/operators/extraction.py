@@ -27,6 +27,7 @@ optional dependency.
 from __future__ import annotations
 
 import json
+from types import GeneratorType
 from typing import Any, Callable, Iterator
 
 from pyspark.sql import DataFrame
@@ -42,6 +43,10 @@ try:
     HAS_BS4 = True
 except ImportError:
     HAS_BS4 = False
+
+
+class DGNoContent(Exception):
+    """The '@' path resolved to nothing (reference exceptions.py DGNoContent)."""
 
 
 def is_json_mimetype(mimetype: str) -> bool:
@@ -105,8 +110,15 @@ class ExtractProcessor:
                 nodes = list(nodes.values())
             else:
                 nodes = [nodes]
-        if nodes is None:
-            return
+        elif nodes is None:
+            # Mirrors reference extraction.py:145-146 — a resolved-but-
+            # empty '@' is a content error, not a silent zero-row page.
+            raise DGNoContent(f"Found no nodes at {self._at}")
+        elif not isinstance(nodes, (list, GeneratorType)):
+            # Scalar/string nodes wrap as a single-element list
+            # (extraction.py:147-148) — iterating a string directly would
+            # yield one garbage row per character.
+            nodes = [nodes]
         for node in nodes:
             row = {k: self._eval(v, node) for k, v in self._objective.items()}
             row.update(context)
@@ -175,8 +187,14 @@ def extract_df(df: DataFrame, body_col: str, objective: dict,
                 if body is None:
                     continue
                 row_type = types.iloc[i] if types is not None else None
-                for item in processor.extract(row_type or content_type, body):
-                    rows.append({"properties": encode_properties(item)})
+                try:
+                    for item in processor.extract(row_type or content_type, body):
+                        rows.append({"properties": encode_properties(item)})
+                except DGNoContent:
+                    # One contentless body is that row's problem, not the
+                    # task's — callers of the pure-Python API see the raise,
+                    # the distributed flat-map skips the row.
+                    continue
             yield pd.DataFrame(rows, columns=["properties"])
 
     return df.mapInPandas(run, schema=_EXTRACT_OUT_SCHEMA)

@@ -53,7 +53,7 @@ from pyspark.sql import types as T
 
 from datagrowth_spark.datatypes.collection import Collection
 from datagrowth_spark.datatypes.document import document_content, task_result_success
-from datagrowth_spark.operators.extraction import ExtractProcessor
+from datagrowth_spark.operators.extraction import DGNoContent, ExtractProcessor
 from datagrowth_spark.sources.cache import REQUEST_SCHEMA, ResourceCache, fetch
 
 _REQ_WITH_ID = T.StructType(
@@ -213,7 +213,10 @@ class GrowthProcessor:
                     ok = status is not None and 200 <= status < 300
                     contribution = encoded = None
                     if ok and rec["body"]:
-                        extracted = list(processor.extract("application/json", rec["body"]))
+                        try:
+                            extracted = list(processor.extract("application/json", rec["body"]))
+                        except DGNoContent:
+                            extracted = []
                         if extracted:
                             value = extracted[0] if reduce_mode == "first" else extracted
                             if not isinstance(value, dict):

@@ -71,6 +71,20 @@ class TestPurePython:
         with pytest.raises(TypeError):
             list(processor.extract("application/pdf", "x"))
 
+    def test_scalar_at_node_wraps(self):
+        # A '@' resolving to a string yields ONE row, not one per char
+        # (reference extraction.py:147-148 wraps non-list nodes).
+        processor = ExtractProcessor(
+            objective={"@": "$.meta.source", "v": lambda node: node})
+        assert list(processor.application_json(MOCK_JSON)) == [{"v": "unit"}]
+
+    def test_missing_at_raises_no_content(self):
+        from datagrowth_spark.operators.extraction import DGNoContent
+
+        processor = ExtractProcessor(objective={"@": "$.nope", "v": "$.v"})
+        with pytest.raises(DGNoContent):
+            list(processor.application_json(MOCK_JSON))
+
     def test_mimetype_helper(self):
         assert is_json_mimetype("application/json")
         assert is_json_mimetype("application/vnd.api+json")
@@ -84,6 +98,15 @@ class TestDataFrameOps:
         props = [decode_properties(r["properties"]) for r in out]
         assert props[0] == {"id": 1, "title": "alpha", "first_tag": "x", "total": 2}
         assert len(props) == 2
+
+    def test_extract_df_skips_contentless_rows(self, spark):
+        # A body whose '@' path is missing raises DGNoContent in the pure
+        # API; the distributed flat-map drops that row and keeps the task.
+        bodies = spark.createDataFrame(
+            [(json.dumps(MOCK_JSON),), (json.dumps({"other": 1}),), (None,)],
+            "body string")
+        out = extract_df(bodies, "body", OBJECTIVE).collect()
+        assert len(out) == 2
 
     def test_extract_typed_df_stays_jvm_side(self, spark):
         bodies = spark.createDataFrame([(json.dumps(MOCK_JSON),)] * 3, "body string")
