@@ -87,13 +87,16 @@ class Collection:
         feed straight into add/update; missing document columns become
         NULLs of the right type.
         """
-        cols = []
-        for field in DOCUMENT_SCHEMA.fields:
-            if field.name in df.columns:
-                cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
-            else:
-                cols.append(F.lit(None).cast(field.dataType).alias(field.name))
-        return df.select(*cols)
+        return df.select(*self._conform_cols(df))
+
+    @staticmethod
+    def _conform_cols(df: DataFrame) -> list[F.Column]:
+        return [
+            F.col(field.name).cast(field.dataType).alias(field.name)
+            if field.name in df.columns
+            else F.lit(None).cast(field.dataType).alias(field.name)
+            for field in DOCUMENT_SCHEMA.fields
+        ]
 
     def influence(self, df: DataFrame) -> DataFrame:
         """Derive identity/reference columns from the configured paths.
@@ -125,21 +128,29 @@ class Collection:
         return self
 
     def update(self, data: Iterable[dict[str, Any]] | DataFrame, by_property: str,
-               batch_size: int = 32) -> "Collection":
+               batch_size: int = 32, sequence: str | None = None) -> "Collection":
         """Upsert by property value (C2, collection.py:186-269).
 
         Incoming records are keyed by ``by_property``; matching target
         documents get a shallow dict-merge of properties (incoming keys
         win — Document.update semantics); records with no match insert as
         new documents. One keyed join + one anti-join, no driver loop.
+
+        Ordering contract: when the same key appears more than once in the
+        batch, the LAST occurrence wins. For list/iterator input that is
+        list order (deterministic — the driver assigns positions before
+        parallelizing). For DataFrame input "last" follows partition
+        layout, which is only stable if the frame has a defined order —
+        pass ``sequence`` naming a monotonic column (ingest timestamp,
+        offset) to make the winner explicit.
         """
         updates = data if isinstance(data, DataFrame) else self._rows_from_dicts(data)
-        updates = self._conform(updates)
+        seq = (F.col(sequence) if sequence else F.monotonically_increasing_id()).alias("__seq")
+        updates = updates.select(*self._conform_cols(updates), seq)
         key = prop_col("properties", f"$.{by_property}")
         # Last occurrence wins within the incoming batch.
         updates = (
             updates.withColumn("__key", key)
-            .withColumn("__seq", F.monotonically_increasing_id())
             .withColumn(
                 "__rn",
                 F.row_number().over(Window.partitionBy("__key").orderBy(F.desc("__seq"))),
@@ -200,18 +211,36 @@ class Collection:
             return [[output_from_content(c, spec) for c in contents] for spec in args[0]]
         return [output_from_content(c, *args) for c in contents]
 
-    def group_by(self, key: str) -> dict[Any, list[dict[str, Any]]]:
-        """Group documents into {value: [content]} (C5, collection.py:326-342)."""
-        grouped = (
-            self._df.withColumn("__key", prop_col("properties", f"$.{key}"))
-            .groupBy("__key")
-            .agg(F.collect_list(F.struct(*self._df.columns)).alias("docs"))
-            .collect()
+    def group_by_df(self, key: str) -> DataFrame:
+        """Distributed ``group_by`` (C5): one row per key value, members as
+        an array of document structs — the pipeline form, nothing touches
+        the driver. One shuffle; a heavily-skewed key concentrates its
+        members in one task, which is inherent to the grouped-array
+        semantics — aggregate over ``group_by_key`` instead when the
+        per-group document list isn't actually needed.
+        """
+        return (
+            self._df.withColumn("group_key", prop_col("properties", f"$.{key}"))
+            .groupBy("group_key")
+            .agg(F.collect_list(F.struct(*self._df.columns)).alias("documents"))
         )
+
+    def group_by_key(self, key: str) -> DataFrame:
+        """The documents frame with the group key attached as a real
+        column — feed straight into ``groupBy("group_key").agg(...)`` for
+        scalable (map-side combinable) per-group aggregation."""
+        return self._df.withColumn("group_key", prop_col("properties", f"$.{key}"))
+
+    def group_by(self, key: str) -> dict[Any, list[dict[str, Any]]]:
+        """Group documents into {value: [content]} (C5, collection.py:326-342).
+
+        Driver-side inspection form of :meth:`group_by_df`.
+        """
         out: dict[Any, list[dict[str, Any]]] = {}
-        for row in grouped:
-            value = json.loads(row["__key"]) if _looks_json(row["__key"]) else row["__key"]
-            out[value] = [document_content(d.asDict(recursive=True)) for d in row["docs"]]
+        for row in self.group_by_df(key).collect():
+            raw = row["group_key"]
+            value = json.loads(raw) if _looks_json(raw) else raw
+            out[value] = [document_content(d.asDict(recursive=True)) for d in row["documents"]]
         return out
 
     def split(self, train: float = 0.8, validate: float = 0.1, test: float = 0.1,

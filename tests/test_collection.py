@@ -71,6 +71,24 @@ class TestUpdate:
         assert decode_properties(row["properties"])["word"] == "second"
         assert len(collection) == 3
 
+    def test_update_explicit_sequence_wins(self, spark, collection):
+        # DataFrame input with a sequence column: highest sequence wins
+        # regardless of partition layout.
+        from datagrowth_spark.datatypes.document import encode_properties
+
+        updates = spark.createDataFrame(
+            [
+                (encode_properties({"id": 3, "word": "late"}), 20),
+                (encode_properties({"id": 3, "word": "early"}), 10),
+            ],
+            "properties map<string,string>, ts int",
+        ).repartition(4)
+        collection.update(updates, by_property="id", sequence="ts")
+        row = collection.df.where("identity = '3'").collect()[0]
+        assert decode_properties(row["properties"])["word"] == "late"
+        assert len(collection) == 3
+        assert "ts" not in collection.df.columns
+
 
 class TestContent:
     def test_content_merges_derivatives_first_writer_wins(self):
@@ -99,6 +117,22 @@ class TestGroupBySplitOutput:
         groups = collection.group_by("word")
         assert set(groups) == {"pension", "sion"}
         assert len(groups["pension"]) == 2
+
+    def test_group_by_df_stays_distributed(self, collection):
+        grouped = collection.group_by_df("word")
+        rows = {r["group_key"]: len(r["documents"]) for r in grouped.collect()}
+        assert rows == {"pension": 2, "sion": 1}
+        # No Python stage in the plan — pure Catalyst group/collect_list.
+        plan = grouped._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "mapInPandas" not in plan
+
+    def test_group_by_key_aggregates(self, collection):
+        from pyspark.sql import functions as F
+
+        counts = (collection.group_by_key("word")
+                  .groupBy("group_key").agg(F.count("*").alias("n")))
+        assert {r["group_key"]: r["n"] for r in counts.collect()} == {
+            "pension": 2, "sion": 1}
 
     def test_split_partitions_everything(self, collection):
         train, validate, test = collection.split(0.8, 0.1, 0.1, seed=42)
