@@ -12,12 +12,13 @@ pipeline needs at 100 TB:
   the parquet-friendly layout (metadata columns prune; blobs are only
   read by stages that touch ``content``);
 * decode / resize / feature-extract as Arrow-batched ``mapInPandas``
-  stages — the real codec libraries (PIL, ffmpeg, torchaudio) are not
-  in this container, so the byte→pixels step is a clearly-marked
-  DETERMINISTIC FAKE (documented formulas below) behind a ``codec``
-  switch that raises ``NotImplementedError`` for real codecs; the
-  Spark-side plumbing (schema, batching, partitioning) is real and is
-  what the tests/oracles verify;
+  stages behind a ``codec`` switch: ``pil`` drives real Pillow when it
+  is importable (optional dependency — ffmpeg/torchaudio would slot in
+  the same way), and ``fake`` is a clearly-marked DETERMINISTIC
+  stand-in (documented formulas below) that keeps every query
+  oracle-checkable in environments without codec libraries; the
+  Spark-side plumbing (schema, batching, partitioning) is identical on
+  both paths and is what the tests/oracles verify;
 * video frame sampling as a pure JVM-side explode of binary slices —
   no Python in that hot path at all.
 
@@ -96,15 +97,108 @@ def synthesize_media(
     )
 
 
-def _check_codec(codec: str) -> None:
+class _FakeCodec:
+    """Deterministic byte-arithmetic stand-in (formulas in the module
+    docstring, mirrored by the SQL oracles)."""
+
+    @staticmethod
+    def decode(b: bytes) -> tuple[int, int, int, int]:
+        import hashlib
+
+        size = len(b)
+        digest = int(hashlib.md5(bytes(b)).hexdigest()[:8], 16)
+        return 64 + size % 512, 64 + (size * 7) % 512, 3, digest % 256
+
+    @staticmethod
+    def resize(b: bytes, target_w: int, target_h: int) -> bytes:
+        return bytes(b)[: target_w * target_h]
+
+    @staticmethod
+    def features(b: bytes, dim: int) -> list[float]:
+        import hashlib
+
+        out: list[float] = []
+        chunk = 0
+        while len(out) < dim:
+            digest = hashlib.md5(bytes(b) + str(chunk).encode()).hexdigest()
+            for i in range(0, 32, 8):
+                if len(out) >= dim:
+                    break
+                out.append(int(digest[i:i + 8], 16) / 2 ** 32)
+            chunk += 1
+        return out
+
+
+class _PilCodec:
+    """Real image codec via Pillow (optional dependency)."""
+
+    @staticmethod
+    def decode(b: bytes) -> tuple[int, int, int, int]:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(bytes(b)))
+        mean = int(np.asarray(img.convert("L"), dtype="float64").mean())
+        return img.width, img.height, len(img.getbands()), mean
+
+    @staticmethod
+    def resize(b: bytes, target_w: int, target_h: int) -> bytes:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(bytes(b)))
+        fmt = img.format or "PNG"
+        buf = io.BytesIO()
+        img.resize((target_w, target_h)).save(buf, format=fmt)
+        return buf.getvalue()
+
+    @staticmethod
+    def features(b: bytes, dim: int) -> list[float]:
+        # Grayscale thumbnail flattened to `dim` values in [0, 1) — the
+        # cheap classical baseline; a learned encoder slots in the same
+        # way (bytes in, fixed-dim floats out).
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(bytes(b))).convert("L")
+        arr = np.asarray(img.resize((dim, 1)), dtype="float64").ravel()
+        return list(arr / 256.0)
+
+
+def _get_codec(codec: str):
+    """Resolve a codec name, failing fast on the driver.
+
+    ``fake`` is always available (deterministic, oracle-checkable);
+    ``pil`` degrades to an ImportError only when Pillow is genuinely
+    missing. The returned object ships to workers inside the closure.
+    """
     if codec == "fake":
-        return
-    # Real codecs would be driven from here with the same mapInPandas
-    # plumbing; the libraries are not available in this environment.
-    raise NotImplementedError(
-        f"codec={codec!r}: real media codecs (PIL/ffmpeg/torchaudio) are not "
-        "installed; only the deterministic 'fake' codec is available"
-    )
+        return _FakeCodec
+    if codec == "pil":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:
+            raise ImportError(
+                "codec='pil' requires Pillow; install it or use codec='fake'"
+            ) from exc
+        return _PilCodec
+    raise ValueError(f"unknown codec {codec!r}; available: 'fake', 'pil'")
+
+
+def available_codec() -> str:
+    """Best codec importable in this environment ('pil' when Pillow is
+    installed, else the deterministic 'fake')."""
+    try:
+        import PIL  # noqa: F401
+
+        return "pil"
+    except ImportError:
+        return "fake"
 
 
 def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
@@ -120,24 +214,19 @@ def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
     Output: DECODED_IMAGE_SCHEMA rows (asset_id, width, height,
     channels, mean_pixel).
     """
-    _check_codec(codec)
+    impl = _get_codec(codec)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import hashlib
-
         import pandas as pd
 
         for batch in batches:
-            size = batch["content"].map(len)
-            digest = batch["content"].map(
-                lambda b: int(hashlib.md5(bytes(b)).hexdigest()[:8], 16)
-            )
+            stats = batch["content"].map(impl.decode)
             yield pd.DataFrame({
                 "asset_id": batch["asset_id"],
-                "width": 64 + size % 512,
-                "height": 64 + (size * 7) % 512,
-                "channels": 3,
-                "mean_pixel": digest % 256,
+                "width": stats.map(lambda s: s[0]),
+                "height": stats.map(lambda s: s[1]),
+                "channels": stats.map(lambda s: s[2]),
+                "mean_pixel": stats.map(lambda s: s[3]),
             })
 
     return df.select("asset_id", "content").mapInPandas(run, DECODED_IMAGE_SCHEMA)
@@ -153,19 +242,18 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
 
     Output: (asset_id, content, media) with media.size_bytes updated.
     """
-    _check_codec(codec)
+    impl = _get_codec(codec)
     out_schema = T.StructType([
         T.StructField("asset_id", T.LongType()),
         T.StructField("content", T.BinaryType()),
         T.StructField("media", MEDIA_META_SCHEMA),
     ])
-    budget = target_w * target_h
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         for batch in batches:
-            resized = batch["content"].map(lambda b: bytes(b)[:budget])
+            resized = batch["content"].map(lambda b: impl.resize(b, target_w, target_h))
             yield pd.DataFrame({
                 "asset_id": batch["asset_id"],
                 "content": resized,
@@ -214,25 +302,11 @@ def media_features(df: DataFrame, dim: int = 8, codec: str = "fake") -> DataFram
 
     Output: (asset_id, features ARRAY<DOUBLE>).
     """
-    _check_codec(codec)
+    impl = _get_codec(codec)
     out_schema = T.StructType([
         T.StructField("asset_id", T.LongType()),
         T.StructField("features", T.ArrayType(T.DoubleType())),
     ])
-
-    def featurize(b: bytes) -> list[float]:
-        import hashlib
-
-        out: list[float] = []
-        chunk = 0
-        while len(out) < dim:
-            digest = hashlib.md5(bytes(b) + str(chunk).encode()).hexdigest()
-            for i in range(0, 32, 8):
-                if len(out) >= dim:
-                    break
-                out.append(int(digest[i:i + 8], 16) / 2 ** 32)
-            chunk += 1
-        return out
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -240,7 +314,7 @@ def media_features(df: DataFrame, dim: int = 8, codec: str = "fake") -> DataFram
         for batch in batches:
             yield pd.DataFrame({
                 "asset_id": batch["asset_id"],
-                "features": batch["content"].map(featurize),
+                "features": batch["content"].map(lambda b: impl.features(b, dim)),
             })
 
     return df.select("asset_id", "content").mapInPandas(run, out_schema)

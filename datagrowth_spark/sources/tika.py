@@ -18,9 +18,11 @@ extracted text joins back onto the document frame by signature. At
 100 TB the binary column stays in the JVM for signature computation;
 only cache *misses* serialize bytes out to the transport worker.
 
-Real Tika (a JVM jar / server) is not in this container, so the default
-transport is an explicit stub; tests inject a deterministic fake. The
-plumbing — signature columns, request building, cache joins — is real.
+Real transports are included (:func:`tika_server_transport` PUTs bytes
+to a running tika-server over stdlib urllib; :func:`tika_shell_transport`
+executes the tika-app jar) and fail at call time if the server/jar is
+absent; the default remains an explicit stub so nothing silently makes
+network calls. Tests inject a deterministic fake.
 """
 
 from __future__ import annotations
@@ -102,13 +104,54 @@ def tika_shell_requests(
     ).dropDuplicates(["signature"])
 
 
+def tika_server_transport(method: str, url: str, headers: dict, data: Any,
+                          timeout: float = 30.0) -> tuple[int, dict, str]:
+    """Real tika-server transport (stdlib urllib — no extra packages).
+
+    Resolves the ``bin://file://<path>`` indirection in the request data
+    (reference ``vendors/apache/tika/resources.py:60-84``) to the file
+    bytes and PUTs them to the tika-server endpoint. Fails with a
+    connection error at call time when no server is running — the plan
+    builds either way; inject a fake transport in tests.
+    """
+    import urllib.error
+    import urllib.request
+
+    payload = json.loads(data) if isinstance(data, str) else (data or {})
+    file_ref = payload.get("file", "")
+    path = file_ref[len("bin://file://"):] if file_ref.startswith("bin://file://") else file_ref
+    with open(path, "rb") as handle:
+        body = handle.read()
+    request = urllib.request.Request(url, data=body, method=method or "PUT",
+                                     headers=headers or {"Accept": "text/plain"})
+    try:
+        with urllib.request.urlopen(request, timeout=timeout) as response:
+            return response.status, dict(response.headers), response.read().decode("utf-8", "replace")
+    except urllib.error.HTTPError as exc:
+        return exc.code, dict(exc.headers or {}), exc.read().decode("utf-8", "replace")
+
+
+def tika_shell_transport(method: str, url: str, headers: dict, data: Any,
+                         timeout: float = 120.0) -> tuple[int, dict, str]:
+    """Real shell transport: runs the ``java -jar tika-app.jar --text``
+    command carried in the request (reference
+    ``resources/shell/apache/tika.py:35-60``). The command is a JSON
+    argv list — executed without a shell, so no quoting surface."""
+    import subprocess
+
+    argv = json.loads(url)
+    proc = subprocess.run(argv, capture_output=True, timeout=timeout, check=False)
+    status = 0 if proc.returncode == 0 else proc.returncode
+    return status, {}, proc.stdout.decode("utf-8", "replace")
+
+
 def stub_tika_transport(method: str, url: str, headers: dict, data: Any) -> tuple[int, dict, str]:
-    """Placeholder transport: real Tika (JVM jar / tika-server) is not
-    available in this environment. Inject a real transport (or a test
-    fake) into :func:`extract_text`."""
+    """Explicit no-Tika-here transport (the safe default): points callers
+    at the real transports above or a test fake."""
     raise NotImplementedError(
-        "Apache Tika is not installed in this environment; pass a transport "
-        "that talks to a tika-server (PUT bytes) or runs the tika-app jar."
+        "No transport configured: pass transport=tika_server_transport "
+        "(running tika-server), transport=tika_shell_transport (tika-app "
+        "jar on disk), or a test fake."
     )
 
 
@@ -120,6 +163,7 @@ def extract_text(
     mode: str = "server",
     transport=stub_tika_transport,
     text_col: str = "text",
+    server_url: str = TIKA_SERVER_URL,
     **fetch_kwargs,
 ) -> DataFrame:
     """Attach Tika-extracted text to a frame of binary documents.
@@ -133,10 +177,12 @@ def extract_text(
     key — so the binary column itself never shuffles: Catalyst prunes
     it out of the request/response side entirely.
     """
-    builder = tika_server_requests if mode == "server" else tika_shell_requests
-    reqs = builder(df, content_col=content_col, path_col=path_col).select(
-        [f.name for f in REQUEST_SCHEMA.fields]
-    )
+    if mode == "server":
+        built = tika_server_requests(df, content_col=content_col,
+                                     path_col=path_col, server_url=server_url)
+    else:
+        built = tika_shell_requests(df, content_col=content_col, path_col=path_col)
+    reqs = built.select([f.name for f in REQUEST_SCHEMA.fields])
     responses = fetch(reqs, cache, transport=transport, **fetch_kwargs)
     ok = F.col("status").isin(0, 200)
     texts = responses.select(

@@ -52,9 +52,42 @@ def test_decode_images_formulas(media):
         assert r.mean_pixel == expected
 
 
-def test_real_codec_raises(media):
-    with pytest.raises(NotImplementedError):
+def test_unknown_codec_raises(media):
+    with pytest.raises(ValueError):
         MM.decode_images(media, codec="pillow")
+
+
+def test_pil_codec_gated_on_import(media):
+    # Pillow is an optional dependency: importable -> real codec runs;
+    # missing -> a clear ImportError at plan-build time, not a worker crash.
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(ImportError, match="Pillow"):
+            MM.decode_images(media, codec="pil")
+        assert MM.available_codec() == "fake"
+    else:
+        assert MM.available_codec() == "pil"
+
+
+def test_pil_codec_roundtrip():
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (10, 4), color=(8, 8, 8)).save(buf, format="PNG")
+    w, h, ch, mean = MM._PilCodec.decode(buf.getvalue())
+    assert (w, h, ch, mean) == (10, 4, 3, 8)
+    resized = MM._PilCodec.resize(buf.getvalue(), 5, 2)
+    assert MM._PilCodec.decode(resized)[:2] == (5, 2)
+    feats = MM._PilCodec.features(buf.getvalue(), 6)
+    assert len(feats) == 6 and all(0.0 <= f < 1.0 for f in feats)
 
 
 def test_resize_truncates_and_recomputes_metadata(media):

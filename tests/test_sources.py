@@ -450,3 +450,53 @@ class TestTika:
         out = extract_text(df, cache, mode="shell", transport=cat_transport)
         rows = {r.doc_id: r for r in out.collect()}
         assert rows["b"].text == "PDFISH beta body" and rows["b"].text_status == 0
+
+    def test_tika_shell_transport_runs_argv(self):
+        import sys
+
+        from datagrowth_spark.sources.tika import tika_shell_transport
+
+        status, _, body = tika_shell_transport(
+            "shell", json.dumps([sys.executable, "-c", "print('extracted text')"]),
+            None, None)
+        assert status == 0 and body.strip() == "extracted text"
+        status, _, _ = tika_shell_transport(
+            "shell", json.dumps([sys.executable, "-c", "raise SystemExit(3)"]),
+            None, None)
+        assert status == 3
+
+    def test_tika_server_transport_puts_file_bytes(self, spark, tmp_path):
+        # A local stand-in tika-server: accepts PUT, returns the body
+        # lowercased — proves the bin://file:// indirection resolves to
+        # the file bytes and the HTTP round-trip works end-to-end.
+        import http.server
+        import threading
+
+        from datagrowth_spark.sources.tika import extract_text, tika_server_transport
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_PUT(self):
+                body = self.rfile.read(int(self.headers["Content-Length"]))
+                out = body.decode().replace("PDFISH ", "").encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+
+            def log_message(self, *args):
+                pass
+
+        server = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            url = f"http://127.0.0.1:{server.server_port}"
+            cache = ResourceCache(spark, str(tmp_path / "tika_srv_cache"))
+            docs = self._docs(spark, tmp_path)
+            out = extract_text(docs, cache, transport=tika_server_transport,
+                               server_url=url)
+            rows = {r.doc_id: r for r in out.collect()}
+            assert rows["a"].text == "alpha body" and rows["a"].text_status == 200
+        finally:
+            server.shutdown()
+            server.server_close()
