@@ -161,3 +161,136 @@ def create_config(namespace: str, config: dict[str, Any], defaults: dict[str, An
     instance = ConfigurationType(defaults=defaults, namespace=namespace)
     instance.update(**config)
     return instance
+
+
+# -- defaults registration & loading ---------------------------------------
+#
+# Mirrors the reference's runtime defaults surface: ``register_defaults``
+# (configuration/types.py:371-388) flattens a per-namespace dict into the
+# shared defaults, and the loaders module (configuration/loaders.py)
+# discovers a project ``datagrowth.*`` config file by walking up from the
+# working directory and overlays ``DATAGROWTH_*`` environment variables,
+# coercing each value by the type of the existing default and warning on
+# unknown keys.
+
+ENV_PREFIX = "DATAGROWTH_SPARK"
+
+
+def register_defaults(namespace: str, configuration: dict[str, Any]) -> None:
+    """Register namespace defaults at runtime (a library's configure step).
+
+    Keys become available to every subsequently-created config in that
+    namespace — including configs rehydrated from serialized pipeline
+    specs on executors, which is why this updates the shared module-level
+    defaults rather than any one instance.
+    """
+    DEFAULT_CONFIG.update(
+        {f"{namespace}_{key}": value for key, value in configuration.items()}
+    )
+
+
+def _coerce(value: str, default_value: Any) -> Any:
+    """Coerce an env/file string by the type of the existing default."""
+    import json as _json
+
+    if isinstance(default_value, bool):
+        return value.strip().lower() in ("1", "true", "yes", "on")
+    if isinstance(default_value, int) and not isinstance(default_value, bool):
+        try:
+            return int(value)
+        except ValueError:
+            return value
+    if isinstance(default_value, float):
+        try:
+            return float(value)
+        except ValueError:
+            return value
+    if isinstance(default_value, (dict, list)) or default_value is None:
+        try:
+            return _json.loads(value)
+        except (TypeError, ValueError):
+            return value
+    return value
+
+
+def discover_defaults_file(start_directory: str | None = None) -> str | None:
+    """Find a project ``datagrowth.{json,yml,yaml}`` walking up from cwd."""
+    import os
+
+    directory = os.path.abspath(start_directory or os.getcwd())
+    while True:
+        for suffix in ("json", "yml", "yaml"):
+            candidate = os.path.join(directory, f"datagrowth.{suffix}")
+            if os.path.isfile(candidate):
+                return candidate
+        parent = os.path.dirname(directory)
+        if parent == directory:
+            return None
+        directory = parent
+
+
+def load_defaults_file(path: str) -> list[str]:
+    """Load ``{namespace: {key: value}}`` defaults from a JSON/YAML file.
+
+    YAML needs PyYAML (optional); JSON always works. Returns the loaded
+    namespaces. Unknown structure raises — a defaults file that silently
+    does nothing is worse than an error.
+    """
+    import json as _json
+
+    with open(path) as handle:
+        text = handle.read()
+    if path.endswith((".yml", ".yaml")):
+        try:
+            import yaml
+        except ImportError as exc:
+            raise ImportError(
+                f"{path} is YAML but PyYAML is not installed; use datagrowth.json"
+            ) from exc
+        data = yaml.safe_load(text)
+    else:
+        data = _json.loads(text)
+    if not isinstance(data, dict) or not all(isinstance(v, dict) for v in data.values()):
+        raise ValueError(f"{path}: expected {{namespace: {{key: value}}}} structure")
+    for namespace, configuration in data.items():
+        register_defaults(namespace, configuration)
+    return sorted(data)
+
+
+def load_env_defaults(environ: dict[str, str] | None = None) -> dict[str, Any]:
+    """Overlay ``DATAGROWTH_SPARK_<FLAT_KEY>`` environment variables.
+
+    ``DATAGROWTH_SPARK_HTTP_RESOURCE_TIMEOUT=60`` sets
+    ``http_resource_timeout``; values coerce by the existing default's
+    type. Unknown keys are ignored with a warning (reference
+    loaders.py:40-48) — an env typo must not silently become config.
+    """
+    import logging
+    import os
+
+    applied: dict[str, Any] = {}
+    env = os.environ if environ is None else environ
+    prefix = f"{ENV_PREFIX}_"
+    for key, value in env.items():
+        if not key.startswith(prefix):
+            continue
+        flat = key[len(prefix):].lower()
+        if flat in DEFAULT_CONFIG:
+            applied[flat] = _coerce(value, DEFAULT_CONFIG[flat])
+        else:
+            logging.getLogger("datagrowth_spark").warning(
+                "Ignoring unknown configuration from env: %s (no default named %s)",
+                key, flat,
+            )
+    DEFAULT_CONFIG.update(applied)
+    return applied
+
+
+def load_defaults(start_directory: str | None = None,
+                  environ: dict[str, str] | None = None) -> None:
+    """Project bootstrap: defaults file (if discovered) then env overlay —
+    env wins, matching the reference loader precedence."""
+    path = discover_defaults_file(start_directory)
+    if path:
+        load_defaults_file(path)
+    load_env_defaults(environ)

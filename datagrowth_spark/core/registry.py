@@ -5,20 +5,76 @@ Pipeline specs reference processors and resources by string name
 reference's DATAGROWTH_REGISTRY dispatch
 (/root/reference/datagrowth/registry/types.py:72-348,
 /root/reference/datagrowth/processors/base.py:29-95).
+
+Beyond plain names, the registry supports the reference's tagged form:
+``category:value`` tags (``processor:extract``) bound to classes stored
+as IMPORT PATHS and resolved lazily — a pipeline spec serialized to
+JSON can name a class that is only importable on the executors, and
+nothing is imported until dispatch. Tags can carry a default
+configuration that merges under call-time overrides
+(registry/types.py:173-185), so a registered processor ships with its
+tuning baked in.
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable
+import importlib
+from typing import Any, Callable, NamedTuple
 
 
 class RegistryError(KeyError):
     pass
 
 
+class Tag(NamedTuple):
+    """``category:value`` registry key (reference registry/types.py:42-69)."""
+
+    category: str
+    value: str
+
+    @classmethod
+    def from_string(cls, string: str) -> "Tag":
+        if string.count(":") != 1:
+            raise ValueError(
+                f"Tag string {string!r} must contain exactly one ':' "
+                "separating category and value")
+        category, value = string.split(":")
+        return cls(category.lower(), value.lower())
+
+    def __str__(self) -> str:
+        return f"{self.category}:{self.value}"
+
+
+def import_class(path: str) -> type:
+    """Import ``pkg.module.Class`` (or ``pkg.module.Outer.Inner``).
+
+    Walks the dotted path from the right to find the longest importable
+    module prefix (reference registry/types.py:18-39's behavior), then
+    descends attributes. Raises ImportError naming the path on failure.
+    """
+    parts = path.split(".")
+    for index in range(len(parts) - 1, 0, -1):
+        module_name = ".".join(parts[:index])
+        try:
+            module = importlib.import_module(module_name)
+        except ModuleNotFoundError as error:
+            if error.name and module_name.startswith(error.name):
+                continue
+            raise
+        obj: Any = module
+        for attribute in parts[index:]:
+            obj = getattr(obj, attribute)
+        if not isinstance(obj, type):
+            raise TypeError(f"Expected a class at import path '{path}', got {type(obj)}")
+        return obj
+    raise ImportError(f"Could not import class path '{path}'")
+
+
 class Registry:
     def __init__(self) -> None:
         self._entries: dict[str, Any] = {}
+        self._classes: dict[Tag, type | str] = {}
+        self._configurations: dict[Tag, dict[str, Any]] = {}
 
     def register(self, name: str | None = None, obj: Any = None):
         """Register an object, usable as decorator or direct call."""
@@ -38,16 +94,24 @@ class Registry:
         return self._entries[name]
 
     def resolve(self, spec: str) -> Callable:
-        """Resolve ``"Class.method"`` or ``"function"`` to a callable.
+        """Resolve ``"Class.method"``, ``"function"``, or a full import
+        path (``"pkg.mod.Class.method"``) to a callable.
 
-        ``"Class.method"`` returns an unbound staticmethod/classmethod or a
-        factory-style callable ``lambda config: getattr(Class(config), method)``
-        resolution is left to the caller via :class:`ProcessorFactory`.
+        Registered names win; an unregistered dotted spec falls back to
+        lazy import-path resolution so config-serialized pipelines can
+        reference project classes that were never explicitly registered.
         """
         if "." in spec:
             cls_name, method = spec.split(".", 1)
-            cls = self.get(cls_name)
-            return getattr(cls, method)
+            if cls_name in self._entries:
+                return getattr(self.get(cls_name), method)
+            if spec.count(".") >= 2:
+                cls_path, attr = spec.rsplit(".", 1)
+                try:
+                    return getattr(import_class(cls_path), attr)
+                except (ImportError, AttributeError, TypeError):
+                    pass
+            return getattr(self.get(cls_name), method)  # raises RegistryError
         return self.get(spec)
 
     def __contains__(self, name: str) -> bool:
@@ -55,6 +119,68 @@ class Registry:
 
     def names(self) -> list[str]:
         return sorted(self._entries)
+
+    # -- tagged registration (reference registry/types.py:143-223) --------
+    def register_class(self, tag: str | Tag, cls: type | str,
+                       config: dict[str, Any] | None = None) -> Tag:
+        """Bind a ``category:value`` tag to a class.
+
+        ``cls`` may be the class itself or its import path. A path is
+        stored as-is and resolved lazily at dispatch — registration
+        never forces an import, and a path-only registry stays
+        serializable. Optional ``config`` becomes the tag's default
+        configuration, merged under call-time overrides by
+        :meth:`build_tagged`.
+        """
+        if isinstance(tag, str):
+            tag = Tag.from_string(tag)
+        self._classes[tag] = cls
+        if config:
+            self._configurations[tag] = dict(config)
+        return tag
+
+    def unregister_class(self, tag: str | Tag) -> None:
+        if isinstance(tag, str):
+            tag = Tag.from_string(tag)
+        del self._classes[tag]
+        self._configurations.pop(tag, None)
+
+    def get_class(self, tag: str | Tag, category: str | None = None) -> type:
+        """Resolve a tag to its class, importing lazily."""
+        if isinstance(tag, str):
+            tag = Tag.from_string(tag)
+        if category and tag.category != category:
+            raise RegistryError(
+                f"Expected a '{category}' tag but got '{tag.category}' ({tag})")
+        if tag not in self._classes:
+            raise RegistryError(
+                f"{tag} is not registered (known: {sorted(map(str, self._classes))})")
+        entry = self._classes[tag]
+        return entry if isinstance(entry, type) else import_class(entry)
+
+    def build_tagged(self, tag: str | Tag, overrides: dict[str, Any] | None = None,
+                     category: str | None = None) -> Any:
+        """Instantiate a tagged class with its registered defaults merged
+        under call-time overrides (overrides win — reference
+        registry/types.py:173-185)."""
+        from datagrowth_spark.core.config import create_config
+
+        if isinstance(tag, str):
+            tag = Tag.from_string(tag)
+        cls = self.get_class(tag, category=category)
+        merged = dict(self._configurations.get(tag, {}))
+        merged.update(overrides or {})
+        namespace = getattr(cls, "config_namespace", "global")
+        return cls(create_config(namespace, merged))
+
+    def get_processor(self, tag: str | Tag, overrides: dict[str, Any] | None = None) -> Any:
+        return self.build_tagged(tag, overrides, category="processor")
+
+    def get_resource(self, tag: str | Tag, overrides: dict[str, Any] | None = None) -> Any:
+        return self.build_tagged(tag, overrides, category="resource")
+
+    def tags(self, category: str | None = None) -> list[Tag]:
+        return sorted(t for t in self._classes if category is None or t.category == category)
 
 
 _default_registry = Registry()

@@ -120,6 +120,114 @@ class TestRegistry:
         assert method("x") == ("x", 7)
 
 
+class TestTaggedRegistry:
+    """Tagged registration with lazy import paths and default configs
+    (reference registry/types.py:42-223)."""
+
+    def test_tag_parsing(self):
+        from datagrowth_spark.core.registry import Tag
+
+        tag = Tag.from_string("Processor:Extract")
+        assert tag == ("processor", "extract") and str(tag) == "processor:extract"
+        with pytest.raises(ValueError):
+            Tag.from_string("no-colon")
+
+    def test_import_class_walks_path(self):
+        from datagrowth_spark.core.registry import import_class
+
+        cls = import_class("datagrowth_spark.operators.extraction.ExtractProcessor")
+        from datagrowth_spark.operators.extraction import ExtractProcessor
+
+        assert cls is ExtractProcessor
+        with pytest.raises(ImportError):
+            import_class("no.such.module.Class")
+
+    def test_register_by_path_is_lazy(self):
+        reg = Registry()
+        # a bogus path registers fine (nothing imports yet)...
+        reg.register_class("processor:ghost", "no.such.module.Ghost")
+        assert reg.tags("processor") == [("processor", "ghost")]
+        # ...and only resolution fails
+        with pytest.raises(ImportError):
+            reg.get_class("processor:ghost")
+
+    def test_build_tagged_merges_default_config(self):
+        reg = Registry()
+
+        class TunedProcessor:
+            config_namespace = "global"
+
+            def __init__(self, config):
+                self.config = config
+
+        reg.register_class("processor:tuned", TunedProcessor,
+                           config={"batch_size": 5, "sample_size": 9})
+        built = reg.get_processor("processor:tuned", {"batch_size": 7})
+        assert built.config.batch_size == 7  # override wins
+        assert built.config.sample_size == 9  # registered default survives
+        with pytest.raises(RegistryError):
+            reg.get_resource("processor:tuned")  # category checked
+
+    def test_resolve_falls_back_to_import_path(self):
+        reg = Registry()
+        fn = reg.resolve(
+            "datagrowth_spark.operators.extraction.ExtractProcessor.extract_from_resource")
+        from datagrowth_spark.operators.extraction import ExtractProcessor
+
+        assert fn is ExtractProcessor.extract_from_resource
+
+
+class TestDefaultsLoading:
+    """register_defaults + file/env loading (reference
+    configuration/types.py:371-388, configuration/loaders.py)."""
+
+    def setup_method(self):
+        from datagrowth_spark.core.config import DEFAULT_CONFIG
+
+        self._snapshot = dict(DEFAULT_CONFIG)
+
+    def teardown_method(self):
+        from datagrowth_spark.core.config import DEFAULT_CONFIG
+
+        DEFAULT_CONFIG.clear()
+        DEFAULT_CONFIG.update(self._snapshot)
+
+    def test_register_defaults_feeds_new_configs(self):
+        from datagrowth_spark.core.config import ConfigurationType, register_defaults
+
+        register_defaults("my_pipeline", {"chunk_size": 64})
+        config = ConfigurationType(namespace="my_pipeline")
+        assert config.chunk_size == 64
+
+    def test_defaults_file_discovery_and_load(self, tmp_path):
+        import json
+
+        from datagrowth_spark.core.config import (
+            ConfigurationType, discover_defaults_file, load_defaults_file)
+
+        nested = tmp_path / "project" / "sub"
+        nested.mkdir(parents=True)
+        path = tmp_path / "project" / "datagrowth.json"
+        path.write_text(json.dumps({"my_source": {"timeout": 5}}))
+        found = discover_defaults_file(str(nested))
+        assert found == str(path)
+        assert load_defaults_file(found) == ["my_source"]
+        assert ConfigurationType(namespace="my_source").timeout == 5
+
+    def test_env_overlay_coerces_and_warns_on_unknown(self, caplog):
+        from datagrowth_spark.core.config import ConfigurationType, load_env_defaults
+
+        applied = load_env_defaults({
+            "DATAGROWTH_SPARK_HTTP_RESOURCE_TIMEOUT": "60",
+            "DATAGROWTH_SPARK_GLOBAL_CACHE_ONLY": "true",
+            "DATAGROWTH_SPARK_NO_SUCH_KEY": "x",
+            "UNRELATED": "y",
+        })
+        assert applied == {"http_resource_timeout": 60, "global_cache_only": True}
+        config = ConfigurationType(namespace="http_resource")
+        assert config.timeout == 60 and config.get("cache_only") is True
+
+
 class TestDatetimeParity:
     """Reference utils/datetime.py round-trip semantics."""
 
