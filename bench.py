@@ -56,6 +56,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "dedup_clusters",
+    "decontamination",
     "similarity_topk",
     "similarity_topk_ivf",
     "embedding_near_dups",

@@ -112,6 +112,45 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs overlapping an eval set.
+
+    The standard training-data hygiene step — a document sharing
+    ``min_overlap`` or more distinct word n-grams with ANY benchmark
+    document leaks evaluation data and must be dropped before training.
+
+    Plan shape: both sides shingle (distinct per doc); the benchmark's
+    DISTINCT shingle set is the join side — an eval set is orders of
+    magnitude smaller than the corpus, so Spark broadcasts it and the
+    corpus-side scan streams through map-side: one shuffle (the
+    per-doc overlap count), no corpus self-join anywhere. Output:
+    (doc_id, overlap, contaminated) for every corpus document.
+    """
+    corpus_sh = _shingle_frame(corpus, text_col, id_col, n)
+    bench_sh = _shingle_frame(benchmark, text_col, id_col, n) \
+        .select("shingle").distinct()
+    overlap = (
+        corpus_sh.join(bench_sh, "shingle")
+        .groupBy("id").agg(F.count("*").alias("overlap"))
+    )
+    ids = corpus.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(overlap, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("overlap"), F.lit(0)).cast("long").alias("overlap"),
+            (F.coalesce(F.col("overlap"), F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
 # Affine MinHash family over a single md5 base hash: h_i = (a_i·h + b_i) mod P.
 # P is the first prime above 2^32; a_i < 2^30 keeps a_i·h < 2^62 so the
 # arithmetic never overflows BIGINT in any engine (portable, deterministic).
@@ -248,7 +287,10 @@ def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     like a hot shingle — pre-filter empty/boilerplate docs or lower
     max_hamming if a block key grows pathological.
     """
-    sig = simhash_signatures(df, text_col, id_col, bits)
+    # The self-join consumes the signature frame twice; persist so the
+    # shingle→explode→agg pipeline (the expensive part) runs once —
+    # signatures are one long per doc, negligible storage at any scale.
+    sig = simhash_signatures(df, text_col, id_col, bits).persist()
     return simhash_pairs_from_signatures(sig, bits=bits, max_hamming=max_hamming)
 
 

@@ -281,7 +281,9 @@ class SeedingProcessor:
             if n_seeds:
                 identifier = collection.identifier
                 keyed = seeds.where(prop_col("properties", f"$.{identifier}").isNotNull())
-                if len(collection) == 0:
+                # _pristine knows emptiness without a count job over the
+                # collection lineage.
+                if collection._pristine:
                     collection.add(keyed)
                 else:
                     collection.update(keyed, by_property=identifier)

@@ -910,6 +910,82 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-pair → CLUSTER resolution: n-gram Jaccard pairs become
+    connected components (min-label propagation, operators/graph.py);
+    each doc gets its cluster id (min doc id in component), the cluster
+    size, and the keep/drop decision. The oracle recomputes components
+    with a recursive CTE — a hash-match proves the distributed label
+    propagation converged to the exact component structure."""
+    from datagrowth_spark.operators.graph import dedup_clusters
+
+    pairs = DD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                                   n=3, threshold=0.1)
+    return dedup_clusters(pairs).select(
+        "doc_id", "cluster_id", F.col("cluster_size").cast("long").alias("cluster_size"),
+        "is_canonical",
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_NGRAM_JACCARD}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, comp) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+),
+components AS (SELECT node, MIN(comp) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM components GROUP BY cluster_id)
+SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
+       c.node = c.cluster_id AS is_canonical
+FROM components c JOIN sizes s ON s.cluster_id = c.cluster_id
+"""
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥ 5 distinct
+    3-gram shingles with the (deterministic) benchmark subset
+    ``doc_id % 20 == 0`` are flagged as eval-set leaks. The benchmark
+    side is distinct-shingled and broadcast — no corpus self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    benchmark = docs.where(F.col("doc_id") % 20 == 0)
+    return DD.contamination_flags(corpus, benchmark, "text", "doc_id",
+                                  n=3, min_overlap=5)
+
+
+def _subset_shingles_sql(predicate: str) -> str:
+    return f"""
+  SELECT doc_id AS id, unnest(list_distinct(
+    CASE WHEN len({_TOKS_SQL}) < 3 THEN []
+         ELSE list_transform(generate_series(1, len({_TOKS_SQL}) - 2),
+              i -> concat_ws(' ', {_TOKS_SQL}[i], {_TOKS_SQL}[i+1], {_TOKS_SQL}[i+2]))
+    END)) AS shingle
+  FROM documents WHERE {predicate}
+"""
+
+
+SQL_DECONTAMINATION = f"""
+WITH corpus_sh AS ({_subset_shingles_sql("doc_id % 20 != 0")}),
+bench_sh AS (SELECT DISTINCT shingle FROM ({_subset_shingles_sql("doc_id % 20 = 0")})),
+overlap AS (
+  SELECT id, COUNT(*) AS overlap
+  FROM corpus_sh JOIN bench_sh USING (shingle)
+  GROUP BY id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(o.overlap, 0) AS BIGINT) AS overlap,
+       COALESCE(o.overlap, 0) >= 5 AS contaminated
+FROM documents d LEFT JOIN overlap o ON o.id = d.doc_id
+WHERE d.doc_id % 20 != 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1332,6 +1408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "decontamination": q_decontamination,
         "similarity_topk": q_similarity_topk,
         "similarity_topk_ivf": q_similarity_topk_ivf,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1378,6 +1456,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "decontamination": SQL_DECONTAMINATION,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "similarity_topk_ivf": SQL_SIMILARITY_TOPK_IVF,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,

@@ -1,0 +1,83 @@
+"""Connected-components / cluster resolution / decontamination tests.
+
+The graph operator has no reference counterpart (beyond-reference LLM
+pipeline layer); tests cover component correctness on adversarial
+shapes (chains force multi-round convergence, unlike the near-clique
+dedup graphs) and the keep/drop cluster decision.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datagrowth_spark.operators.dedup import contamination_flags
+from datagrowth_spark.operators.graph import connected_components, dedup_clusters
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+class TestConnectedComponents:
+    def test_two_components_and_isolated_pair(self, spark):
+        # {1,2,3} triangle, {10,11} pair — labels are each component's min
+        edges = _edges(spark, [(1, 2), (2, 3), (1, 3), (10, 11)])
+        got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_chain_converges_beyond_one_round(self, spark):
+        # A path graph 9-8-7-...-1 has diameter 8: the min label must
+        # propagate the full length, which single-round banding-style
+        # reasoning would miss.
+        edges = _edges(spark, [(i, i + 1) for i in range(1, 9)])
+        got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+        assert got == {i: 1 for i in range(1, 10)}
+
+    def test_direction_does_not_matter(self, spark):
+        got = {r["node"]: r["component"]
+               for r in connected_components(_edges(spark, [(5, 2), (2, 9)])).collect()}
+        assert got == {2: 2, 5: 2, 9: 2}
+
+
+class TestDedupClusters:
+    def test_cluster_decision(self, spark):
+        edges = _edges(spark, [(3, 7), (7, 12), (20, 21)])
+        rows = {r["doc_id"]: r for r in dedup_clusters(edges).collect()}
+        assert rows[3]["cluster_id"] == 3 and rows[3]["is_canonical"]
+        assert rows[7]["cluster_id"] == 3 and not rows[7]["is_canonical"]
+        assert rows[12]["cluster_size"] == 3
+        assert rows[20]["is_canonical"] and rows[21]["cluster_id"] == 20
+        # exactly one canonical per cluster
+        assert sum(r["is_canonical"] for r in rows.values()) == 2
+
+
+class TestDecontamination:
+    def test_overlap_flags(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "completely unrelated text about nothing shared at all"),
+                (3, "the quick brown fox jumps over something else entirely"),
+            ],
+            "doc_id long, text string",
+        )
+        benchmark = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in
+                contamination_flags(corpus, benchmark, min_overlap=3).collect()}
+        assert rows[1]["contaminated"] and rows[1]["overlap"] >= 5
+        assert not rows[2]["contaminated"] and rows[2]["overlap"] == 0
+        # shares "the quick brown", "quick brown fox", "brown fox jumps",
+        # "fox jumps over" = 4 shingles
+        assert rows[3]["overlap"] == 4 and rows[3]["contaminated"]
+
+    def test_every_corpus_doc_reported(self, spark):
+        corpus = spark.createDataFrame(
+            [(i, f"doc number {i} unique words only") for i in range(6)],
+            "doc_id long, text string")
+        benchmark = spark.createDataFrame([(9, "nothing in common")],
+                                          "doc_id long, text string")
+        out = contamination_flags(corpus, benchmark)
+        assert out.count() == 6
+        assert out.where(F.col("contaminated")).count() == 0
