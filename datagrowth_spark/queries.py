@@ -1372,6 +1372,118 @@ GROUP BY 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
+# Repetition / corpus-duplication signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals per document.
+
+    duplicate-2-gram occurrence fraction, top-2-gram character coverage,
+    vocabulary diversity, and the resulting keep/drop decision. Plan:
+    explode 2-gram occurrences → (doc, gram) hash agg → doc hash agg;
+    the arg-max is a struct max, not a window, so there is no sort.
+    """
+    from datagrowth_spark.operators import repetition as RT
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = RT.ngram_repetition(docs, "text", "doc_id", n=2)
+    base = docs.select(
+        "doc_id", "lang",
+        F.round(RT.distinct_token_ratio("text"), 6).alias("diversity"),
+    )
+    out = base.join(rep, base.doc_id == rep.id)
+    keep = (
+        (F.col("dup_ngram_frac") <= 0.6)
+        & (F.col("top_ngram_char_frac") <= 0.2)
+        & (F.col("diversity") >= 0.05)
+    )
+    return out.select(
+        "doc_id", "lang", "n_ngrams", "dup_ngram_frac",
+        "top_ngram", "top_ngram_count", "top_ngram_char_frac",
+        "diversity",
+        keep.cast("int").alias("keep"),
+    )
+
+
+SQL_TEXT_REPETITION = f"""
+WITH toks AS (
+  SELECT doc_id AS id, lang, len(text) AS n_chars, {_TOKS_SQL} AS t FROM documents
+),
+grams AS (
+  SELECT id, n_chars, unnest(
+    CASE WHEN len(t) < 2 THEN []
+         ELSE list_transform(generate_series(1, len(t) - 1),
+              i -> concat_ws(' ', t[i], t[i+1])) END) AS g
+  FROM toks
+),
+occ AS (SELECT id, g, COUNT(*) AS cnt, MAX(n_chars) AS n_chars FROM grams GROUP BY id, g),
+agg AS (
+  SELECT id, CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+         CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_occ,
+         MAX(n_chars) AS n_chars
+  FROM occ GROUP BY id
+),
+top AS (
+  SELECT id, g, cnt,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, len(g) DESC, g DESC) AS rn
+  FROM occ
+),
+div AS (
+  SELECT id, round(len(list_distinct(t)) / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS diversity,
+         lang
+  FROM toks
+)
+SELECT a.id AS doc_id, d.lang, a.n_ngrams,
+       round(a.dup_occ / CAST(a.n_ngrams AS DOUBLE), 6) AS dup_ngram_frac,
+       t.g AS top_ngram, t.cnt AS top_ngram_count,
+       round(t.cnt * len(t.g) / CAST(greatest(a.n_chars, 1) AS DOUBLE), 6) AS top_ngram_char_frac,
+       d.diversity,
+       CAST(round(a.dup_occ / CAST(a.n_ngrams AS DOUBLE), 6) <= 0.6
+            AND round(t.cnt * len(t.g) / CAST(greatest(a.n_chars, 1) AS DOUBLE), 6) <= 0.2
+            AND d.diversity >= 0.05 AS INT) AS keep
+FROM agg a
+JOIN top t ON t.id = a.id AND t.rn = 1
+JOIN div d ON d.id = a.id
+"""
+
+
+def q_dedup_spans_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level span duplication: per document, the fraction of its
+    distinct 8-gram spans that occur in ≥1 other document. Plan: distinct
+    spans hashed to longs → global doc-frequency agg (one shuffle on the
+    hash) → join back → per-doc agg. The RefinedWeb/CCNet line-dedup
+    signal at n-gram granularity.
+    """
+    from datagrowth_spark.operators import repetition as RT
+
+    docs = _t(spark, sf_dir, "documents")
+    return RT.crossdoc_span_stats(docs, "text", "doc_id", n=8).select(
+        F.col("id").alias("doc_id"), "n_spans", "shared_spans", "shared_frac",
+    )
+
+
+SQL_DEDUP_SPANS_CROSSDOC = f"""
+WITH toks AS (SELECT doc_id AS id, {_TOKS_SQL} AS t FROM documents),
+spans AS (
+  SELECT id, unnest(list_distinct(
+    CASE WHEN len(t) < 8 THEN []
+         ELSE list_transform(generate_series(1, len(t) - 7),
+              i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                                  t[i+4], t[i+5], t[i+6], t[i+7])) END)) AS span
+  FROM toks
+),
+h AS (SELECT id, CAST(('0x' || substr(md5(span), 1, 8)) AS BIGINT) AS h FROM spans),
+dfreq AS (SELECT h, COUNT(*) AS df FROM h GROUP BY h)
+SELECT id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_spans,
+       round(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS shared_frac
+FROM h JOIN dfreq USING (h)
+GROUP BY id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1402,7 +1514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
         "dedup_exact": q_dedup_exact,
+        "dedup_spans_crossdoc": q_dedup_spans_crossdoc,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1450,7 +1564,9 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": SQL_TEXT_QUALITY,
         "text_language_id": _langid_sql(),
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
+        "text_repetition": SQL_TEXT_REPETITION,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_spans_crossdoc": SQL_DEDUP_SPANS_CROSSDOC,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_lsh": _minhash_lsh_sql(),

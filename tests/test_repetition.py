@@ -1,0 +1,93 @@
+"""Repetition / corpus-duplication signal tests.
+
+Beyond-reference training-pipeline layer (no reference counterpart —
+SURVEY §2.5 notes the reference has no corpus-analysis surface). Tests
+pin the Gopher-style definitions on hand-computable documents and the
+cross-doc span signal on planted duplicates.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datagrowth_spark.operators.repetition import (
+    crossdoc_span_stats,
+    distinct_token_ratio,
+    ngram_repetition,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestNgramRepetition:
+    def test_hand_computed_bigram_stats(self, spark):
+        # "a b a b c": bigrams = [a b, b a, a b, b c] → 4 occurrences,
+        # "a b" twice → dup_occ=2, top=("a b", 2), chars=9.
+        out = ngram_repetition(_docs(spark, [(1, "a b a b c")]), n=2).collect()[0]
+        assert out["n_ngrams"] == 4
+        assert out["dup_ngram_frac"] == pytest.approx(0.5)
+        assert out["top_ngram"] == "a b"
+        assert out["top_ngram_count"] == 2
+        assert out["top_ngram_char_frac"] == pytest.approx(2 * 3 / 9, abs=1e-6)
+
+    def test_all_unique_bigrams(self, spark):
+        out = ngram_repetition(_docs(spark, [(1, "a b c d")]), n=2).collect()[0]
+        assert out["dup_ngram_frac"] == 0.0
+        assert out["top_ngram_count"] == 1
+
+    def test_tie_breaks_deterministically(self, spark):
+        # Both bigrams occur once; longer n-gram wins the tie, then the
+        # lexicographically larger one.
+        out = ngram_repetition(_docs(spark, [(1, "xx yy z")]), n=2).collect()[0]
+        assert out["top_ngram"] == "xx yy"  # len 5 beats "yy z" len 4
+
+    def test_short_doc_produces_no_row(self, spark):
+        assert ngram_repetition(_docs(spark, [(1, "solo")]), n=2).count() == 0
+
+    def test_degenerate_repeat_flagged(self, spark):
+        # "spam spam ... spam" — every bigram identical: dup frac 1,
+        # top bigram covers ~all characters.
+        text = " ".join(["spam"] * 50)
+        out = ngram_repetition(_docs(spark, [(1, text)]), n=2).collect()[0]
+        assert out["dup_ngram_frac"] == 1.0
+        assert out["top_ngram_char_frac"] > 0.9
+
+
+class TestDistinctTokenRatio:
+    def test_ratio(self, spark):
+        df = _docs(spark, [(1, "a a b b"), (2, "a b c d")])
+        got = {
+            r["doc_id"]: r["r"]
+            for r in df.select("doc_id", F.round(distinct_token_ratio("text"), 6).alias("r")).collect()
+        }
+        assert got[1] == pytest.approx(0.5)
+        assert got[2] == pytest.approx(1.0)
+
+    def test_empty_text_is_zero_not_nan(self, spark):
+        row = _docs(spark, [(1, "")]).select(distinct_token_ratio("text").alias("r")).collect()[0]
+        assert row["r"] == 0.0
+
+
+class TestCrossdocSpans:
+    def test_planted_duplicate_is_fully_shared(self, spark):
+        base = " ".join(f"w{i}" for i in range(20))
+        other = " ".join(f"v{i}" for i in range(20))
+        df = _docs(spark, [(1, base), (2, base), (3, other)])
+        got = {r["id"]: r for r in crossdoc_span_stats(df, n=8).collect()}
+        assert got[1]["shared_frac"] == 1.0
+        assert got[2]["shared_frac"] == 1.0
+        assert got[3]["shared_frac"] == 0.0
+        assert got[3]["n_spans"] == 13  # 20 tokens → 13 distinct 8-grams
+
+    def test_partial_overlap(self, spark):
+        # Doc 2 copies doc 1's first 10 tokens then diverges: the shared
+        # spans are exactly the 3 8-grams fully inside the copied prefix.
+        shared_prefix = " ".join(f"w{i}" for i in range(10))
+        df = _docs(spark, [
+            (1, shared_prefix + " " + " ".join(f"a{i}" for i in range(10))),
+            (2, shared_prefix + " " + " ".join(f"b{i}" for i in range(10))),
+        ])
+        got = {r["id"]: r for r in crossdoc_span_stats(df, n=8).collect()}
+        assert got[1]["shared_spans"] == 3
+        assert got[2]["shared_spans"] == 3
