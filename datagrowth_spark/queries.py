@@ -1484,6 +1484,104 @@ GROUP BY id
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing + deterministic sampling
+# ---------------------------------------------------------------------------
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus — pure regexp Catalyst
+    expressions (no Python, codegen-friendly, zero shuffles).
+
+    The synthetic corpus contains no PII, so the query first plants
+    deterministic email/IP/phone strings keyed off doc_id (both engines
+    compute the identical augmentation); counts and the redacted length
+    then exercise the real patterns.
+    """
+    from datagrowth_spark.functions import pii as PII
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 5 == 0, F.concat(F.lit(" contact user"), d.cast("string"),
+                                    F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.concat(F.lit(" from 10.0."), (d % 256).cast("string"),
+                                    F.lit("."), (d % 100).cast("string"))).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", aug.alias("aug"))
+    counts = PII.pii_counts(F.col("aug"))
+    total = counts["email"] + counts["ipv4"] + counts["phone"]
+    return base.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_emails"),
+        counts["ipv4"].cast("long").alias("n_ips"),
+        counts["phone"].cast("long").alias("n_phones"),
+        (total > 0).cast("int").alias("has_pii"),
+        F.length(PII.redact_pii(F.col("aug"))).cast("long").alias("redacted_len"),
+    )
+
+
+def _sql_pii_scan() -> str:
+    from datagrowth_spark.functions import pii as PII
+
+    aug = (
+        "concat(text,"
+        " CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com' ELSE '' END,"
+        " CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END,"
+        " CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END)"
+    )
+    n = {k: f"len(regexp_extract_all(aug, '{p}'))" for k, p in PII.PATTERNS.items()}
+    return f"""
+WITH aug AS (SELECT doc_id, {aug} AS aug FROM documents)
+SELECT doc_id,
+       CAST({n['email']} AS BIGINT) AS n_emails,
+       CAST({n['ipv4']} AS BIGINT) AS n_ips,
+       CAST({n['phone']} AS BIGINT) AS n_phones,
+       CAST({n['email']} + {n['ipv4']} + {n['phone']} > 0 AS INT) AS has_pii,
+       CAST(length({PII.redact_sql('aug')}) AS BIGINT) AS redacted_len
+FROM aug
+"""
+
+
+SQL_PII_SCAN = _sql_pii_scan()
+
+
+_SAMPLE_RATES = {"en": 60, "de": 40, "zh": 40}
+_SAMPLE_DEFAULT = 20
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sample: salted-md5 hash buckets,
+    per-language keep rates. A pure projection+filter — zero shuffles,
+    identical decisions at any partitioning/scale, replayable by the
+    oracle engine (unlike seed-based sample()).
+    """
+    from datagrowth_spark.operators import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents")
+    out = SMP.stratified_sample(docs, _SAMPLE_RATES, "lang", "doc_id",
+                                default_rate=_SAMPLE_DEFAULT)
+    return out.select("doc_id", "lang", "bucket")
+
+
+SQL_CORPUS_SAMPLE = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 100 AS INT) AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN {_SAMPLE_RATES['en']}
+                         WHEN 'de' THEN {_SAMPLE_RATES['de']}
+                         WHEN 'zh' THEN {_SAMPLE_RATES['zh']}
+                         ELSE {_SAMPLE_DEFAULT} END
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1515,6 +1613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
+        "pii_scan": q_pii_scan,
+        "corpus_sample": q_corpus_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_spans_crossdoc": q_dedup_spans_crossdoc,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1565,6 +1665,8 @@ def oracle_sql() -> dict[str, str]:
         "text_language_id": _langid_sql(),
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "text_repetition": SQL_TEXT_REPETITION,
+        "pii_scan": SQL_PII_SCAN,
+        "corpus_sample": SQL_CORPUS_SAMPLE,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_spans_crossdoc": SQL_DEDUP_SPANS_CROSSDOC,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,

@@ -1,0 +1,70 @@
+"""PII scrubbing + deterministic sampling tests (beyond-reference layer)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datagrowth_spark.functions.pii import pii_count, pii_counts, redact_pii
+from datagrowth_spark.operators.sampling import hash_bucket, stratified_sample
+
+
+def _texts(spark, rows):
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+class TestPii:
+    def test_counts_per_kind(self, spark):
+        df = _texts(spark, [
+            (1, "mail a@b.com and c.d+e@f.org, ip 10.0.0.1, call 555-123-4567"),
+            (2, "nothing sensitive here"),
+        ])
+        got = {r["id"]: r for r in df.select(
+            "id",
+            pii_counts("text")["email"].alias("e"),
+            pii_count("text", "ipv4").alias("i"),
+            pii_count("text", "phone").alias("p"),
+        ).collect()}
+        assert (got[1]["e"], got[1]["i"], got[1]["p"]) == (2, 1, 1)
+        assert (got[2]["e"], got[2]["i"], got[2]["p"]) == (0, 0, 0)
+
+    def test_redaction_replaces_all_matches(self, spark):
+        df = _texts(spark, [(1, "a@b.com then 1.2.3.4 then 555-123-4567 end")])
+        out = df.select(redact_pii("text").alias("r")).collect()[0]["r"]
+        assert out == "<PII> then <PII> then <PII> end"
+
+    def test_phone_not_double_counted_as_ip(self, spark):
+        df = _texts(spark, [(1, "dial 555-123-4567 now")])
+        row = df.select(pii_count("text", "ipv4").alias("i"),
+                        pii_count("text", "phone").alias("p")).collect()[0]
+        assert (row["i"], row["p"]) == (0, 1)
+
+
+class TestSampling:
+    def test_bucket_is_deterministic_and_partition_independent(self, spark):
+        df = spark.range(0, 200).withColumnRenamed("id", "k")
+        a = {r["k"]: r["b"] for r in df.select("k", hash_bucket("k").alias("b")).collect()}
+        b = {r["k"]: r["b"] for r in df.repartition(7).select("k", hash_bucket("k").alias("b")).collect()}
+        assert a == b
+        assert all(0 <= v < 100 for v in a.values())
+
+    def test_stratified_rates_roughly_hold(self, spark):
+        rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = stratified_sample(df, {"en": 50}, "lang", "doc_id", default_rate=10)
+        counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        # 500 per stratum; md5 buckets are near-uniform.
+        assert 200 < counts["en"] < 300
+        assert 20 < counts.get("zh", 0) < 80
+
+    def test_sample_stable_under_reordering(self, spark):
+        rows = [(i, "en") for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        ids1 = {r["doc_id"] for r in stratified_sample(df, {"en": 30}, "lang", "doc_id").collect()}
+        shuffled = df.orderBy(F.rand(7))
+        ids2 = {r["doc_id"] for r in stratified_sample(shuffled, {"en": 30}, "lang", "doc_id").collect()}
+        assert ids1 == ids2
+
+    def test_salt_changes_sample(self, spark):
+        df = spark.createDataFrame([(i, "en") for i in range(300)], "doc_id long, lang string")
+        a = {r["doc_id"] for r in stratified_sample(df, {"en": 30}, "lang", "doc_id", salt="s1").collect()}
+        b = {r["doc_id"] for r in stratified_sample(df, {"en": 30}, "lang", "doc_id", salt="s2").collect()}
+        assert a != b
