@@ -1582,6 +1582,62 @@ WHERE bucket < CASE lang WHEN 'en' THEN {_SAMPLE_RATES['en']}
 
 
 # ---------------------------------------------------------------------------
+# As-of join (events ↔ latest prior order), oracle = DuckDB native ASOF JOIN
+# ---------------------------------------------------------------------------
+
+def q_events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event joined to the customer's most recent order at-or-before
+    the event, then aggregated per event type. The as-of plan is the
+    union + running-fill window (one shuffle per side, one sort — see
+    operators/asof.py); right-side ties are pre-aggregated to the max
+    order key per (customer, date) as the deterministic contract requires.
+    """
+    from datagrowth_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
+    orders = _t(spark, sf_dir, "orders")
+    od = (
+        orders.groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    j = asof_join(ev, od, on="user_id", left_ts="ts", right_ts="o_orderdate")
+    # o_orderdate reads as TIMESTAMP_NTZ; session tz is pinned UTC so the
+    # cast is the identity instant and matches DuckDB's tz-less epoch_us.
+    gap_sec = F.expr(
+        "(unix_micros(ts) - unix_micros(cast(o_orderdate as timestamp))) div 1000000"
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("o_orderkey").alias("n_matched"),
+            F.round(
+                F.sum(gap_sec) / (F.count("o_orderkey") * F.lit(86400.0)), 6
+            ).alias("avg_gap_days"),
+        )
+    )
+
+
+SQL_EVENTS_ASOF_ORDERS = """
+WITH od AS (
+  SELECT o_custkey AS user_id, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+),
+j AS (
+  SELECT e.event_type, CAST(e.ts AS TIMESTAMP) AS ts, o.o_orderdate, o.o_orderkey
+  FROM events e ASOF LEFT JOIN od o
+    ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_matched,
+       round(SUM((epoch_us(ts) - epoch_us(o_orderdate)) // 1000000)
+             / (COUNT(o_orderkey) * 86400.0), 6) AS avg_gap_days
+FROM j GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1615,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "pii_scan": q_pii_scan,
         "corpus_sample": q_corpus_sample,
+        "events_asof_orders": q_events_asof_orders,
         "dedup_exact": q_dedup_exact,
         "dedup_spans_crossdoc": q_dedup_spans_crossdoc,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1667,6 +1724,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": SQL_TEXT_REPETITION,
         "pii_scan": SQL_PII_SCAN,
         "corpus_sample": SQL_CORPUS_SAMPLE,
+        "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_spans_crossdoc": SQL_DEDUP_SPANS_CROSSDOC,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
