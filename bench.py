@@ -44,13 +44,18 @@ HEADLINE = [
     "events_value_quantiles",
     "events_sessionize",
     "events_json_props",
+    "events_asof_orders",
     "finished_not_pending_custs",
     "docs_by_lang",
     "text_stats",
     "text_quality",
     "text_language_id",
     "text_fingerprint",
+    "text_repetition",
+    "pii_scan",
+    "corpus_sample",
     "dedup_exact",
+    "dedup_spans_crossdoc",
     "dedup_ngram_jaccard",
     "dedup_minhash",
     "dedup_minhash_lsh",

@@ -31,20 +31,25 @@ from pyspark.sql import functions as F
 from datagrowth_spark.functions.text import md5_long, shingles_from_tokens, tokens_col
 
 
-def _occurrence_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """One row per n-gram OCCURRENCE (not distinct), carrying doc length.
+def _occurrence_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, carry: dict | None = None
+) -> DataFrame:
+    """One row per n-gram OCCURRENCE (not distinct), carrying doc length
+    plus any caller-supplied per-document scalar columns (``carry``).
 
     Tokenize into a real column first — shingle construction indexes the
     token array per position and an inlined tokenizer would re-evaluate
     per shingle (O(len²) per document).
     """
+    carry = carry or {}
     toked = df.select(
         F.col(id_col).alias("id"),
         F.length(F.col(text_col)).alias("n_chars"),
+        *[expr.alias(name) for name, expr in carry.items()],
         tokens_col(F.lower(F.col(text_col))).alias("toks"),
     )
     return toked.select(
-        "id", "n_chars",
+        "id", "n_chars", *carry.keys(),
         F.explode(shingles_from_tokens(F.col("toks"), n)).alias("shingle"),
     )
 
@@ -54,6 +59,7 @@ def ngram_repetition(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 2,
+    carry: dict | None = None,
 ) -> DataFrame:
     """Per-document n-gram repetition statistics.
 
@@ -73,11 +79,19 @@ def ngram_repetition(
 
     Documents shorter than ``n`` tokens produce no row (they have no
     n-grams to repeat); callers wanting them keep a left join.
+
+    ``carry`` maps extra output names → per-document scalar Columns
+    (evaluated on the input row, e.g. a language tag or diversity
+    ratio). They ride through the two aggregates with ``first()`` — at
+    scale this avoids the corpus-sized join a separate per-doc frame
+    would need.
     """
-    occ = _occurrence_shingles(df, text_col, id_col, n)
+    carry = carry or {}
+    occ = _occurrence_shingles(df, text_col, id_col, n, carry)
     counts = occ.groupBy("id", "shingle").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.first("n_chars").alias("n_chars"),
+        *[F.first(name).alias(name) for name in carry],
     )
     # Deterministic arg-max without a window: max over a struct ordered
     # (count, ngram length, ngram) — equivalent to ORDER BY cnt DESC,
@@ -94,9 +108,11 @@ def ngram_repetition(
         F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias("dup_occ"),
         top_struct.alias("top"),
         F.first("n_chars").alias("n_chars"),
+        *[F.first(name).alias(name) for name in carry],
     )
     return per_doc.select(
         "id",
+        *carry.keys(),
         "n_ngrams",
         F.round(F.col("dup_occ") / F.col("n_ngrams"), 6).alias("dup_ngram_frac"),
         F.col("top.s").alias("top_ngram"),

@@ -1381,17 +1381,20 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-2-gram occurrence fraction, top-2-gram character coverage,
     vocabulary diversity, and the resulting keep/drop decision. Plan:
     explode 2-gram occurrences → (doc, gram) hash agg → doc hash agg;
-    the arg-max is a struct max, not a window, so there is no sort.
+    the arg-max is a struct max, not a window, so there is no sort, and
+    the per-doc scalars (lang, diversity) ride the aggregation via
+    carry-first instead of a corpus-sized join-back.
     """
     from datagrowth_spark.operators import repetition as RT
 
     docs = _t(spark, sf_dir, "documents")
-    rep = RT.ngram_repetition(docs, "text", "doc_id", n=2)
-    base = docs.select(
-        "doc_id", "lang",
-        F.round(RT.distinct_token_ratio("text"), 6).alias("diversity"),
-    )
-    out = base.join(rep, base.doc_id == rep.id)
+    out = RT.ngram_repetition(
+        docs, "text", "doc_id", n=2,
+        carry={
+            "lang": F.col("lang"),
+            "diversity": F.round(RT.distinct_token_ratio("text"), 6),
+        },
+    ).withColumnRenamed("id", "doc_id")
     keep = (
         (F.col("dup_ngram_frac") <= 0.6)
         & (F.col("top_ngram_char_frac") <= 0.2)
