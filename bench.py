@@ -73,6 +73,7 @@ HEADLINE = [
     "pipeline_seed_merge",
     "pipeline_growth_enrich",
     "streaming_events_hourly",
+    "streaming_dedup_exact",
 ]
 
 

@@ -1371,6 +1371,35 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup computed BY THE STREAMING PATH: file-source stream →
+    stateful dropDuplicates on (lang, content-hash) → availableNow drain
+    into a memory sink, then a batch count per language over the deduped
+    rows. Must reproduce the batch COUNT(DISTINCT text) — proving the
+    streaming dedup state machine loses nothing and passes no dup.
+    """
+    from datagrowth_spark.streaming.dedup import exact_dedup_stream, read_documents_stream
+    from datagrowth_spark.streaming.events import run_to_memory
+
+    name = "stream_dedup_exact"
+    stream = read_documents_stream(spark, os.path.join(sf_dir, "documents.parquet"))
+    query = run_to_memory(
+        exact_dedup_stream(stream, key_cols=["lang"]), name, output_mode="append",
+    )
+    query.stop()
+    return (
+        spark.table(name)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
+SQL_STREAMING_DEDUP_EXACT = """
+SELECT lang, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique
+FROM documents GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Repetition / corpus-duplication signals (Gopher-style quality filters)
 # ---------------------------------------------------------------------------
@@ -1694,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_seed_merge": q_pipeline_seed_merge,
         "pipeline_growth_enrich": q_pipeline_growth_enrich,
         "streaming_events_hourly": q_streaming_events_hourly,
+        "streaming_dedup_exact": q_streaming_dedup_exact,
     }
 
 
@@ -1747,4 +1777,5 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_seed_merge": SQL_PIPELINE_SEED_MERGE,
         "pipeline_growth_enrich": SQL_PIPELINE_GROWTH_ENRICH,
         "streaming_events_hourly": SQL_STREAMING_EVENTS_HOURLY,
+        "streaming_dedup_exact": SQL_STREAMING_DEDUP_EXACT,
     }

@@ -153,3 +153,28 @@ def test_streaming_seeder_upsert_and_tombstone(spark, tmp_path):
     assert content[2]["title"] == "two-v2"
     assert content[2]["_id"] == "2"
     assert content[3]["title"] == "three"
+
+
+def test_streaming_exact_dedup_first_occurrence_wins(spark, tmp_path):
+    """Duplicate texts across files pass the stateful filter exactly once,
+    scoped per language."""
+    from datagrowth_spark.streaming.dedup import exact_dedup_stream, read_documents_stream
+    from datagrowth_spark.streaming.events import run_to_memory
+
+    src = str(tmp_path / "docs")
+    rows1 = [(1, "alpha beta", "en", "s0", 10), (2, "gamma", "en", "s0", 5)]
+    rows2 = [(3, "alpha beta", "en", "s1", 10),   # dup of doc 1 → dropped
+             (4, "alpha beta", "de", "s1", 10),   # same text, other lang → kept
+             (5, "delta", "en", "s1", 5)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_documents_stream(spark, src, max_files_per_trigger=1)
+    query = run_to_memory(exact_dedup_stream(stream, key_cols=["lang"]),
+                          "t_stream_dedup", output_mode="append")
+    query.stop()
+    kept = spark.table("t_stream_dedup").select("text", "lang").collect()
+    assert sorted((r["text"], r["lang"]) for r in kept) == [
+        ("alpha beta", "de"), ("alpha beta", "en"), ("delta", "en"), ("gamma", "en"),
+    ]
