@@ -45,6 +45,7 @@ HEADLINE = [
     "events_sessionize",
     "events_json_props",
     "events_asof_orders",
+    "events_value_bands",
     "finished_not_pending_custs",
     "docs_by_lang",
     "text_stats",

@@ -1650,6 +1650,58 @@ def q_events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: events matched into OVERLAPPING value bands (width
+    30, stride 25 — a value can land in two bands), then aggregated.
+    Runs the grid-bucket range-join plan (one shuffle per side on the
+    bucket key, exact predicate re-checked post-join); the oracle is
+    DuckDB's native inequality join.
+    """
+    from datagrowth_spark.operators.interval import interval_join
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    types = ev.select("event_type").distinct()
+    bands = (
+        types.select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(19))).alias("band"),
+        )
+        .select(
+            "event_type",
+            F.col("band").cast("long").alias("band"),
+            (F.col("band") * 25.0).alias("lo"),
+            (F.col("band") * 25.0 + 30.0).alias("hi"),
+        )
+    )
+    j = interval_join(ev, bands, "value", "lo", "hi",
+                      on=["event_type"], bucket_width=25.0, closed="left")
+    return (
+        j.groupBy("event_type", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum("value").alias("total_value"),
+        )
+    )
+
+
+SQL_EVENTS_VALUE_BANDS = """
+WITH types AS (SELECT DISTINCT event_type FROM events),
+bands AS (
+  SELECT event_type, CAST(i AS BIGINT) AS band, i * 25.0 AS lo, i * 25.0 + 30.0 AS hi
+  FROM types, generate_series(0, 19) t(i)
+),
+j AS (
+  SELECT e.event_type, b.band, e.value
+  FROM events e JOIN bands b
+    ON e.event_type = b.event_type AND e.value >= b.lo AND e.value < b.hi
+)
+SELECT event_type, band,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM j GROUP BY 1, 2
+"""
+
+
 SQL_EVENTS_ASOF_ORDERS = """
 WITH od AS (
   SELECT o_custkey AS user_id, o_orderdate, MAX(o_orderkey) AS o_orderkey
@@ -1704,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "corpus_sample": q_corpus_sample,
         "events_asof_orders": q_events_asof_orders,
+        "events_value_bands": q_events_value_bands,
         "dedup_exact": q_dedup_exact,
         "dedup_spans_crossdoc": q_dedup_spans_crossdoc,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1758,6 +1811,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": SQL_PII_SCAN,
         "corpus_sample": SQL_CORPUS_SAMPLE,
         "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
+        "events_value_bands": SQL_EVENTS_VALUE_BANDS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_spans_crossdoc": SQL_DEDUP_SPANS_CROSSDOC,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
