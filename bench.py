@@ -55,6 +55,7 @@ HEADLINE = [
     "text_repetition",
     "pii_scan",
     "corpus_sample",
+    "curation_pipeline",
     "dedup_exact",
     "dedup_spans_crossdoc",
     "dedup_ngram_jaccard",

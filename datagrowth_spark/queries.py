@@ -1613,6 +1613,81 @@ WHERE bucket < CASE lang WHEN 'en' THEN {_SAMPLE_RATES['en']}
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation verdict: one pass assigns every document
+    its keep/drop decision with the reason — exact-dup canonical
+    election, repetition filters, quality threshold, deterministic
+    sample. Composition of operators/repetition + operators/sampling +
+    functions/text in a single plan: the per-doc scalars (lang, quality,
+    content hash) ride the repetition aggregates via carry-first, the
+    canonical election is one window over the content hash, and the
+    sample is a pure projection — three exchanges total, no joins.
+    """
+    from datagrowth_spark.operators import repetition as RT
+    from datagrowth_spark.operators import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = RT.ngram_repetition(
+        docs, "text", "doc_id", n=2,
+        carry={
+            "lang": F.col("lang"),
+            "quality": TX.quality_score("text"),
+            "h": F.md5(F.encode(F.col("text"), "utf-8")),
+        },
+    )
+    w = Window.partitionBy("h")
+    keep_rep = (F.col("dup_ngram_frac") <= 0.6) & (F.col("top_ngram_char_frac") <= 0.2)
+    out = (
+        rep.withColumn("is_canonical", (F.col("id") == F.min("id").over(w)).cast("int"))
+        .withColumn("bucket", SMP.hash_bucket(F.col("id"), salt="curation"))
+    )
+    verdict = (
+        F.when(F.col("is_canonical") == 0, F.lit("duplicate"))
+        .when(~keep_rep, F.lit("repetitive"))
+        .when(F.col("quality") < 0.3, F.lit("low_quality"))
+        .when(F.col("bucket") >= 80, F.lit("not_sampled"))
+        .otherwise(F.lit("keep"))
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "lang", "quality", "is_canonical",
+        keep_rep.cast("int").alias("keep_repetition"),
+        (F.col("bucket") < 80).cast("int").alias("sampled"),
+        verdict.alias("verdict"),
+    )
+
+
+def _sql_curation_pipeline() -> str:
+    return f"""
+WITH qual AS (SELECT doc_id, quality FROM ({SQL_TEXT_QUALITY}) q),
+rep AS (SELECT doc_id, dup_ngram_frac, top_ngram_char_frac FROM ({SQL_TEXT_REPETITION}) r),
+canon AS (
+  SELECT doc_id,
+         CAST(doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_canonical
+  FROM documents
+),
+samp AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('curation:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+SELECT d.doc_id, d.lang, q.quality, c.is_canonical,
+       CAST(r.dup_ngram_frac <= 0.6 AND r.top_ngram_char_frac <= 0.2 AS INT) AS keep_repetition,
+       CAST(s.bucket < 80 AS INT) AS sampled,
+       CASE WHEN c.is_canonical = 0 THEN 'duplicate'
+            WHEN NOT (r.dup_ngram_frac <= 0.6 AND r.top_ngram_char_frac <= 0.2) THEN 'repetitive'
+            WHEN q.quality < 0.3 THEN 'low_quality'
+            WHEN s.bucket >= 80 THEN 'not_sampled'
+            ELSE 'keep' END AS verdict
+FROM documents d
+JOIN qual q USING (doc_id) JOIN rep r USING (doc_id)
+JOIN canon c USING (doc_id) JOIN samp s USING (doc_id)
+"""
+
+
+SQL_CURATION_PIPELINE = _sql_curation_pipeline()
+
+
 # ---------------------------------------------------------------------------
 # As-of join (events ↔ latest prior order), oracle = DuckDB native ASOF JOIN
 # ---------------------------------------------------------------------------
@@ -1755,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "pii_scan": q_pii_scan,
         "corpus_sample": q_corpus_sample,
+        "curation_pipeline": q_curation_pipeline,
         "events_asof_orders": q_events_asof_orders,
         "events_value_bands": q_events_value_bands,
         "dedup_exact": q_dedup_exact,
@@ -1810,6 +1886,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": SQL_TEXT_REPETITION,
         "pii_scan": SQL_PII_SCAN,
         "corpus_sample": SQL_CORPUS_SAMPLE,
+        "curation_pipeline": SQL_CURATION_PIPELINE,
         "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
         "events_value_bands": SQL_EVENTS_VALUE_BANDS,
         "dedup_exact": SQL_DEDUP_EXACT,
