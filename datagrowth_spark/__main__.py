@@ -11,6 +11,7 @@ disk) and ``grow_dataset`` with querystring-style config
     python -m datagrowth_spark load-collection  <in_path> <collection_path> [--fmt jsonl|parquet]
     python -m datagrowth_spark grow-dataset     <module:Class> --warehouse <root> [-c key=value ...]
     python -m datagrowth_spark list-versions    <module:Class> --warehouse <root>
+    python -m datagrowth_spark curate           <sf_dir> <out_path>
 
 ``grow-dataset`` imports the Dataset class, parses ``-c key=value``
 config pairs (the reference's DecodeConfigAction shape), and runs one
@@ -87,6 +88,20 @@ def cmd_grow_dataset(args) -> None:
     print(json.dumps({"signature": dataset.signature, **entry}))
 
 
+def cmd_curate(args) -> None:
+    """Run the curation verdict plan over a documents parquet table and
+    write per-document verdicts (see queries.q_curation_pipeline)."""
+    from datagrowth_spark import queries as Q
+
+    spark = _get_spark()
+    out = Q.q_curation_pipeline(spark, os.path.dirname(args.src.rstrip("/"))
+                                if args.src.endswith("documents.parquet")
+                                else args.src)
+    out.write.mode("overwrite").parquet(args.dest)
+    kept = out.where(out.verdict == "keep").count()
+    print(json.dumps({"documents": out.count(), "kept": kept, "dest": args.dest}))
+
+
 def cmd_list_versions(args) -> None:
     from datagrowth_spark.plans.dataset import DatasetWarehouse
 
@@ -110,6 +125,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("src"); p.add_argument("dest")
     p.add_argument("--fmt", choices=("jsonl", "parquet"), default="jsonl")
     p.set_defaults(func=cmd_load_collection)
+
+    p = sub.add_parser("curate")
+    p.add_argument("src", help="sf dir containing documents.parquet (or the file itself)")
+    p.add_argument("dest")
+    p.set_defaults(func=cmd_curate)
 
     for name, func in (("grow-dataset", cmd_grow_dataset),
                        ("list-versions", cmd_list_versions)):

@@ -66,3 +66,12 @@ def test_cli_grow_list_dump_load_roundtrip(tmp_path):
     restored = str(tmp_path / "restored")
     out = _run(["load-collection", dump, restored, "--fmt", "jsonl"], cwd=str(tmp_path))
     assert "loaded 4 documents" in out
+
+
+def test_cli_curate_writes_verdicts(tmp_path):
+    out = _run(["curate", "/root/testdata/sf0.001", str(tmp_path / "verdicts")],
+               cwd=str(tmp_path))
+    payload = json.loads(out.strip().splitlines()[-1])
+    assert payload["documents"] == 500
+    assert 0 < payload["kept"] <= payload["documents"]
+    assert os.path.isdir(tmp_path / "verdicts")
