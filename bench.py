@@ -53,6 +53,7 @@ HEADLINE = [
     "text_language_id",
     "text_fingerprint",
     "text_repetition",
+    "corpus_vocab",
     "pii_scan",
     "corpus_sample",
     "curation_pipeline",
@@ -68,6 +69,7 @@ HEADLINE = [
     "similarity_topk",
     "similarity_topk_ivf",
     "embedding_near_dups",
+    "embedding_centroids",
     "media_decode",
     "media_resize",
     "media_frames",

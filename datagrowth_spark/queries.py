@@ -1688,6 +1688,75 @@ JOIN canon c USING (doc_id) JOIN samp s USING (doc_id)
 SQL_CURATION_PIPELINE = _sql_curation_pipeline()
 
 
+def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics (the tokenizer-training precursor):
+    top tokens by occurrence with document frequency. One explode + one
+    hash aggregate; map-side partial aggregation collapses the token
+    distribution before the single shuffle, so the plan is scan-bound at
+    100 TB. Full deterministic tiebreak on the top-k.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(TX.tokens_col(F.lower(F.col("text")))).alias("token"),
+    )
+    return (
+        ex.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(50)
+    )
+
+
+SQL_CORPUS_VOCAB = f"""
+WITH ex AS (
+  SELECT doc_id AS id, unnest({_TOKS_SQL}) AS token FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs
+FROM ex GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 50
+"""
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, flat (label, pos, value) form —
+    the k-means M-step / class-prototype computation over an
+    array<float> column. posexplode → one hash aggregate keyed
+    (label, pos): the array never round-trips through Python and the
+    shuffle carries scalars. Exact-decimal sums make the mean
+    order-independent (bit-identical on any partitioning).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        flat.groupBy("label", "pos")
+        .agg(
+            F.round(
+                (F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                 / F.count(F.lit(1))),
+                6,
+            ).alias("centroid")
+        )
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH flat AS (
+  SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+)
+SELECT label, pos,
+       round(CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS centroid
+FROM flat GROUP BY label, pos
+"""
+
+
 # ---------------------------------------------------------------------------
 # As-of join (events ↔ latest prior order), oracle = DuckDB native ASOF JOIN
 # ---------------------------------------------------------------------------
@@ -1828,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
+        "corpus_vocab": q_corpus_vocab,
         "pii_scan": q_pii_scan,
         "corpus_sample": q_corpus_sample,
         "curation_pipeline": q_curation_pipeline,
@@ -1845,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_topk_ivf": q_similarity_topk_ivf,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_centroids": q_embedding_centroids,
         "media_decode": q_media_decode,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
@@ -1884,6 +1955,7 @@ def oracle_sql() -> dict[str, str]:
         "text_language_id": _langid_sql(),
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "text_repetition": SQL_TEXT_REPETITION,
+        "corpus_vocab": SQL_CORPUS_VOCAB,
         "pii_scan": SQL_PII_SCAN,
         "corpus_sample": SQL_CORPUS_SAMPLE,
         "curation_pipeline": SQL_CURATION_PIPELINE,
@@ -1901,6 +1973,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "similarity_topk_ivf": SQL_SIMILARITY_TOPK_IVF,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+        "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "media_decode": SQL_MEDIA_DECODE,
         "media_resize": SQL_MEDIA_RESIZE,
         "media_frames": SQL_MEDIA_FRAMES,
