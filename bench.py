@@ -54,6 +54,9 @@ HEADLINE = [
     "text_fingerprint",
     "text_repetition",
     "corpus_vocab",
+    "corpus_pack",
+    "corpus_split_stratified",
+    "bpe_pair_counts",
     "pii_scan",
     "corpus_sample",
     "curation_pipeline",
@@ -70,6 +73,7 @@ HEADLINE = [
     "similarity_topk_ivf",
     "embedding_near_dups",
     "embedding_centroids",
+    "embedding_assign",
     "media_decode",
     "media_resize",
     "media_frames",

@@ -166,6 +166,18 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return shingles_from_tokens(toks, n)
 
 
+def char_pairs(word: Column | str) -> Column:
+    """Adjacent character pairs of a word — the unit the first BPE merge
+    iteration counts. ``sequence`` is guarded for words shorter than 2
+    chars (Spark's ``sequence(1, 0)`` would count DOWN, not empty).
+    """
+    word = F.col(word) if isinstance(word, str) else word
+    idx = F.sequence(F.lit(1), F.length(word) - 1)
+    return F.when(F.length(word) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: word.substr(i, F.lit(2)))
+    )
+
+
 def md5_long(col: Column, chars: int = 8) -> Column:
     """First `chars` hex digits of md5 as a BIGINT — the cross-engine
     deterministic hash primitive (DuckDB: CAST('0x'||substr(md5(x),1,8) AS BIGINT))."""

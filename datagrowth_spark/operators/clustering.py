@@ -1,0 +1,99 @@
+"""Embedding-space clustering primitives — centroids and assignment.
+
+The two halves of Lloyd's algorithm as relational plans over an
+``array<float>`` column:
+
+* :func:`label_centroids` — the M-step: per-group mean vectors via
+  ``posexplode`` + one hash aggregate keyed ``(group, pos)``. The array
+  never round-trips through Python and the shuffle carries scalars.
+  Exact-decimal sums make the mean order-independent (bit-identical on
+  any partitioning), which is what lets an oracle engine replay it.
+* :func:`assign_to_centroids` — the E-step: nearest-centroid assignment
+  via a broadcast of the (small, k-row) centroid frame, squared-L2 in a
+  single ``zip_with``/``aggregate`` JVM expression, deterministic argmin
+  through a struct-min with the centroid id as tiebreaker.
+
+At 100 TB the E-step is a map-only stage (centroids broadcast, one
+output row per input row before the final count aggregate) and the
+M-step is one shuffle of ``groups × dims`` scalars — both survive any
+scale-up. Iterating the two to convergence is a driver loop; MLlib
+KMeans (already used by `operators/similarity.build_ivf_index`) is the
+prebuilt alternative — this module exists for deterministic,
+oracle-checkable steps.
+
+Beyond-reference surface (SURVEY §2.5: the reference has no numeric
+vector operations at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def label_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    scale: int = 9,
+) -> DataFrame:
+    """Per-group mean vector, flat ``(group, pos, centroid)`` form."""
+    flat = df.select(group_col, F.posexplode(vec_col).alias("pos", "val"))
+    return flat.groupBy(group_col, "pos").agg(
+        (
+            F.sum(F.col("val").cast(f"decimal(18,{scale})")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("centroid")
+    )
+
+
+def centroid_vectors(flat_centroids: DataFrame, group_col: str) -> DataFrame:
+    """Re-assemble flat centroids into ``(centroid_id, centroid)`` arrays,
+    position-sorted so the vector layout is deterministic."""
+    return (
+        flat_centroids.groupBy(group_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "centroid"))).alias("pc"))
+        .select(
+            F.col(group_col).alias("centroid_id"),
+            F.transform("pc", lambda s: s["centroid"]).alias("centroid"),
+        )
+    )
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Nearest-centroid assignment (squared L2, deterministic tiebreak).
+
+    ``centroids`` is a ``(centroid_id, centroid: array<double>)`` frame —
+    small by construction (k rows), so it broadcasts and the join is a
+    map-only nested loop: no shuffle of the corpus side. Distances are
+    rounded to 6dp before the argmin so a last-ulp float difference can
+    never flip an assignment between engines; exact ties break toward
+    the smaller ``centroid_id``.
+    """
+    d2 = F.aggregate(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.col("centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        *keep_cols,
+        F.col("centroid_id"),
+        F.round(d2, 6).alias("d2"),
+    )
+    best = F.min(F.struct("d2", "centroid_id")).alias("best")
+    return (
+        scored.groupBy(id_col, *keep_cols)
+        .agg(best)
+        .select(id_col, *keep_cols, F.col("best.centroid_id").alias("assigned"))
+    )

@@ -1757,6 +1757,176 @@ FROM flat GROUP BY label, pos
 """
 
 
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (pack-then-chunk): concatenate all documents into
+    one token stream in doc_id order, cut every 512 tokens, report
+    per-chunk occupancy. Prefix sum via one global-sort window (sharded
+    in production — see operators/packing.py), then an arithmetic
+    explode + one hash aggregate. ``n_tokens`` == 512 for every chunk
+    but the last, a built-in consistency check the oracle verifies.
+    """
+    from datagrowth_spark.operators import packing as PK
+
+    docs = _t(spark, sf_dir, "documents")
+    counted = docs.select("doc_id", TX.token_count("text").alias("n_toks"))
+    layout = PK.pack_layout(counted, "doc_id", "n_toks", ctx=512)
+    return PK.chunk_stats(layout, ctx=512)
+
+
+SQL_CORPUS_PACK = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents
+),
+p AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS stream_end
+  FROM d WHERE n_tokens > 0
+),
+e AS (
+  SELECT doc_id, n_tokens, stream_end - n_tokens AS start,
+         (stream_end - n_tokens) // 512 AS first_chunk,
+         (stream_end - 1) // 512 AS last_chunk
+  FROM p
+),
+x AS (
+  SELECT e.*, g.chunk_id
+  FROM e, LATERAL unnest(generate_series(e.first_chunk, e.last_chunk)) AS g(chunk_id)
+)
+SELECT chunk_id, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN first_chunk = chunk_id THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+       CAST(SUM(LEAST(start + n_tokens, (chunk_id + 1) * 512) - GREATEST(start, chunk_id * 512)) AS BIGINT) AS n_tokens
+FROM x GROUP BY chunk_id
+"""
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge iteration: collapse the corpus to word
+    frequencies (one shuffle over the word distribution — tiny after
+    map-side combine), then count adjacent character pairs weighted by
+    word frequency. Two hash aggregates, zero Python; at 100 TB the
+    second aggregate's input is the VOCABULARY (millions of rows), not
+    the corpus, which is why BPE training factors through word counts.
+    Full deterministic top-k tiebreak.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(TX.normalized_tokens(F.col("text"))).alias("w"))
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.where(F.length("w") >= 2).select(
+        F.explode(TX.char_pairs(F.col("w"))).alias("pair"), "freq"
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(50)
+    )
+
+
+SQL_BPE_PAIR_COUNTS = f"""
+WITH words AS (
+  SELECT unnest({_NORM_TOKS_SQL}) AS w FROM documents
+),
+wf AS (
+  SELECT w, COUNT(*) AS freq FROM words GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, CAST(g.i AS INT), 2) AS pair, freq
+  FROM wf, LATERAL unnest(generate_series(1, len(w) - 1)) AS g(i)
+  WHERE len(w) >= 2
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT 50
+"""
+
+
+_SPLIT_TRAIN, _SPLIT_VALIDATE = 80, 90  # bucket < 80 → train, < 90 → validate
+
+
+def q_corpus_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validate/test split audit: every document's
+    split is a pure function of its key (salted-md5 bucket), so the
+    assignment is identical on 1 executor or 1000, across re-runs and
+    incremental growth — unlike seed-based randomSplit, whose output
+    depends on partition layout (see operators/sampling.py). One
+    projection + one count aggregate per (lang, split).
+    """
+    from datagrowth_spark.operators import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = SMP.hash_bucket("doc_id", 100, salt="split")
+    split = (
+        F.when(bucket < _SPLIT_TRAIN, F.lit("train"))
+        .when(bucket < _SPLIT_VALIDATE, F.lit("validate"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+SQL_CORPUS_SPLIT_STRATIFIED = f"""
+WITH b AS (
+  SELECT lang, n_chars,
+         CAST(CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 100 AS INT) AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+            WHEN bucket < {_SPLIT_VALIDATE} THEN 'validate'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_embedding_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's E-step as a relational plan: assign every embedding to its
+    nearest per-label centroid (from q_embedding_centroids' M-step) and
+    report the label × assigned confusion counts. The centroid frame is
+    k rows → broadcast; the corpus side never shuffles before the final
+    tiny count aggregate. See operators/clustering.py for the
+    determinism contract (6dp distance rounding, id tiebreak).
+    """
+    from datagrowth_spark.operators import clustering as CL
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = CL.centroid_vectors(CL.label_centroids(emb, "label"), "label")
+    assigned = CL.assign_to_centroids(emb, cents, id_col="vec_id", keep_cols=("label",))
+    return assigned.groupBy("label", "assigned").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+SQL_EMBEDDING_ASSIGN = """
+WITH flat AS (
+  SELECT vec_id, label, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS centroid_id, pos,
+         CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid
+  FROM flat GROUP BY 1, 2
+),
+dists AS (
+  SELECT f.vec_id, f.label, c.centroid_id,
+         round(SUM((CAST(f.val AS DOUBLE) - c.centroid) ^ 2), 6) AS d2
+  FROM flat f JOIN cent c USING (pos)
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, label, centroid_id AS assigned,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+  FROM dists
+)
+SELECT label, assigned, COUNT(*) AS n_vecs
+FROM best WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # As-of join (events ↔ latest prior order), oracle = DuckDB native ASOF JOIN
 # ---------------------------------------------------------------------------
@@ -1898,6 +2068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "corpus_vocab": q_corpus_vocab,
+        "corpus_pack": q_corpus_pack,
+        "corpus_split_stratified": q_corpus_split_stratified,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "pii_scan": q_pii_scan,
         "corpus_sample": q_corpus_sample,
         "curation_pipeline": q_curation_pipeline,
@@ -1916,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_ivf": q_similarity_topk_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_centroids": q_embedding_centroids,
+        "embedding_assign": q_embedding_assign,
         "media_decode": q_media_decode,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
@@ -1956,6 +2130,9 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "text_repetition": SQL_TEXT_REPETITION,
         "corpus_vocab": SQL_CORPUS_VOCAB,
+        "corpus_pack": SQL_CORPUS_PACK,
+        "corpus_split_stratified": SQL_CORPUS_SPLIT_STRATIFIED,
+        "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
         "pii_scan": SQL_PII_SCAN,
         "corpus_sample": SQL_CORPUS_SAMPLE,
         "curation_pipeline": SQL_CURATION_PIPELINE,
@@ -1974,6 +2151,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk_ivf": SQL_SIMILARITY_TOPK_IVF,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+        "embedding_assign": SQL_EMBEDDING_ASSIGN,
         "media_decode": SQL_MEDIA_DECODE,
         "media_resize": SQL_MEDIA_RESIZE,
         "media_frames": SQL_MEDIA_FRAMES,
