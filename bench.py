@@ -82,6 +82,7 @@ HEADLINE = [
     "pipeline_growth_enrich",
     "streaming_events_hourly",
     "streaming_dedup_exact",
+    "streaming_sessionize",
 ]
 
 

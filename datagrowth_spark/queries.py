@@ -1400,6 +1400,48 @@ FROM documents GROUP BY lang
 """
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization computed BY THE STREAMING PATH: native
+    ``session_window`` state (30-min inactivity gap) keyed by user,
+    drained with availableNow, then rolled up per user. Semantics note
+    the oracle mirrors: ``session_window`` opens a NEW session when the
+    gap is exactly 30 minutes (boundary is ``>=``), while the batch
+    lag() plan in q_events_sessionize uses strict ``>`` — the two agree
+    everywhere except exact-boundary gaps.
+    """
+    from datagrowth_spark.streaming import read_events_stream, sessionize_stream
+    from datagrowth_spark.streaming.events import run_to_memory
+
+    name = "stream_sessionize"
+    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    query = run_to_memory(sessionize_stream(stream), name, output_mode="complete")
+    query.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.sum(F.col("total_value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+SQL_STREAMING_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM flagged
+GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Repetition / corpus-duplication signals (Gopher-style quality filters)
 # ---------------------------------------------------------------------------
@@ -2098,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_growth_enrich": q_pipeline_growth_enrich,
         "streaming_events_hourly": q_streaming_events_hourly,
         "streaming_dedup_exact": q_streaming_dedup_exact,
+        "streaming_sessionize": q_streaming_sessionize,
     }
 
 
@@ -2160,4 +2203,5 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_growth_enrich": SQL_PIPELINE_GROWTH_ENRICH,
         "streaming_events_hourly": SQL_STREAMING_EVENTS_HOURLY,
         "streaming_dedup_exact": SQL_STREAMING_DEDUP_EXACT,
+        "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
     }
