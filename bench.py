@@ -56,7 +56,10 @@ HEADLINE = [
     "corpus_vocab",
     "corpus_pack",
     "corpus_split_stratified",
+    "corpus_mix_rebalance",
     "bpe_pair_counts",
+    "tfidf_top_terms",
+    "quality_threshold_by_lang",
     "pii_scan",
     "corpus_sample",
     "curation_pipeline",

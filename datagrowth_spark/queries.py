@@ -1969,6 +1969,155 @@ FROM best WHERE rn = 1 GROUP BY 1, 2
 """
 
 
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def q_corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: downsample sources to hit target weights
+    (see operators/mixing.py). The rate computation is a dimension-sized
+    aggregate + broadcast join; keep decisions are deterministic hash
+    buckets, so there is no corpus-sized shuffle and the oracle can
+    replay every decision. Both engines evaluate the rate arithmetic in
+    IEEE doubles with the same operation order, so the floor() lands
+    identically.
+    """
+    from datagrowth_spark.operators import mixing as MX
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = MX.rebalance(docs, _MIX_WEIGHTS, "source", "doc_id")
+    return kept.groupBy("source", "rate_permille").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
+def _mix_weight_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN CAST({w} AS DOUBLE)" for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"CASE source {cases} END"
+
+
+SQL_CORPUS_MIX_REBALANCE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, {_mix_weight_sql()} AS weight FROM counts
+),
+t AS (
+  SELECT MIN(n_docs / weight) AS t_max FROM w WHERE weight IS NOT NULL
+),
+rates AS (
+  SELECT source, n_docs,
+         CAST(COALESCE(floor(CAST(1000.0 AS DOUBLE) * weight * t_max / n_docs), 0) AS INT) AS rate_permille
+  FROM w, t
+),
+kept AS (
+  SELECT d.source, r.rate_permille, d.n_chars
+  FROM documents d JOIN rates r USING (source)
+  WHERE CAST(CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 1000 AS INT) < r.rate_permille
+)
+SELECT source, rate_permille, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM kept GROUP BY 1, 2
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide TF-IDF extremes: per-(doc, token) term frequency
+    joined with the corpus document-frequency table, scored
+    tf·ln(N/df). The join shuffles on token — the inherent key — and
+    top-k is a TakeOrdered, no global sort. Scores round to 6dp before
+    ranking so a last-ulp ln() difference can never reorder the top-k;
+    ties break on (token, doc_id).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    toks = docs.select("doc_id", F.explode(TX.normalized_tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", "token", "tf", "df",
+            F.round(F.col("tf") * F.log(F.col("n_total") / F.col("df")), 6).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), F.asc("token"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_NORM_TOKS_SQL}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+),
+total AS (SELECT COUNT(*) AS n_total FROM documents)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(tf * ln(n_total / df), 6) AS tfidf
+FROM tf JOIN dfreq USING (token), total
+ORDER BY tfidf DESC, token ASC, doc_id ASC
+LIMIT 50
+"""
+
+
+def q_quality_threshold_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-percentile filter: the P25 quality score of
+    each language is the cut, documents below it drop. The threshold is
+    RANK-based (the value at row ceil(0.25·n) in (score, doc_id) order)
+    rather than interpolated, so both engines select the same stored
+    value — no cross-engine float interpolation to drift. One window
+    over (lang) + one broadcast join of the 5-row threshold frame.
+    """
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.round(TX.quality_score(F.col("text")), 6).alias("q")
+    )
+    w = Window.partitionBy("lang").orderBy("q", "doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "k", F.greatest(F.lit(1), F.ceil(F.lit(0.25) * F.count(F.lit(1)).over(Window.partitionBy("lang"))))
+    )
+    thr = ranked.groupBy("lang").agg(
+        F.max(F.when(F.col("rn") == F.col("k"), F.col("q"))).alias("threshold")
+    )
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .groupBy("lang", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("q") >= F.col("threshold")).cast("long")).alias("n_kept"),
+        )
+    )
+
+
+SQL_QUALITY_THRESHOLD_BY_LANG = f"""
+WITH scored AS (
+  SELECT d.doc_id, d.lang, q.quality AS q
+  FROM documents d JOIN ({SQL_TEXT_QUALITY}) q USING (doc_id)
+),
+ranked AS (
+  SELECT lang, q,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn,
+         GREATEST(1, CEIL(0.25 * COUNT(*) OVER (PARTITION BY lang))) AS k
+  FROM scored
+),
+thr AS (
+  SELECT lang, MAX(CASE WHEN rn = k THEN q END) AS threshold FROM ranked GROUP BY lang
+)
+SELECT s.lang, t.threshold, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN s.q >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM scored s JOIN thr t USING (lang)
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # As-of join (events ↔ latest prior order), oracle = DuckDB native ASOF JOIN
 # ---------------------------------------------------------------------------
@@ -2112,7 +2261,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab": q_corpus_vocab,
         "corpus_pack": q_corpus_pack,
         "corpus_split_stratified": q_corpus_split_stratified,
+        "corpus_mix_rebalance": q_corpus_mix_rebalance,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "quality_threshold_by_lang": q_quality_threshold_by_lang,
         "pii_scan": q_pii_scan,
         "corpus_sample": q_corpus_sample,
         "curation_pipeline": q_curation_pipeline,
@@ -2175,7 +2327,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_vocab": SQL_CORPUS_VOCAB,
         "corpus_pack": SQL_CORPUS_PACK,
         "corpus_split_stratified": SQL_CORPUS_SPLIT_STRATIFIED,
+        "corpus_mix_rebalance": SQL_CORPUS_MIX_REBALANCE,
         "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
+        "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+        "quality_threshold_by_lang": SQL_QUALITY_THRESHOLD_BY_LANG,
         "pii_scan": SQL_PII_SCAN,
         "corpus_sample": SQL_CORPUS_SAMPLE,
         "curation_pipeline": SQL_CURATION_PIPELINE,
