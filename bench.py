@@ -46,6 +46,8 @@ HEADLINE = [
     "events_json_props",
     "events_asof_orders",
     "events_value_bands",
+    "events_rolling",
+    "customer_rfm",
     "finished_not_pending_custs",
     "docs_by_lang",
     "text_stats",

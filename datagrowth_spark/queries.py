@@ -616,6 +616,93 @@ SELECT DISTINCT o_custkey AS user_id FROM orders WHERE o_orderstatus = 'P'
 """
 
 
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-frame rolling aggregates: each user's peak 7-day event count
+    and value. The RANGE frame is expressed over epoch MICROS (not
+    seconds — a second-truncated ordering would mis-frame sub-second
+    neighbors) and the rolling sum rides an exact decimal so frame
+    evaluation order can't perturb it. One shuffle on user_id; both
+    windows and the final aggregate share that partitioning, so the
+    sort amortizes across all three.
+    """
+    ev = _events(spark, sf_dir)
+    micros_7d = 7 * 86400 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-micros_7d, 0)
+    )
+    rolled = ev.select(
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("v_7d"),
+    )
+    return rolled.groupBy("user_id").agg(
+        F.max("n_7d").alias("peak_7d_events"),
+        F.max("v_7d").alias("peak_7d_value"),
+    )
+
+
+SQL_EVENTS_ROLLING = """
+WITH r AS (
+  SELECT user_id,
+         COUNT(*) OVER w AS n_7d,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_7d
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, MAX(n_7d) AS peak_7d_events, MAX(v_7d) AS peak_7d_value
+FROM r GROUP BY user_id
+"""
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quartiles via ntile
+    with full (metric, custkey) tiebreaks, rolled up to segment counts.
+    ntile is a global sort — exact and oracle-replayable, the right call
+    for a customer dimension (small relative to facts). For fact-scale
+    segmentation swap in approx-quantile cut points; the segment
+    semantics stay identical.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        _dec_sum("o_totalprice").alias("monetary"),
+    )
+    tiles = per.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))).alias("r_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("freq"), F.asc("o_custkey"))).alias("f_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))).alias("m_q"),
+    )
+    return tiles.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double").alias("segment_value"),
+    )
+
+
+SQL_CUSTOMER_RFM = """
+WITH per AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_order, COUNT(*) AS freq,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+tiles AS (
+  SELECT o_custkey, monetary,
+         NTILE(4) OVER (ORDER BY last_order DESC, o_custkey ASC) AS r_q,
+         NTILE(4) OVER (ORDER BY freq DESC, o_custkey ASC) AS f_q,
+         NTILE(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_q
+  FROM per
+)
+SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS segment_value
+FROM tiles GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Documents: grouping, text analysis, fingerprints
 # ---------------------------------------------------------------------------
@@ -2270,6 +2357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "events_asof_orders": q_events_asof_orders,
         "events_value_bands": q_events_value_bands,
+        "events_rolling": q_events_rolling,
+        "customer_rfm": q_customer_rfm,
         "dedup_exact": q_dedup_exact,
         "dedup_spans_crossdoc": q_dedup_spans_crossdoc,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2336,6 +2425,8 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": SQL_CURATION_PIPELINE,
         "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
         "events_value_bands": SQL_EVENTS_VALUE_BANDS,
+        "events_rolling": SQL_EVENTS_ROLLING,
+        "customer_rfm": SQL_CUSTOMER_RFM,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_spans_crossdoc": SQL_DEDUP_SPANS_CROSSDOC,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
