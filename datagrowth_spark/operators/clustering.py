@@ -70,30 +70,29 @@ def assign_to_centroids(
     """Nearest-centroid assignment (squared L2, deterministic tiebreak).
 
     ``centroids`` is a ``(centroid_id, centroid: array<double>)`` frame —
-    small by construction (k rows), so it broadcasts and the join is a
-    map-only nested loop: no shuffle of the corpus side. Distances are
-    rounded to 6dp before the argmin so a last-ulp float difference can
-    never flip an assignment between engines; exact ties break toward
-    the smaller ``centroid_id``.
+    small by construction (k rows), so it packs into ONE broadcast row
+    and the argmin runs per corpus row inside a single JVM expression:
+    truly map-only, zero shuffles of the corpus side (a cross-join +
+    groupBy(id) formulation would shuffle a k×-expanded corpus — the
+    audit caught exactly that in the first cut). Distances are rounded
+    to 6dp before the argmin so a last-ulp float difference can never
+    flip an assignment between engines; exact ties break toward the
+    smaller ``centroid_id`` via struct ordering.
     """
-    d2 = F.aggregate(
-        F.zip_with(
-            F.transform(F.col(vec_col), lambda x: x.cast("double")),
-            F.col("centroid"),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    packed = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("centroid_id", "centroid"))).alias("_cents")
     )
-    scored = df.crossJoin(F.broadcast(centroids)).select(
-        id_col,
-        *keep_cols,
-        F.col("centroid_id"),
-        F.round(d2, 6).alias("d2"),
-    )
-    best = F.min(F.struct("d2", "centroid_id")).alias("best")
-    return (
-        scored.groupBy(id_col, *keep_cols)
-        .agg(best)
-        .select(id_col, *keep_cols, F.col("best.centroid_id").alias("assigned"))
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def _scored(c):
+        d2 = F.aggregate(
+            F.zip_with(vec, c["centroid"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(F.round(d2, 6).alias("d2"), c["centroid_id"].alias("centroid_id"))
+
+    best = F.array_min(F.transform(F.col("_cents"), _scored))
+    return df.crossJoin(F.broadcast(packed)).select(
+        id_col, *keep_cols, best["centroid_id"].alias("assigned")
     )
