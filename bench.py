@@ -108,16 +108,24 @@ def main() -> None:
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     registry = Q.queries()
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    errors: dict[str, str] = {}
     for _ in range(repeats):
         for name in HEADLINE:
+            if name in errors:
+                continue  # failed once — don't burn repeats re-failing
             fn = registry[name]
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # per-query isolation: one failure
+                # must never wipe the whole bench record (round-2 lesson)
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                continue
             runs[name].append(round(time.time() - t0, 3))
 
-    timings = {name: min(times) for name, times in runs.items()}
+    timings = {name: min(times) for name, times in runs.items() if times}
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    record = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
@@ -125,7 +133,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "repeats": repeats,
         "runs": runs,
-    }))
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
     spark.stop()
 
 

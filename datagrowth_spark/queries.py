@@ -39,15 +39,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with its TIMESTAMP(NANOS) column surfaced as timestamp.
+    """events table with its ``ts`` column surfaced as a plain timestamp.
 
-    Spark's vectorized parquet reader rejects nanos timestamps; read them
-    as long (legacy conf, runtime-settable) and floor-divide to micros —
-    bit-identical to DuckDB's ns→µs truncation.
+    The fixture's physical type has drifted between TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across generations, so branch on the dtype Spark
+    actually reads instead of assuming either:
+
+    * long (nanos under ``spark.sql.legacy.parquet.nanosAsLong``) →
+      floor-divide to micros, bit-identical to DuckDB's ns→µs truncation;
+    * timestamp / timestamp_ntz → a bare cast (µs precision preserved).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = _t(spark, sf_dir, "events")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _dec_sum(col, scale: int = 2):

@@ -19,14 +19,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
 
 
 def read_events_stream(
@@ -34,13 +35,15 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over events parquet (directory of files).
 
-    The testdata's ``ts`` is parquet TIMESTAMP(NANOS), which the
-    vectorized reader rejects; read it as long (legacy conf) and
-    floor-divide to micros — same convention as the batch path
-    (``queries._events``).
+    The fixture's ``ts`` physical type has drifted between
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS); probe the actual dtype with
+    a one-off batch schema read and branch — same convention as the
+    batch path (``queries._events``). The probe reads only parquet
+    footers, not data.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    reader = spark.readStream.schema(_events_raw_schema(ts_type))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     import os
@@ -50,7 +53,9 @@ def read_events_stream(
         # single-file table streams fine through a glob of itself.
         path = path + "*"
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type.simpleString() == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(

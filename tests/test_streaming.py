@@ -39,7 +39,9 @@ def events_dir(spark, tmp_path_factory):
 @pytest.fixture(scope="module")
 def events_batch(spark, events_dir):
     df = spark.read.parquet(events_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if df.schema["ts"].dataType.simpleString() == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def test_windowed_counts_matches_batch(spark, events_dir, events_batch):
