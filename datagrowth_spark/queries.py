@@ -2325,27 +2325,51 @@ FROM j GROUP BY event_type
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry, ordered for the driver's bounded correctness window.
+
+    The driver oracle-checks the FIRST 50 entries only, so ordering is a
+    coverage decision: entries with the least recent correctness signal
+    (never-checked, new-this-round, or failed-last-round) come first;
+    the long-stable TPC-H relational queries — green in every round and
+    independently smoke-checked via ``entry()`` — absorb the overflow
+    positions past 50. When adding a query, insert it near the top.
+    """
     return {
-        "pricing_summary": q_pricing_summary,
-        "top_orders": q_top_orders,
-        "nation_revenue": q_nation_revenue,
-        "returned_items": q_returned_items,
-        "top_parts_per_brand": q_top_parts_per_brand,
-        "customers_without_orders": q_customers_without_orders,
-        "active_suppliers": q_active_suppliers,
-        "customer_order_merge": q_customer_order_merge,
-        "orders_rollup": q_orders_rollup,
-        "order_count_distribution": q_order_count_distribution,
-        "big_orders": q_big_orders,
-        "rich_idle_customers": q_rich_idle_customers,
-        "promo_share_monthly": q_promo_share_monthly,
-        "order_priority_check": q_order_priority_check,
-        "supplier_diversity": q_supplier_diversity,
+        # never driver-checked before round 3
+        "embedding_centroids": q_embedding_centroids,
+        "embedding_assign": q_embedding_assign,
+        "streaming_dedup_exact": q_streaming_dedup_exact,
+        "streaming_sessionize": q_streaming_sessionize,
+        # checked in round 1 only (fell past the window in round 2)
+        "similarity_topk_ivf": q_similarity_topk_ivf,
+        "embedding_near_dups": q_embedding_near_dups,
+        "media_decode": q_media_decode,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
+        "media_features": q_media_features,
+        "pipeline_seed_merge": q_pipeline_seed_merge,
+        "pipeline_growth_enrich": q_pipeline_growth_enrich,
+        "streaming_events_hourly": q_streaming_events_hourly,
+        # failed round 2 on the events ts dtype bug — need a green row
         "events_daily": q_events_daily,
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
         "events_value_quantiles": q_events_value_quantiles,
-        "finished_not_pending_custs": q_finished_not_pending_custs,
+        "events_asof_orders": q_events_asof_orders,
+        "events_value_bands": q_events_value_bands,
+        "events_rolling": q_events_rolling,
+        # the rest of the operator surface
+        "customer_rfm": q_customer_rfm,
+        "similarity_topk": q_similarity_topk,
+        "dedup_exact": q_dedup_exact,
+        "dedup_spans_crossdoc": q_dedup_spans_crossdoc,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "decontamination": q_decontamination,
         "docs_by_lang": q_docs_by_lang,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -2362,33 +2386,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "corpus_sample": q_corpus_sample,
         "curation_pipeline": q_curation_pipeline,
-        "events_asof_orders": q_events_asof_orders,
-        "events_value_bands": q_events_value_bands,
-        "events_rolling": q_events_rolling,
-        "customer_rfm": q_customer_rfm,
-        "dedup_exact": q_dedup_exact,
-        "dedup_spans_crossdoc": q_dedup_spans_crossdoc,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "decontamination": q_decontamination,
-        "similarity_topk": q_similarity_topk,
-        "similarity_topk_ivf": q_similarity_topk_ivf,
-        "embedding_near_dups": q_embedding_near_dups,
-        "embedding_centroids": q_embedding_centroids,
-        "embedding_assign": q_embedding_assign,
-        "media_decode": q_media_decode,
-        "media_resize": q_media_resize,
-        "media_frames": q_media_frames,
-        "media_features": q_media_features,
-        "pipeline_seed_merge": q_pipeline_seed_merge,
-        "pipeline_growth_enrich": q_pipeline_growth_enrich,
-        "streaming_events_hourly": q_streaming_events_hourly,
-        "streaming_dedup_exact": q_streaming_dedup_exact,
-        "streaming_sessionize": q_streaming_sessionize,
+        "finished_not_pending_custs": q_finished_not_pending_custs,
+        "order_priority_check": q_order_priority_check,
+        "supplier_diversity": q_supplier_diversity,
+        # --- past the 50-entry window: long-stable relational core,
+        # green in rounds 1 AND 2; pricing_summary is also exercised
+        # every round via entry() ---
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "nation_revenue": q_nation_revenue,
+        "returned_items": q_returned_items,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "customers_without_orders": q_customers_without_orders,
+        "active_suppliers": q_active_suppliers,
+        "customer_order_merge": q_customer_order_merge,
+        "orders_rollup": q_orders_rollup,
+        "order_count_distribution": q_order_count_distribution,
+        "big_orders": q_big_orders,
+        "rich_idle_customers": q_rich_idle_customers,
+        "promo_share_monthly": q_promo_share_monthly,
     }
 
 
