@@ -7,17 +7,19 @@ straddle a chunk boundary. The layout is therefore fully described by
 each document's start offset in the stream — an inclusive prefix sum of
 token counts — from which the chunks it touches follow arithmetically.
 
-Plan shape: one global-sort window for the prefix sum (Spark range-
-partitions the sort, so this distributes), then a per-row ``sequence``
-explode (documents rarely span more than a couple of chunks) and one
-hash aggregate keyed by chunk. No Python anywhere.
+Plan shape: a TWO-PASS sharded prefix sum — quantile-derived range cuts
+split the key space into shards, each shard does an independent window
+prefix sum, and a tiny per-shard-total aggregate (one row per shard)
+turns local sums into global offsets via a broadcast join. Then a
+per-row ``sequence`` explode (documents rarely span more than a couple
+of chunks) and one hash aggregate keyed by chunk. No Python anywhere.
 
-100 TB note: a single global ordering is the honest cost of a globally
-deterministic layout. Real pipelines shard first — pass
-``partition_col`` (e.g. a shard id) and the window becomes
-``partitionBy(shard).orderBy(key)``: embarrassingly parallel prefix
-sums, one layout per shard, no global sort. The oracle query uses the
-global form so DuckDB can replay it exactly.
+100 TB note: the layout is globally deterministic (a pure function of
+the key ordering — shard boundaries cancel out of the arithmetic), yet
+no stage ever sorts more than one shard: the only single-partition work
+is the shard-offset aggregate over ``num_shards`` rows. Passing
+``partition_col`` (e.g. a pre-existing shard id) skips the cut
+computation entirely and lays out each shard independently.
 
 Beyond-reference surface (the reference has no notion of token budgets;
 closest is batching by document count, `datagrowth/utils/iterators.py:6-39`).
@@ -29,6 +31,72 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+_NUMERIC_KEY_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double",
+                      "date", "timestamp", "timestamp_ntz"}
+
+
+def _global_prefix_sum(base: DataFrame, key_col: str, num_shards: int | None) -> DataFrame:
+    """Globally-ordered inclusive prefix sum of ``n_tokens`` by ``key_col``
+    without a global-sort window.
+
+    Shard cuts come from ``approxQuantile`` (one bounded pass; the
+    collected cut list is ``num_shards - 1`` scalars). Shard offsets are
+    a one-row-per-shard aggregate windowed on that tiny frame, broadcast
+    back. The result is invariant to where the cuts land, so quantile
+    approximation error affects only balance, never values.
+    """
+    spark = base.sparkSession
+    if num_shards is None:
+        num_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    key_type = base.schema[key_col].dataType.simpleString()
+    if key_type not in _NUMERIC_KEY_TYPES:
+        # Orderable-but-not-quantile-able key: fall back to the global
+        # window (range-partitioned sort). Numeric keys take the
+        # sharded path.
+        w = Window.orderBy(key_col)
+        return base.withColumn("stream_end", F.sum("n_tokens").over(w))
+
+    probs = [i / num_shards for i in range(1, num_shards)]
+    cuts = sorted(set(base.stat.approxQuantile(key_col, probs, 0.001))) if probs else []
+    if not cuts:
+        w = Window.orderBy(key_col)
+        return base.withColumn("stream_end", F.sum("n_tokens").over(w))
+
+    # _shard = number of cuts strictly below the key — monotone in the
+    # key, so per-shard order ++ shard order == global order.
+    cut_arr = F.array(*[F.lit(c) for c in cuts])
+    sharded = base.withColumn(
+        "_shard",
+        F.aggregate(
+            cut_arr, F.lit(0),
+            lambda acc, c: acc + (F.col(key_col) > c).cast("int"),
+        ),
+    )
+    local = sharded.withColumn(
+        "_local_end",
+        F.sum("n_tokens").over(Window.partitionBy("_shard").orderBy(key_col)),
+    )
+    offsets = (
+        sharded.groupBy("_shard")
+        .agg(F.sum("n_tokens").alias("_shard_toks"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_shard_toks").over(
+                    Window.orderBy("_shard")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_shard", "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_shard")
+        .withColumn("stream_end", F.col("_local_end") + F.col("_offset"))
+        .drop("_shard", "_local_end", "_offset")
+    )
+
 
 def pack_layout(
     df: DataFrame,
@@ -36,6 +104,7 @@ def pack_layout(
     tokens_col: Column | str,
     ctx: int,
     partition_col: str | None = None,
+    num_shards: int | None = None,
 ) -> DataFrame:
     """Per-document placement in the packed token stream.
 
@@ -45,21 +114,20 @@ def pack_layout(
     Zero-token documents are dropped (they occupy no stream positions).
     """
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    w = (
-        Window.partitionBy(partition_col).orderBy(key_col)
-        if partition_col
-        else Window.orderBy(key_col)
-    )
-    out = (
+    base = (
         df.select(
             *( [partition_col] if partition_col else [] ),
             F.col(key_col),
             toks.cast("long").alias("n_tokens"),
         )
         .where(F.col("n_tokens") > 0)
-        .withColumn("stream_end", F.sum("n_tokens").over(w))
-        .withColumn("start", F.col("stream_end") - F.col("n_tokens"))
     )
+    if partition_col:
+        w = Window.partitionBy(partition_col).orderBy(key_col)
+        out = base.withColumn("stream_end", F.sum("n_tokens").over(w))
+    else:
+        out = _global_prefix_sum(base, key_col, num_shards)
+    out = out.withColumn("start", F.col("stream_end") - F.col("n_tokens"))
     return (
         out.withColumn("first_chunk", F.expr(f"start div {ctx}"))
         .withColumn("last_chunk", F.expr(f"(stream_end - 1) div {ctx}"))

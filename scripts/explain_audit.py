@@ -47,6 +47,11 @@ def audit(name: str, df) -> dict:
             r"\(\d+\) (?:ArrowEvalPython|MapInPandas|BatchEvalPython|"
             r"FlatMapGroupsInPandas\w*)", formatted)),
         "codegen": len(set(re.findall(r"\[codegen id : (\d+)\]", formatted))),
+        # Scale-killer flag: every SinglePartition exchange funnels the
+        # full stage through ONE task (global windows/sorts/limits).
+        # Only acceptable on provably tiny frames (per-shard totals,
+        # final top-k). Anything corpus-sized here fails a 100× scale-up.
+        "single_part": len(re.findall(r"Exchange SinglePartition", formatted)),
     }
 
 
@@ -55,7 +60,8 @@ def main() -> None:
     only = set(sys.argv[2:])
     spark = get_spark(app_name="explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    header = f"{'query':28s} {'xchg':>4} {'bcast':>5} {'scans':>5} {'pushed':>6} {'py':>3} {'wscg':>4}"
+    header = (f"{'query':28s} {'xchg':>4} {'bcast':>5} {'scans':>5} "
+              f"{'pushed':>6} {'py':>3} {'wscg':>4} {'1part':>5}")
     print(header)
     print("-" * len(header))
     for name, fn in Q.queries().items():
@@ -64,7 +70,8 @@ def main() -> None:
         try:
             info = audit(name, fn(spark, sf_dir))
             print(f"{name:28s} {info['exchanges']:>4} {info['broadcasts']:>5} "
-                  f"{info['scans']:>5} {info['pushed']:>6} {info['python']:>3} {info['codegen']:>4}")
+                  f"{info['scans']:>5} {info['pushed']:>6} {info['python']:>3} "
+                  f"{info['codegen']:>4} {info['single_part']:>5}")
         except Exception as exc:  # noqa: BLE001
             print(f"{name:28s} ERROR {type(exc).__name__}: {exc}")
     spark.stop()
