@@ -8,18 +8,24 @@ RFC-5988 ``Link`` headers carrying next/prev page URLs
 param, ``max_page_size = 1000``). This module re-expresses that read
 path without a web framework:
 
-* :func:`content_page` — page-number pagination (reference parity).
-  Spark executes ``ORDER BY identity OFFSET … LIMIT …``; the page is
-  collected to the driver because a serving endpoint's response IS
-  driver-side by definition (bounded by ``MAX_PAGE_SIZE``).
-* :func:`content_after` — keyset pagination, the 100 TB form: a deep
+* :func:`content_after` — keyset pagination, THE DEFAULT WALK: a deep
   page is ``identity > after`` + pushdown-friendly sort-limit instead
   of an O(offset) global skip. Offset pagination degrades linearly
-  with page number; keyset stays O(page_size log n).
+  with page number; keyset stays O(page_size log n) however deep the
+  walk goes — the only form that survives a 100 TB corpus.
+* :func:`content_page` — page-number pagination (reference parity,
+  random access to page N). Spark executes ``ORDER BY identity OFFSET
+  … LIMIT …``; the page is collected to the driver because a serving
+  endpoint's response IS driver-side by definition (bounded by
+  ``MAX_PAGE_SIZE``).
 * :class:`ContentServer` — an ad-hoc HTTP query interface on stdlib
   ``http.server``: ``GET /collections/<name>/content`` with ``page``/
   ``page_size`` (or ``after`` for keyset) query params, JSON body,
   reference-style ``Link`` headers, 404 for unknown collections.
+  Every response's ``rel="next"`` link is the KEYSET form — a client
+  that simply follows ``next`` never pays an offset skip, even if it
+  started from a page-numbered request; ``rel="next-offset"`` keeps
+  the numbered alternative available.
 
 ``has_next`` is detected by fetching ``page_size + 1`` rows — never a
 COUNT over the corpus, which would be a full scan per page request.
@@ -65,12 +71,16 @@ def content_page(collection, page: int = 1,
              .offset((page - 1) * page_size)
              .limit(page_size + 1))
     rows = frame.collect()
+    page_rows = rows[:page_size]
+    has_next = len(rows) > page_size
     return {
-        "results": _rows_to_content(rows[:page_size]),
+        "results": _rows_to_content(page_rows),
         "page": page,
         "page_size": page_size,
-        "has_next": len(rows) > page_size,
+        "has_next": has_next,
         "has_prev": page > 1,
+        # keyset cursor so followers of "next" can leave offset-land
+        "next_after": page_rows[-1]["identity"] if has_next and page_rows else None,
     }
 
 
@@ -171,9 +181,12 @@ class ContentServer:
         base = f"{self.url}{path}"
         size = result["page_size"]
         if result["has_next"]:
-            links.append(f'<{base}?page={result["page"] + 1}&page_size={size}; rel="next">')
+            # keyset first: following rel="next" walks the corpus O(1)
+            # per page; the numbered form stays as an alternative.
+            links.append(f'<{base}?after={result["next_after"]}&page_size={size}>; rel="next"')
+            links.append(f'<{base}?page={result["page"] + 1}&page_size={size}>; rel="next-offset"')
         if result["has_prev"]:
-            links.append(f'<{base}?page={result["page"] - 1}&page_size={size}; rel="prev">')
+            links.append(f'<{base}?page={result["page"] - 1}&page_size={size}>; rel="prev"')
         return {"Link": ", ".join(links)} if links else {}
 
     def _keyset_link(self, path: str, result: dict[str, Any]) -> dict[str, str]:
@@ -181,7 +194,7 @@ class ContentServer:
             return {}
         base = f"{self.url}{path}"
         size = result["page_size"]
-        return {"Link": f'<{base}?after={result["next_after"]}&page_size={size}; rel="next">'}
+        return {"Link": f'<{base}?after={result["next_after"]}&page_size={size}>; rel="next"'}
 
     # -- lifecycle --------------------------------------------------------
     def start(self) -> "ContentServer":

@@ -64,14 +64,20 @@ class TestServer:
                 link = resp.headers.get("Link", "")
             assert len(body["results"]) == 10
             assert 'rel="next"' in link and 'rel="prev"' not in link
+            # the advertised next link is the KEYSET form (O(1) per page
+            # at any depth), not an offset skip; the numbered form is
+            # the explicitly-labeled alternative
+            next_url = link.split(";")[0].strip("<>")
+            assert "after=009" in next_url and "page=" not in next_url
+            assert 'rel="next-offset"' in link
 
             # follow the next link like a reference API client would
-            next_url = link.split(";")[0].strip("<>")
             with urllib.request.urlopen(next_url) as resp:
                 body2 = json.loads(resp.read())
                 link2 = resp.headers.get("Link", "")
             assert body2["results"][0]["_id"] == "010"
-            assert 'rel="prev"' in link2
+            # keyset pages keep advertising keyset next links
+            assert "after=019" in link2
 
             with urllib.request.urlopen(f"{server.url}/collections") as resp:
                 assert json.loads(resp.read()) == ["docs"]
