@@ -59,9 +59,11 @@ HEADLINE = [
     "corpus_pack",
     "corpus_split_stratified",
     "corpus_mix_rebalance",
+    "corpus_mix_temperature",
     "bpe_pair_counts",
     "tfidf_top_terms",
     "quality_threshold_by_lang",
+    "quality_unigram_lm",
     "pii_scan",
     "corpus_sample",
     "curation_pipeline",

@@ -60,6 +60,41 @@ def mixture_rates(
     )
 
 
+def temperature_rates(
+    df: DataFrame, alpha: float = 0.3, source_col: str = "source"
+) -> DataFrame:
+    """Temperature-flattened mixture weights (mBERT/XLM-R style):
+    ``q_s ∝ p_s^alpha`` with ``p_s`` the source's corpus share.
+
+    ``alpha < 1`` upweights low-resource sources relative to their raw
+    share — the standard recipe for multilingual/multi-domain sampling.
+    Plan: one dimension-sized aggregate over a column-pruned scan, then
+    two one-row broadcasts (total count, normalizer); nothing
+    corpus-sized moves. Cross-engine determinism: the powered weights
+    round to 6dp and normalize through exact DECIMAL sums, so the
+    normalizer is order-independent; only final ratios return to double.
+
+    Returns ``(source, n_docs, p, mix_rate)``.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    powed = counts.crossJoin(F.broadcast(total)).select(
+        source_col,
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_total"), 6).alias("p"),
+        F.round(F.pow(F.col("n_docs") / F.col("n_total"), F.lit(float(alpha))), 6)
+        .cast("decimal(20,6)")
+        .alias("w"),
+    )
+    z = powed.agg(F.sum("w").alias("z"))
+    return powed.crossJoin(F.broadcast(z)).select(
+        source_col,
+        "n_docs",
+        "p",
+        F.round(F.col("w").cast("double") / F.col("z").cast("double"), 6).alias("mix_rate"),
+    )
+
+
 def rebalance(
     df: DataFrame,
     weights: dict[str, float],

@@ -2085,6 +2085,38 @@ def q_corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened sampling weights (mBERT/XLM-R alpha=0.3):
+    q_s ∝ p_s^0.3 over source shares — the standard recipe for
+    upweighting low-resource sources. Dimension-sized aggregates and
+    one-row broadcasts only; see operators/mixing.py temperature_rates
+    for the determinism contract (6dp rounding + exact DECIMAL
+    normalizer).
+    """
+    from datagrowth_spark.operators import mixing as MX
+
+    docs = _t(spark, sf_dir, "documents")
+    return MX.temperature_rates(docs, alpha=0.3, source_col="source")
+
+
+SQL_CORPUS_MIX_TEMPERATURE = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+total AS (SELECT SUM(n_docs) AS n_total FROM counts),
+powed AS (
+  SELECT source, n_docs,
+         round(n_docs / CAST(n_total AS DOUBLE), 6) AS p,
+         CAST(round(pow(n_docs / CAST(n_total AS DOUBLE), 0.3), 6) AS DECIMAL(20,6)) AS w
+  FROM counts, total
+),
+z AS (SELECT SUM(w) AS z FROM powed)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, p,
+       round(CAST(w AS DOUBLE) / CAST(z AS DOUBLE), 6) AS mix_rate
+FROM powed, z
+"""
+
+
 def _mix_weight_sql() -> str:
     cases = " ".join(
         f"WHEN '{s}' THEN CAST({w} AS DOUBLE)" for s, w in sorted(_MIX_WEIGHTS.items())
@@ -2160,6 +2192,69 @@ SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
 FROM tf JOIN dfreq USING (token), total
 ORDER BY tfidf DESC, token ASC, doc_id ASC
 LIMIT 50
+"""
+
+
+def q_quality_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram language-model quality score per document.
+
+    Train a unigram LM on the corpus itself (token → count / total) and
+    score each document by its average token log-probability — the
+    classic perplexity filter for pre-training data (low avg_logprob =
+    rare-token soup = likely junk; CCNet buckets corpora by exactly
+    this signal, with a 5-gram KenLM where we use the SQL-expressible
+    unigram).
+
+    Scale shape: the corpus collapses to per-(doc, token) counts (one
+    shuffle with map-side combine), the vocabulary is tiny relative to
+    the corpus (millions of rows at 100 TB), and the score join
+    shuffles on token — the inherent key. The total-token count is a
+    one-row broadcast. Nothing touches raw text after the first
+    aggregate.
+
+    Cross-engine determinism: each token's log-probability is rounded
+    to 6dp THEN cast to DECIMAL(20,6), so the per-document sum is exact
+    and order-independent; only the final division returns to double.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.normalized_tokens(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_corpus"))
+    contrib = (
+        F.col("tf")
+        * F.round(F.log(F.col("cnt") / F.col("n_corpus")), 6).cast("decimal(20,6)")
+    )
+    return (
+        tf.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "tf", contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(F.sum("contrib").cast("double") / F.sum("tf"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+SQL_QUALITY_UNIGRAM_LM = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_NORM_TOKS_SQL}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+vocab AS (
+  SELECT token, SUM(tf) AS cnt FROM tf GROUP BY 1
+),
+total AS (SELECT SUM(cnt) AS n_corpus FROM vocab)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(tf * CAST(round(ln(cnt / n_corpus), 6) AS DECIMAL(20,6))) AS DOUBLE)
+             / SUM(tf), 6) AS avg_logprob
+FROM tf JOIN vocab USING (token), total
+GROUP BY doc_id
 """
 
 
@@ -2335,6 +2430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     positions past 50. When adding a query, insert it near the top.
     """
     return {
+        # new in round 3
+        "quality_unigram_lm": q_quality_unigram_lm,
+        "corpus_mix_temperature": q_corpus_mix_temperature,
         # never driver-checked before round 3
         "embedding_centroids": q_embedding_centroids,
         "embedding_assign": q_embedding_assign,
@@ -2443,6 +2541,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "quality_threshold_by_lang": SQL_QUALITY_THRESHOLD_BY_LANG,
+        "quality_unigram_lm": SQL_QUALITY_UNIGRAM_LM,
+        "corpus_mix_temperature": SQL_CORPUS_MIX_TEMPERATURE,
         "pii_scan": SQL_PII_SCAN,
         "corpus_sample": SQL_CORPUS_SAMPLE,
         "curation_pipeline": SQL_CURATION_PIPELINE,

@@ -35,6 +35,29 @@ def test_rebalance_filters_and_audits(spark):
     assert 10 <= by_source["web"] <= 30
 
 
+def test_temperature_rates_flatten_toward_uniform(spark):
+    # alpha=0.3 flattens shares: low-resource sources get mix_rate above
+    # their raw share p, dominant sources below; rates sum to ~1.
+    rows = {
+        r["source"]: r for r in MX.temperature_rates(_docs(spark), alpha=0.3).collect()
+    }
+    assert abs(rows["web"]["p"] - 100 / 130) < 1e-6
+    assert rows["web"]["mix_rate"] < rows["web"]["p"]
+    assert rows["books"]["mix_rate"] > rows["books"]["p"]
+    assert rows["junk"]["mix_rate"] > rows["junk"]["p"]
+    assert abs(sum(r["mix_rate"] for r in rows.values()) - 1.0) < 1e-4
+    # ordering preserved: bigger corpus still gets the bigger rate
+    assert rows["web"]["mix_rate"] > rows["books"]["mix_rate"] > rows["junk"]["mix_rate"]
+
+
+def test_temperature_alpha_one_is_proportional(spark):
+    rows = {
+        r["source"]: r for r in MX.temperature_rates(_docs(spark), alpha=1.0).collect()
+    }
+    for r in rows.values():
+        assert abs(r["mix_rate"] - r["p"]) < 1e-5
+
+
 def test_rebalance_is_deterministic(spark):
     a = sorted(r["doc_id"] for r in MX.rebalance(_docs(spark), {"web": 1.0}).collect())
     b = sorted(
