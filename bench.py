@@ -47,6 +47,7 @@ HEADLINE = [
     "events_asof_orders",
     "events_value_bands",
     "events_rolling",
+    "events_heavy_hitters",
     "customer_rfm",
     "finished_not_pending_custs",
     "docs_by_lang",

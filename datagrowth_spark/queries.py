@@ -2419,6 +2419,41 @@ FROM j GROUP BY event_type
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type totals via explicit two-phase SALTED aggregation
+    (operators/skew.py). The events table has a handful of types over
+    millions of rows — the classic hot-key shape where one reducer
+    combining a single key becomes the straggler. Phase 1 groups by
+    (type, salt∈[0,16)) so the hot key partial-aggregates on 16
+    reducers; phase 2 combines 16 tiny partials per key. Results are
+    exactly the plain GROUP BY (salting only re-routes rows; sums are
+    exact decimals), which is what the oracle checks.
+    """
+    from datagrowth_spark.operators import skew as SK
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    agg = SK.salted_aggregate(
+        ev,
+        "event_type",
+        {"n_events": ("count", F.lit(1)), "total_value": ("sum", F.col("v"))},
+        salt=16,
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+SQL_EVENTS_HEAVY_HITTERS = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ordered for the driver's bounded correctness window.
 
@@ -2433,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 3
         "quality_unigram_lm": q_quality_unigram_lm,
         "corpus_mix_temperature": q_corpus_mix_temperature,
+        "events_heavy_hitters": q_events_heavy_hitters,
         # never driver-checked before round 3
         "embedding_centroids": q_embedding_centroids,
         "embedding_assign": q_embedding_assign,
@@ -2543,6 +2579,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_threshold_by_lang": SQL_QUALITY_THRESHOLD_BY_LANG,
         "quality_unigram_lm": SQL_QUALITY_UNIGRAM_LM,
         "corpus_mix_temperature": SQL_CORPUS_MIX_TEMPERATURE,
+        "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
         "pii_scan": SQL_PII_SCAN,
         "corpus_sample": SQL_CORPUS_SAMPLE,
         "curation_pipeline": SQL_CURATION_PIPELINE,
