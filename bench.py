@@ -58,6 +58,7 @@ HEADLINE = [
     "text_repetition",
     "corpus_vocab",
     "corpus_pack",
+    "corpus_chunks",
     "corpus_split_stratified",
     "corpus_mix_rebalance",
     "corpus_mix_temperature",

@@ -2454,6 +2454,52 @@ FROM events GROUP BY event_type
 """
 
 
+def q_corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the context-window prep step
+    for RAG indexing / long-document training (size 64, stride 48 →
+    16-token overlap). Entirely narrow JVM work: tokenize once,
+    ``sequence`` the chunk starts, explode, ``slice`` each window — no
+    shuffle anywhere, so at 100 TB this is a map-only stage that scales
+    with executor count. Empty documents emit no chunks.
+    """
+    size, stride = 64, 48
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit("")).alias("toks"),
+    ).withColumn("n", F.size("toks")).where(F.col("n") > 0)
+    exploded = toks.select(
+        "doc_id", "toks", "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+        ).alias("start"),
+    )
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / stride).cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.least(F.lit(size), F.col("n") - F.col("start")).cast("long").alias("n_chunk_tokens"),
+        F.array_join(F.slice("toks", F.col("start") + 1, size), " ").alias("chunk_text"),
+    )
+
+
+SQL_CORPUS_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id, {_RAW_TOKS_SQL} AS toks FROM documents
+),
+nz AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+),
+s AS (
+  SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start FROM nz
+)
+SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id, CAST(start AS BIGINT) AS start,
+       CAST(least(64, n - start) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ordered for the driver's bounded correctness window.
 
@@ -2469,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_unigram_lm": q_quality_unigram_lm,
         "corpus_mix_temperature": q_corpus_mix_temperature,
         "events_heavy_hitters": q_events_heavy_hitters,
+        "corpus_chunks": q_corpus_chunks,
         # never driver-checked before round 3
         "embedding_centroids": q_embedding_centroids,
         "embedding_assign": q_embedding_assign,
@@ -2580,6 +2627,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_unigram_lm": SQL_QUALITY_UNIGRAM_LM,
         "corpus_mix_temperature": SQL_CORPUS_MIX_TEMPERATURE,
         "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
+        "corpus_chunks": SQL_CORPUS_CHUNKS,
         "pii_scan": SQL_PII_SCAN,
         "corpus_sample": SQL_CORPUS_SAMPLE,
         "curation_pipeline": SQL_CURATION_PIPELINE,
