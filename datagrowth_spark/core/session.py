@@ -38,7 +38,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # NOTE: no mapKeyDedupPolicy override — all engine map merges are
+        # duplicate-safe by construction (functions/maps.py), so the
+        # engine runs correctly on any caller-provided vanilla session.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
@@ -51,6 +53,37 @@ def get_spark(
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
+
+
+def ensure_ts_readable(spark: SparkSession, path: str, column: str = "ts") -> bool:
+    """Make a parquet table with a possibly-NANOS timestamp column readable.
+
+    The benchmark ``events`` fixture has drifted between
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across generations. Spark
+    cannot read NANOS parquet timestamps at all unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set — a session conf
+    with no per-read ``option()`` equivalent. This is the ONE sanctioned
+    place the engine touches caller session conf: the footer is probed
+    with pyarrow (no Spark state), and the conf is set only when the
+    physical type really is nanos. Returns True when the column will
+    surface as BIGINT nanos (caller converts with ``timestamp_micros(ts
+    div 1000)``), False when it reads as a plain timestamp.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+            glob.glob(os.path.join(path, "part-*")))
+        if files:
+            target = files[0]
+    field_type = pq.read_schema(target).field(column).type
+    is_nanos = getattr(field_type, "unit", None) == "ns"
+    if is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return is_nanos
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):

@@ -29,6 +29,7 @@ from datagrowth_spark.datatypes.document import (
     encode_properties,
     prop_col,
 )
+from datagrowth_spark.functions.maps import merge_maps_last_win
 
 
 class Collection:
@@ -144,7 +145,11 @@ class Collection:
         pass ``sequence`` naming a monotonic column (ingest timestamp,
         offset) to make the winner explicit.
         """
-        updates = data if isinstance(data, DataFrame) else self._rows_from_dicts(data)
+        if isinstance(data, DataFrame):
+            updates, known_n = data, None
+        else:
+            data = list(data) if not isinstance(data, list) else data
+            updates, known_n = self._rows_from_dicts(data), len(data)
         seq = (F.col(sequence) if sequence else F.monotonically_increasing_id()).alias("__seq")
         updates = updates.select(*self._conform_cols(updates), seq)
         key = prop_col("properties", f"$.{by_property}")
@@ -163,12 +168,18 @@ class Collection:
             F.col("__key").alias("__ukey"),
             F.col("properties").alias("__uprops"),
         )
+        # Broadcast only when the update side is provably batch-sized
+        # (driver-materialized input, reference batch=32). A bulk MERGE
+        # from an arbitrary DataFrame is left to AQE's size-based join
+        # selection — force-broadcasting it could OOM executors at scale.
+        if known_n is not None and known_n <= 10_000:
+            upd = F.broadcast(upd)
         merged = (
-            target.join(F.broadcast(upd), target["__key"] == upd["__ukey"], "left")
+            target.join(upd, target["__key"] == F.col("__ukey"), "left")
             .withColumn(
                 "properties",
                 F.when(F.col("__ukey").isNotNull(),
-                       F.map_concat(F.col("properties"), F.col("__uprops")))
+                       merge_maps_last_win("properties", "__uprops"))
                 .otherwise(F.col("properties")),
             )
             .drop("__key", "__ukey", "__uprops")

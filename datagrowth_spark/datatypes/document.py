@@ -10,7 +10,8 @@ row with
 * ``properties`` MAP<STRING,STRING> — payload; each value is compact JSON,
   so arbitrary nested data survives while shallow dict-merge (the
   reference's update semantics, document.py:73-100) stays JVM-side via
-  ``map_concat`` under ``spark.sql.mapKeyDedupPolicy=LAST_WIN``
+  the duplicate-safe merges in :mod:`datagrowth_spark.functions.maps`
+  (correct under any ``spark.sql.mapKeyDedupPolicy``)
 * ``derivatives`` MAP<STRING, MAP<STRING,STRING>> — enrichment output per
   growth phase (values JSON-encoded the same way)
 * ``task_results`` MAP<STRING,STRING> — per-task result JSON
@@ -128,17 +129,20 @@ def content_col(properties: Column | str = "properties",
     """DataFrame-side content merge: properties win over derivatives.
 
     Produces MAP<STRING,STRING> (values still JSON-encoded). Derivative
-    phases are flattened one level; with LAST_WIN dedup the properties
-    map is concatenated last so its keys win (properties take precedence,
-    matching first-writer-wins where properties are written first).
+    phase maps are folded onto properties with first-writer-wins
+    semantics — properties take precedence, then earlier phases — the
+    exact Column twin of :func:`document_content`'s ``setdefault`` loop.
+    Duplicate-safe on any session (no ``mapKeyDedupPolicy`` dependence):
+    each fold step filters clashing keys before building the map.
     """
+    from datagrowth_spark.functions.maps import merge_maps_first_win
+
     props = F.col(properties) if isinstance(properties, str) else properties
     derivs = F.col(derivatives) if isinstance(derivatives, str) else derivatives
-    flattened = F.map_entries(derivs)  # array<struct<key, value: map>>
-    # Flatten all phase maps into one entry array, then properties last.
-    deriv_entries = F.flatten(F.transform(flattened, lambda e: F.map_entries(e["value"])))
-    all_entries = F.concat(deriv_entries, F.map_entries(props))
-    merged = F.map_from_entries(all_entries)  # LAST_WIN → properties win
+    merged = F.aggregate(
+        F.map_values(derivs), props,
+        lambda acc, phase_map: merge_maps_first_win(acc, phase_map),
+    )
     return F.map_filter(
         F.when(derivs.isNull(), props).otherwise(merged),
         lambda k, _: ~F.startswith(k, F.lit("_")),

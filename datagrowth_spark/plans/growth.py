@@ -53,6 +53,7 @@ from pyspark.sql import types as T
 
 from datagrowth_spark.datatypes.collection import Collection
 from datagrowth_spark.datatypes.document import document_content, task_result_success
+from datagrowth_spark.functions.maps import map_set
 from datagrowth_spark.operators.extraction import DGNoContent, ExtractProcessor
 from datagrowth_spark.sources.cache import REQUEST_SCHEMA, ResourceCache, fetch
 
@@ -276,10 +277,7 @@ class GrowthProcessor:
         ))
         new_task_results = F.when(
             F.col("__cid").isNotNull(),
-            F.map_concat(
-                F.coalesce(F.col("task_results"), F.from_json(F.lit("{}"), "map<string,string>")),
-                F.create_map(F.lit(phase), task_result),
-            ),
+            map_set("task_results", phase, task_result),
         ).otherwise(F.col("task_results"))
 
         if to_property:
@@ -287,10 +285,7 @@ class GrowthProcessor:
             # (reference to_property "field/prop" spec, growth.py:131-149).
             new_properties = F.when(
                 F.col("__cid").isNotNull() & F.col("__success"),
-                F.map_concat(
-                    F.col("properties"),
-                    F.create_map(F.lit(to_property), F.col("__contribution")),
-                ),
+                map_set("properties", to_property, F.col("__contribution")),
             ).otherwise(F.col("properties"))
             out = out.withColumn("properties", new_properties)
         else:
@@ -300,11 +295,7 @@ class GrowthProcessor:
             contribution_map = F.from_json(F.col("__cenc"), "map<string,string>")
             new_derivatives = F.when(
                 F.col("__cid").isNotNull() & F.col("__success"),
-                F.map_concat(
-                    F.coalesce(F.col("derivatives"),
-                               F.from_json(F.lit("{}"), "map<string,map<string,string>>")),
-                    F.create_map(F.lit(phase), contribution_map),
-                ),
+                map_set("derivatives", phase, contribution_map),
             ).otherwise(F.col("derivatives"))
             out = out.withColumn("derivatives", new_derivatives)
 

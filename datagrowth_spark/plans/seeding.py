@@ -31,7 +31,7 @@ Strategies (reference seeding.py:168-213):
 
 Scale shape: the seed stream is a DataFrame of encoded properties
 end-to-end — extraction runs Arrow-batched in executors, the merge
-strategy is a keyed join + map-concat (detail wins, LAST_WIN policy),
+strategy is a keyed join + duplicate-safe map merge (detail wins),
 and the per-seed ``request_template`` callable runs inside a
 ``mapInPandas`` worker, so no corpus-sized data ever crosses the
 driver. The only driver-side strategies are the explicitly driver-bound
@@ -57,6 +57,7 @@ from datagrowth_spark.datatypes.document import (
     encode_properties,
     prop_col,
 )
+from datagrowth_spark.functions.maps import map_set, merge_maps_last_win
 from datagrowth_spark.operators.extraction import extract_df
 from datagrowth_spark.sources.cache import (
     REQUEST_SCHEMA,
@@ -217,17 +218,14 @@ class SeedingProcessor:
         if composition_to:
             merged = F.when(
                 F.col("__dkey").isNotNull(),
-                F.map_concat(
-                    F.col("properties"),
-                    F.create_map(F.lit(composition_to), _detail_json(F.col("__detail"))),
-                ),
+                map_set("properties", composition_to, _detail_json(F.col("__detail"))),
             ).otherwise(F.col("properties"))
         else:
-            # LAST_WIN map policy: detail keys overwrite seed keys —
-            # dict.update(detail) semantics.
+            # dict.update(detail) semantics: detail keys overwrite seed
+            # keys, independent of the session's mapKeyDedupPolicy.
             merged = F.when(
                 F.col("__dkey").isNotNull(),
-                F.map_concat(F.col("properties"), F.col("__detail")),
+                merge_maps_last_win("properties", "__detail"),
             ).otherwise(F.col("properties"))
         return joined.select(merged.alias("properties"))
 

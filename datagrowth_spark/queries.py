@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from datagrowth_spark.core.session import ensure_ts_readable
 from datagrowth_spark.functions import text as TX
 from datagrowth_spark.operators import dedup as DD
 from datagrowth_spark.operators import multimodal as MM
@@ -42,19 +43,19 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with its ``ts`` column surfaced as a plain timestamp.
 
     The fixture's physical type has drifted between TIMESTAMP(NANOS) and
-    TIMESTAMP(MICROS) across generations, so branch on the dtype Spark
-    actually reads instead of assuming either:
+    TIMESTAMP(MICROS) across generations; ``ensure_ts_readable`` probes
+    the footer (pyarrow, no Spark state) and sets the legacy nanos conf
+    only when actually required:
 
-    * long (nanos under ``spark.sql.legacy.parquet.nanosAsLong``) →
-      floor-divide to micros, bit-identical to DuckDB's ns→µs truncation;
+    * nanos → read as long, floor-divide to micros — bit-identical to
+      DuckDB's ns→µs truncation;
     * timestamp / timestamp_ntz → a bare cast (µs precision preserved).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = _t(spark, sf_dir, "events")
-    ts_type = df.schema["ts"].dataType.simpleString()
-    if ts_type == "bigint":
+    path = os.path.join(sf_dir, "events.parquet")
+    if ensure_ts_readable(spark, path):
+        df = spark.read.parquet(path)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return spark.read.parquet(path).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _dec_sum(col, scale: int = 2):

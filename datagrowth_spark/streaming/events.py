@@ -36,13 +36,15 @@ def read_events_stream(
     """File-source stream over events parquet (directory of files).
 
     The fixture's ``ts`` physical type has drifted between
-    TIMESTAMP(NANOS) and TIMESTAMP(MICROS); probe the actual dtype with
-    a one-off batch schema read and branch — same convention as the
-    batch path (``queries._events``). The probe reads only parquet
-    footers, not data.
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS); ``ensure_ts_readable``
+    probes the footer with pyarrow (no Spark session state) and sets
+    the legacy nanos conf only when actually required — same convention
+    as the batch path (``queries._events``).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    from datagrowth_spark.core.session import ensure_ts_readable
+
+    is_nanos = ensure_ts_readable(spark, path)
+    ts_type = T.LongType() if is_nanos else spark.read.parquet(path).schema["ts"].dataType
     reader = spark.readStream.schema(_events_raw_schema(ts_type))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

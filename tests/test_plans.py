@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from datagrowth_spark.core.registry import Registry
 from datagrowth_spark.datatypes.collection import Collection
+from datagrowth_spark.functions.maps import map_set
 from datagrowth_spark.plans.dataset import (
     Dataset,
     DatasetWarehouse,
@@ -219,13 +220,7 @@ def _mark_long_names(df, pending, name):
     result = F.to_json(F.struct(
         (F.length(F.get_json_object(F.col("properties")["name"], "$")) >= 8).alias("success")
     ))
-    new = F.when(
-        pending,
-        F.map_concat(
-            F.coalesce(F.col("task_results"), F.from_json(F.lit("{}"), "map<string,string>")),
-            F.create_map(F.lit(name), result),
-        ),
-    ).otherwise(F.col("task_results"))
+    new = F.when(pending, map_set("task_results", name, result)).otherwise(F.col("task_results"))
     return df.withColumn("task_results", new)
 
 
@@ -347,10 +342,7 @@ def _number_documents(df):
     w = Window.orderBy(F.col("identity"))
     return df.withColumn(
         "properties",
-        F.map_concat(
-            F.col("properties"),
-            F.create_map(F.lit("number"), F.row_number().over(w).cast("string")),
-        ),
+        map_set("properties", "number", F.row_number().over(w).cast("string")),
     )
 
 
