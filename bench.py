@@ -139,7 +139,13 @@ def main() -> None:
         "runs": runs,
     }
     if errors:
+        # A partial run must never look better than a clean one: flag it
+        # and null the headline so totals over different query sets are
+        # never compared (ADVICE r3).
         record["errors"] = errors
+        record["partial"] = True
+        record["value"] = None
+        record["timed_queries_total_time"] = total
     print(json.dumps(record))
     spark.stop()
 

@@ -31,8 +31,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-_NUMERIC_KEY_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double",
-                      "date", "timestamp", "timestamp_ntz"}
+_SHARDABLE_KEY_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double",
+                        "date", "timestamp", "timestamp_ntz"}
+
+
+def _quantile_key(key_col: str, key_type: str) -> Column:
+    """Numeric shadow of the key for ``approxQuantile``/cut comparison.
+
+    ``approxQuantile`` only accepts numeric columns (it raises for
+    date/timestamp), so temporal keys are mapped to an epoch integer —
+    a strictly monotone mapping, which is all the sharding needs (shard
+    boundaries cancel out of the final offsets).
+    """
+    if key_type == "date":
+        return F.unix_date(F.col(key_col)).cast("double")
+    if key_type in ("timestamp", "timestamp_ntz"):
+        # ntz→timestamp under the session's fixed zone is monotone.
+        return F.unix_micros(F.col(key_col).cast("timestamp")).cast("double")
+    return F.col(key_col).cast("double")
 
 
 def _global_prefix_sum(base: DataFrame, key_col: str, num_shards: int | None) -> DataFrame:
@@ -44,34 +60,42 @@ def _global_prefix_sum(base: DataFrame, key_col: str, num_shards: int | None) ->
     a one-row-per-shard aggregate windowed on that tiny frame, broadcast
     back. The result is invariant to where the cuts land, so quantile
     approximation error affects only balance, never values.
+
+    NULL keys sort first (shard ``-1``), matching the global window's
+    default NULLS FIRST ordering — they are packed at the head of the
+    stream, never dropped.
     """
     spark = base.sparkSession
     if num_shards is None:
         num_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     key_type = base.schema[key_col].dataType.simpleString()
-    if key_type not in _NUMERIC_KEY_TYPES:
-        # Orderable-but-not-quantile-able key: fall back to the global
-        # window (range-partitioned sort). Numeric keys take the
-        # sharded path.
+    if key_type not in _SHARDABLE_KEY_TYPES:
+        # Orderable-but-not-quantile-able key (e.g. string): fall back
+        # to the global window (range-partitioned sort).
         w = Window.orderBy(key_col)
         return base.withColumn("stream_end", F.sum("n_tokens").over(w))
 
+    qkey = _quantile_key(key_col, key_type)
+    with_q = base.withColumn("_qkey", qkey)
     probs = [i / num_shards for i in range(1, num_shards)]
-    cuts = sorted(set(base.stat.approxQuantile(key_col, probs, 0.001))) if probs else []
+    cuts = sorted(set(with_q.stat.approxQuantile("_qkey", probs, 0.001))) if probs else []
     if not cuts:
         w = Window.orderBy(key_col)
         return base.withColumn("stream_end", F.sum("n_tokens").over(w))
 
     # _shard = number of cuts strictly below the key — monotone in the
-    # key, so per-shard order ++ shard order == global order.
+    # key, so per-shard order ++ shard order == global order. NULL keys
+    # get shard -1 (NULLS FIRST).
     cut_arr = F.array(*[F.lit(c) for c in cuts])
-    sharded = base.withColumn(
+    sharded = with_q.withColumn(
         "_shard",
-        F.aggregate(
-            cut_arr, F.lit(0),
-            lambda acc, c: acc + (F.col(key_col) > c).cast("int"),
+        F.when(F.col("_qkey").isNull(), F.lit(-1)).otherwise(
+            F.aggregate(
+                cut_arr, F.lit(0),
+                lambda acc, c: acc + (F.col("_qkey") > c).cast("int"),
+            )
         ),
-    )
+    ).drop("_qkey")
     local = sharded.withColumn(
         "_local_end",
         F.sum("n_tokens").over(Window.partitionBy("_shard").orderBy(key_col)),

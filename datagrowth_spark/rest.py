@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import threading
+import urllib.parse
 from typing import Any
 
 from pyspark.sql import functions as F
@@ -182,8 +183,10 @@ class ContentServer:
         size = result["page_size"]
         if result["has_next"]:
             # keyset first: following rel="next" walks the corpus O(1)
-            # per page; the numbered form stays as an alternative.
-            links.append(f'<{base}?after={result["next_after"]}&page_size={size}>; rel="next"')
+            # per page; the numbered form stays as an alternative. The
+            # cursor is an arbitrary identity — percent-encode it.
+            after = urllib.parse.quote(str(result["next_after"]), safe="")
+            links.append(f'<{base}?after={after}&page_size={size}>; rel="next"')
             links.append(f'<{base}?page={result["page"] + 1}&page_size={size}>; rel="next-offset"')
         if result["has_prev"]:
             links.append(f'<{base}?page={result["page"] - 1}&page_size={size}>; rel="prev"')
@@ -194,7 +197,8 @@ class ContentServer:
             return {}
         base = f"{self.url}{path}"
         size = result["page_size"]
-        return {"Link": f'<{base}?after={result["next_after"]}&page_size={size}>; rel="next"'}
+        after = urllib.parse.quote(str(result["next_after"]), safe="")
+        return {"Link": f'<{base}?after={after}&page_size={size}>; rel="next"'}
 
     # -- lifecycle --------------------------------------------------------
     def start(self) -> "ContentServer":

@@ -50,6 +50,35 @@ def test_pack_layout_sharded(spark):
     assert rows == {("a", 1): 0, ("a", 2): 5, ("b", 1): 0}
 
 
+def test_pack_layout_temporal_key_sharded(spark):
+    # approxQuantile rejects temporal columns; the sharded path must map
+    # them to epoch numerics instead of crashing (ADVICE r3).
+    import datetime
+
+    rows = [(datetime.datetime(2024, 1, 1, h), 4) for h in range(12)]
+    df = spark.createDataFrame(rows, "ts timestamp, n_toks long")
+    out = PK.pack_layout(df, "ts", "n_toks", ctx=8, num_shards=4)
+    got = sorted((r["ts"], r["start"]) for r in out.collect())
+    assert [s for _, s in got] == [4 * i for i in range(12)]
+
+    date_rows = [(datetime.date(2024, 1, 1 + d), 3) for d in range(8)]
+    ddf = spark.createDataFrame(date_rows, "d date, n_toks long")
+    dout = PK.pack_layout(ddf, "d", "n_toks", ctx=8, num_shards=3)
+    dgot = sorted((r["d"], r["start"]) for r in dout.collect())
+    assert [s for _, s in dgot] == [3 * i for i in range(8)]
+
+
+def test_pack_layout_null_keys_kept_first(spark):
+    # NULL keys pack at the head of the stream (shard -1, NULLS FIRST),
+    # matching the global-window fallback — never silently dropped.
+    df = spark.createDataFrame(
+        [(None, 5), (10, 3), (20, 4)], "doc_id int, n_toks long"
+    )
+    out = PK.pack_layout(df, "doc_id", "n_toks", ctx=8, num_shards=2)
+    rows = {r["doc_id"]: r["start"] for r in out.collect()}
+    assert rows == {None: 0, 10: 5, 20: 8}
+
+
 def test_centroids_and_assignment(spark):
     emb = spark.createDataFrame(
         [

@@ -95,3 +95,22 @@ class TestServer:
             assert not body3["has_next"]
         finally:
             server.stop()
+
+    def test_link_cursor_percent_encoded(self, spark):
+        # Identities with reserved characters must survive the Link
+        # header roundtrip (ADVICE r3: next_after was interpolated raw).
+        coll = Collection(spark, name="odd", identifier="id")
+        coll.add([{"id": f"a b&c#{i}", "n": i} for i in range(4)])
+        server = ContentServer({"odd": coll}).start()
+        try:
+            with urllib.request.urlopen(
+                f"{server.url}/collections/odd/content?page=1&page_size=2"
+            ) as resp:
+                link = resp.headers.get("Link", "")
+            next_url = link.split(";")[0].strip("<>")
+            assert "a%20b%26c%23" in next_url
+            with urllib.request.urlopen(next_url) as resp:
+                body = json.loads(resp.read())
+            assert [d["_id"] for d in body["results"]] == ["a b&c#2", "a b&c#3"]
+        finally:
+            server.stop()
