@@ -24,11 +24,15 @@ Scale notes (100 TB):
   otherwise accumulates lineage and re-executes all prior rounds per
   action.
 * For adversarial graphs (long chains — not a dedup shape) the
-  round count grows with the diameter; the alternating large-star/
-  small-star algorithm (Kiveris et al., "Connected Components in
-  MapReduce and Beyond") converges in O(log d) rounds with the same
-  per-round primitives and is the drop-in upgrade if that shape ever
-  matters.
+  min-label round count grows with the diameter; the alternating
+  large-star/small-star algorithm (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", 2014 — public paper) converges
+  in O(log d) rounds with the same per-round primitives. Implemented
+  below (``_star_components``); the default ``algorithm="auto"`` runs
+  min-label for a few rounds (optimal for the near-clique graphs
+  thresholded dedup emits) and, if still unconverged, contracts the
+  graph through the partial labels and finishes with star rounds —
+  so chain-shaped dup graphs cost O(log d) total instead of O(d).
 
 No reference counterpart: the reference library has no graph surface;
 this is part of the beyond-reference LLM-pipeline layer (SURVEY §6).
@@ -40,22 +44,118 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. §3): every node connects its
+    strictly-larger neighbors to the minimum of its closed neighborhood.
+    Input/output: undirected edge pair set ``(u, v)``, no self-loops."""
+    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("u"), F.col("mn"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node connects its smaller-or-equal
+    neighbors (and itself) to the minimum of that set."""
+    directed = (
+        edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = directed.join(mins, "u").select(F.col("v").alias("node"), F.col("m"))
+    centers = mins.select(F.col("u").alias("node"), F.col("m"))
+    return (
+        nbrs.unionByName(centers)
+        .where(F.col("node") != F.col("m"))
+        .select(F.col("node").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _star_components(pairs: DataFrame, max_iterations: int = 25) -> tuple[DataFrame, int]:
+    """Large-star/small-star fixed point → ``(labels, rounds)``.
+
+    ``labels`` is ``(node, component)`` for every node of ``pairs``
+    (component = minimum id, same contract as min-label propagation);
+    ``rounds`` is the number of large+small iterations executed —
+    O(log d) by the paper's potential argument, surfaced so tests can
+    pin the bound. Each round is two joins + two aggregations over the
+    edge set, checkpointed so lineage stays flat."""
+    nodes = (pairs.select(F.col("u").alias("node"))
+             .union(pairs.select(F.col("v").alias("node"))).distinct())
+    edges = (pairs.where(F.col("u") != F.col("v")).distinct()
+             .localCheckpoint(eager=True))
+    prev_fp = None
+    rounds = 0
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        rounds += 1
+        # Cheap convergence fingerprint: the fixed point is reached when
+        # the edge set stops changing (count + order-free xor-hash;
+        # xor never overflows under ANSI and edges are distinct).
+        row = edges.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        fp = (row["c"], row["h"])
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # At the fixed point the edge set is a star per component, centered
+    # at the component minimum.
+    star = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionByName(edges.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .groupBy("node").agg(F.min("component").alias("component"))
+    )
+    labels = (
+        nodes.join(star, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )
+    return labels, rounds
+
+
 def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
-                         max_iterations: int = 20) -> DataFrame:
+                         max_iterations: int = 20, algorithm: str = "auto",
+                         min_label_rounds: int = 4) -> DataFrame:
     """Component label per node of an undirected edge frame.
 
     Returns ``(node, component)`` where ``component`` is the minimum
     node id in the node's connected component — deterministic, so the
     output is oracle-checkable and the component id doubles as the
     canonical document choice ("keep the smallest id").
+
+    ``algorithm``:
+
+    * ``"min_label"`` — pure min-label propagation, O(d) rounds; best
+      when components are near-cliques (thresholded dedup output).
+    * ``"star"`` — large-star/small-star, O(log d) rounds; best for
+      high-diameter graphs (chains of borderline near-dups).
+    * ``"auto"`` (default) — min-label for ``min_label_rounds`` rounds,
+      then, if unconverged, contract the graph through the partial
+      labels (component-preserving, usually a huge shrink) and finish
+      with star rounds. Worst case stays O(log d).
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    pairs = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if algorithm == "star":
+        labels, _ = _star_components(pairs, max_iterations=max_iterations)
+        return labels
+
+    sym = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint(eager=False)
 
     labels = (sym.select(F.col("u").alias("node")).distinct()
               .withColumn("component", F.col("node")))
-    for _ in range(max_iterations):
+    budget = max_iterations if algorithm == "min_label" else min(min_label_rounds, max_iterations)
+    converged = False
+    for _ in range(budget):
         neighbor_min = (
             sym.join(labels, sym["u"] == labels["node"])
             .select(F.col("v").alias("node"), "component")
@@ -73,8 +173,31 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    return labels
+    if converged or algorithm == "min_label":
+        return labels
+
+    # Unconverged near the round budget — the graph has real diameter.
+    # Contract edges through the partial labels (nodes sharing a label
+    # are provably connected) and resolve the contracted graph with
+    # star rounds; compose the two label maps.
+    lab_u = labels.select(F.col("node").alias("u"), F.col("component").alias("cu"))
+    lab_v = labels.select(F.col("node").alias("v"), F.col("component").alias("cv"))
+    contracted = (
+        sym.join(lab_u, "u").join(lab_v, "v")
+        .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    star_labels, _ = _star_components(contracted, max_iterations=max_iterations)
+    return (
+        labels.join(
+            star_labels.select(F.col("node").alias("component"),
+                               F.col("component").alias("__final")),
+            "component", "left")
+        .select("node", F.coalesce("__final", F.col("component")).alias("component"))
+    )
 
 
 def dedup_clusters(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:

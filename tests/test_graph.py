@@ -37,6 +37,40 @@ class TestConnectedComponents:
                for r in connected_components(_edges(spark, [(5, 2), (2, 9)])).collect()}
         assert got == {2: 2, 5: 2, 9: 2}
 
+    @pytest.mark.parametrize("algorithm", ["min_label", "star", "auto"])
+    def test_algorithms_agree_on_mixed_graph(self, spark, algorithm):
+        # chain 1..6, triangle {10,11,12}, pair {20,21}, isolated self-loop 30
+        pairs = [(i, i + 1) for i in range(1, 6)]
+        pairs += [(10, 11), (11, 12), (10, 12), (20, 21), (30, 30)]
+        got = {r["node"]: r["component"]
+               for r in connected_components(_edges(spark, pairs),
+                                             algorithm=algorithm).collect()}
+        expected = {i: 1 for i in range(1, 7)}
+        expected.update({10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30})
+        assert got == expected
+
+    def test_star_chain_logarithmic_rounds(self, spark):
+        # Path graph of 128 nodes (diameter 127): min-label needs ~127
+        # rounds; large-star/small-star must finish in O(log d) — the
+        # Kiveris bound. 12 rounds is ~1.7x log2(127), far below O(d).
+        from datagrowth_spark.operators.graph import _star_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 128)], "u long, v long")
+        labels, rounds = _star_components(pairs)
+        assert rounds <= 12
+        got = {r["node"]: r["component"] for r in labels.collect()}
+        assert got == {i: 1 for i in range(1, 129)}
+
+    def test_auto_contracts_unconverged_chain(self, spark):
+        # With a tiny min-label budget the auto path must hand off to
+        # star rounds and still produce exact components.
+        edges = _edges(spark, [(i, i + 1) for i in range(1, 64)])
+        got = {r["node"]: r["component"]
+               for r in connected_components(edges, algorithm="auto",
+                                             min_label_rounds=2).collect()}
+        assert got == {i: 1 for i in range(1, 65)}
+
 
 class TestDedupClusters:
     def test_cluster_decision(self, spark):
