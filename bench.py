@@ -129,6 +129,16 @@ def main() -> None:
 
     timings = {name: min(times) for name, times in runs.items() if times}
     total = round(sum(timings.values()), 3)
+    # Streaming rows: wall time includes stream startup/drain machinery;
+    # record the micro-batch compute separately so rounds compare on
+    # query work, not harness overhead.
+    try:
+        from datagrowth_spark.streaming.events import LAST_DRAIN_METRICS
+        streaming_detail = {
+            n: dict(m) for n, m in LAST_DRAIN_METRICS.items()
+        }
+    except Exception:
+        streaming_detail = {}
     record = {
         "metric": "headline_queries_total_time",
         "value": total,
@@ -138,6 +148,8 @@ def main() -> None:
         "repeats": repeats,
         "runs": runs,
     }
+    if streaming_detail:
+        record["streaming_drain"] = streaming_detail
     if errors:
         # A partial run must never look better than a clean one: flag it
         # and null the headline so totals over different query sets are

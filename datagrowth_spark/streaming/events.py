@@ -166,6 +166,14 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+# Per-drain progress metrics keyed by query name, refreshed on every
+# run_to_memory call. Lets the bench report stream COMPUTE (sum of
+# micro-batch triggerExecution) separately from startup/teardown
+# overhead, which otherwise dominates small-SF timings and makes
+# streaming rows incomparable round-over-round (round-3 verdict #4).
+LAST_DRAIN_METRICS: dict[str, dict[str, Any]] = {}
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "update",
     timeout_s: int = 120,
@@ -184,4 +192,14 @@ def run_to_memory(
         .start()
     )
     query.awaitTermination(timeout_s)
+    try:
+        progress = query.recentProgress or []
+        LAST_DRAIN_METRICS[name] = {
+            "batches": len(progress),
+            "trigger_ms": sum(p.get("durationMs", {}).get("triggerExecution", 0)
+                              for p in progress),
+            "rows": sum(p.get("numInputRows", 0) for p in progress),
+        }
+    except Exception:  # metrics are best-effort; never fail the drain
+        pass
     return query
