@@ -92,6 +92,9 @@ HEADLINE = [
     "streaming_events_hourly",
     "streaming_dedup_exact",
     "streaming_sessionize",
+    "corpus_budget_select",
+    "dataset_version_diff",
+    "streaming_click_attribution",
 ]
 
 

@@ -393,6 +393,17 @@ class DatasetWarehouse:
         collection._df = df
         return collection
 
+    def diff_versions(self, dataset: Dataset, old: int, new: int,
+                      name: str = "main") -> DataFrame:
+        """Document-level diff of two stored versions — see
+        :func:`version_diff` for the plan."""
+        return version_diff(
+            self.load_collection(dataset, old, name).df,
+            self.load_collection(dataset, new, name).df,
+            key="identity",
+            fingerprint=F.xxhash64(F.to_json(F.map_entries("properties"))),
+        )
+
     def evaluate(self, dataset: Dataset, collection: Collection) -> dict:
         """Per-task success/fail/skipped tallies (version.py:50-69)."""
         out: dict[str, dict] = {}
@@ -407,3 +418,30 @@ class DatasetWarehouse:
             out[name] = {"success": counts["success"] or 0, "fail": counts["fail"] or 0,
                          "skipped": counts["skipped"] or 0}
         return out
+
+
+def version_diff(old: DataFrame, new: DataFrame, key: str,
+                 fingerprint: Column | str) -> DataFrame:
+    """Document-level diff between two dataset versions: ``(key,
+    status)`` with status ``added`` / ``removed`` / ``changed`` /
+    ``unchanged``.
+
+    The reference keeps whole generations side by side
+    (DatasetVersion, version.py:26-40) but offers no diff; at 100 TB a
+    diff is how a pipeline decides what to re-process after a revise.
+    Plan: fingerprint each side (one narrow projection per version — at
+    scale this prunes to the key + fingerprint input columns only),
+    then one full outer hash join on the key. No sort, no collect;
+    output is one row per key in either version.
+    """
+    fp = F.col(fingerprint) if isinstance(fingerprint, str) else fingerprint
+    o = old.select(F.col(key).alias("key"), fp.alias("__old_fp"))
+    n = new.select(F.col(key).alias("key"), fp.alias("__new_fp"))
+    joined = o.join(n, "key", "full_outer")
+    status = (
+        F.when(F.col("__old_fp").isNull(), F.lit("added"))
+        .when(F.col("__new_fp").isNull(), F.lit("removed"))
+        .when(F.col("__old_fp") != F.col("__new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select("key", status.alias("status"))

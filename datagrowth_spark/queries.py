@@ -1537,6 +1537,36 @@ GROUP BY user_id
 """
 
 
+def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join BY THE STREAMING PATH: click events
+    paired with same-user purchase events within the following hour,
+    both sides watermarked so join state stays bounded (the canonical
+    watermarked stream-stream join). Drained with availableNow; must
+    reproduce the batch self-join exactly.
+    """
+    from datagrowth_spark.streaming import read_events_stream
+    from datagrowth_spark.streaming.events import paired_events_stream, run_to_memory
+
+    name = "stream_click_attr"
+    path = os.path.join(sf_dir, "events.parquet")
+    clicks = read_events_stream(spark, path)
+    purchases = read_events_stream(spark, path)
+    query = run_to_memory(
+        paired_events_stream(clicks, purchases, "click", "purchase", within="1 hour"),
+        name, output_mode="append",
+    )
+    query.stop()
+    return spark.table(name).select("first_id", "second_id", "user_id")
+
+
+SQL_STREAMING_CLICK_ATTRIBUTION = """
+SELECT a.event_id AS first_id, b.event_id AS second_id, a.user_id
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+"""
+
+
 # ---------------------------------------------------------------------------
 # Repetition / corpus-duplication signals (Gopher-style quality filters)
 # ---------------------------------------------------------------------------
@@ -2312,6 +2342,77 @@ GROUP BY 1, 2
 # As-of join (events ↔ latest prior order), oracle = DuckDB native ASOF JOIN
 # ---------------------------------------------------------------------------
 
+def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection (DCLM/FineWeb curation shape): per
+    language, keep the highest-quality documents while the running
+    token total fits a 3000-token budget. One shuffle on lang + a
+    partition-local sort; see operators/selection.py for the rank-free
+    approximate variant used when one stratum dominates at scale.
+    """
+    from datagrowth_spark.operators.selection import select_by_token_budget
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.round(TX.quality_score(F.col("text")), 6).alias("q"),
+        TX.token_count("text").alias("toks"),
+    )
+    out = select_by_token_budget(
+        docs, ["lang"], "q", "toks", budget=3000, tiebreak_col="doc_id")
+    return out.select("doc_id", "lang", F.col("n_tokens"), "kept")
+
+
+SQL_CORPUS_BUDGET_SELECT = f"""
+WITH scored AS (
+  SELECT d.doc_id, d.lang, len({_RAW_TOKS_SQL}) AS n_tokens, q.quality AS q
+  FROM documents d JOIN ({SQL_TEXT_QUALITY}) q USING (doc_id)
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       SUM(n_tokens) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) <= 3000 AS kept
+FROM scored
+"""
+
+
+def q_dataset_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level diff between two dataset generations (P11's
+    missing analytic: what changed between versions). v2 is a
+    deterministic mutation of the documents table (drop doc_id%7,
+    revise doc_id%5, add doc_id%11 under shifted ids); the diff is one
+    full outer hash join on md5 fingerprints — no sort, no collect.
+    """
+    from datagrowth_spark.plans.dataset import version_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v2_base = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" rev2")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    v2_adds = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    v2 = v2_base.unionByName(v2_adds)
+    diff = version_diff(docs, v2, key="doc_id", fingerprint=F.md5("text"))
+    return diff.select(F.col("key").alias("doc_id"), "status")
+
+
+SQL_DATASET_VERSION_DIFF = """
+WITH v1 AS (SELECT doc_id, text FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN md5(v1.text) <> md5(v2.text) THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+"""
+
+
 def q_events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each event joined to the customer's most recent order at-or-before
     the event, then aggregated per event type. The as-of plan is the
@@ -2512,6 +2613,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     positions past 50. When adding a query, insert it near the top.
     """
     return {
+        # new in round 4
+        "corpus_budget_select": q_corpus_budget_select,
+        "dataset_version_diff": q_dataset_version_diff,
+        "streaming_click_attribution": q_streaming_click_attribution,
         # new in round 3
         "quality_unigram_lm": q_quality_unigram_lm,
         "corpus_mix_temperature": q_corpus_mix_temperature,
@@ -2592,6 +2697,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "corpus_budget_select": SQL_CORPUS_BUDGET_SELECT,
+        "dataset_version_diff": SQL_DATASET_VERSION_DIFF,
+        "streaming_click_attribution": SQL_STREAMING_CLICK_ATTRIBUTION,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_orders": SQL_TOP_ORDERS,
         "nation_revenue": SQL_NATION_REVENUE,

@@ -166,6 +166,44 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def paired_events_stream(
+    first: DataFrame, second: DataFrame,
+    first_type: str, second_type: str,
+    within: str = "1 hour", watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each ``first_type`` event paired with
+    every ``second_type`` event by the same user within ``within``
+    afterwards (click→purchase attribution shape).
+
+    Both sides carry a watermark, and the join condition bounds the
+    event-time distance — together these let Spark drop buffered state
+    for rows older than (watermark + within), so state is O(active
+    window), not O(stream). Without the time-range condition the join
+    state would grow unboundedly; this is the canonical watermarked
+    stream-stream join from the Structured Streaming guide.
+    """
+    a = (
+        first.where(F.col("event_type") == first_type)
+        .select(F.col("event_id").alias("first_id"),
+                F.col("user_id"),
+                F.col("ts").alias("first_ts"))
+        .withWatermark("first_ts", watermark)
+    )
+    b = (
+        second.where(F.col("event_type") == second_type)
+        .select(F.col("event_id").alias("second_id"),
+                F.col("user_id").alias("second_user"),
+                F.col("ts").alias("second_ts"))
+        .withWatermark("second_ts", watermark)
+    )
+    return a.join(
+        b,
+        (F.col("user_id") == F.col("second_user"))
+        & (F.col("second_ts") >= F.col("first_ts"))
+        & (F.col("second_ts") <= F.col("first_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("first_id", "second_id", "user_id", "first_ts", "second_ts")
+
+
 # Per-drain progress metrics keyed by query name, refreshed on every
 # run_to_memory call. Lets the bench report stream COMPUTE (sum of
 # micro-batch triggerExecution) separately from startup/teardown

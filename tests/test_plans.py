@@ -329,6 +329,21 @@ class TestDatasetVersioning:
         assert [v["version"] for v in meta["versions"]] == [1, 2]
         assert not any(v["is_current"] for v in meta["versions"])
 
+    def test_diff_versions_between_stacked_generations(self, spark, tmp_path, warehouse):
+        ds = EntityDataset({"s": "diff"})
+        warehouse.grow(ds, self.seeder(spark, tmp_path, n=3), strategy=GrowthStrategy.STACK)
+
+        def v2(collection):
+            collection.add([{"id": i, "name": f"entity {i}"} for i in range(1, 4)])
+            collection.update([{"id": 2, "name": "renamed"}], by_property="id")
+            return collection
+
+        warehouse.grow(ds, v2, strategy=GrowthStrategy.STACK)
+        got = {r["key"]: r["status"]
+               for r in warehouse.diff_versions(ds, 1, 2).collect()}
+        # v1 = ids 0..2; v2 = ids 1..3 with id 2 renamed
+        assert got == {"0": "removed", "1": "unchanged", "2": "changed", "3": "added"}
+
     def test_signature_depends_on_config(self):
         assert EntityDataset({"a": 1}).signature != EntityDataset({"a": 2}).signature
         assert EntityDataset({"a": 1}).signature == EntityDataset({"a": 1}).signature
