@@ -175,8 +175,13 @@ def paginated_fetch(
             budgets = spark.createDataFrame(
                 [(sig, budget) for sig, (_, budget) in frontier.items()],
                 f"signature string, {BUDGET_COL} int")
+            # No materializing action needed on the returned frame:
+            # fetch() appends misses to the cache eagerly inside the
+            # call, so the pages are on disk when it returns — a
+            # .count() here would only re-read the cache for nothing
+            # (one extra job per pagination round).
             fetch(reqs_df.join(budgets, "signature"), cache, follow=follow,
-                  **fetch_kwargs).count()  # materialize: pages land in the cache
+                  **fetch_kwargs)
             gather(list(frontier))
         # Walk every chain as far as the edge dict reaches.
         advanced: list[tuple[dict, int]] = []
