@@ -5,15 +5,24 @@ against a soup (``_extract_soup``, reference
 ``datagrowth/processors/input/extraction.py:156-193``) — expressions
 like ``soup.find_all("p")`` or ``el.text``. bs4 is not in this
 container, so this module provides the subset those objectives actually
-use — ``find`` / ``find_all`` (by tag and attrs, recursive), ``.text``,
-``.get``/``[]`` attribute access, ``.children`` — on a tree built by
-``html.parser``. When bs4 IS available the extractor prefers it; the
-API here is call-compatible for the supported subset, so objectives
-don't change between environments.
+use on a tree built by ``html.parser``:
+
+* ``find`` / ``find_all`` (by tag and attrs, recursive)
+* ``select`` / ``select_one`` — CSS subset: tag, ``.class``, ``#id``,
+  ``[attr]`` / ``[attr=val]``, descendant (space) and child (``>``)
+  combinators, comma-separated selector lists
+* ``.text`` / ``get_text(separator, strip=...)`` / ``.string``
+* ``.get`` / ``[]`` attribute access, ``.attrs``, ``.children``,
+  ``.parent``, ``find_next_sibling`` / ``find_previous_sibling``
+
+When bs4 IS available the extractor prefers it; the API here is
+call-compatible for the supported subset, so objectives don't change
+between environments.
 """
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 from typing import Any, Iterator
 
@@ -41,6 +50,37 @@ class MiniElement:
         out: list[str] = []
         self._collect_text(out)
         return "".join(out)
+
+    def get_text(self, separator: str = "", strip: bool = False) -> str:
+        """bs4 ``get_text``: join every descendant text node with
+        ``separator``; with ``strip`` each node is stripped and empty
+        nodes are skipped."""
+        chunks: list[str] = []
+        self._iter_text_nodes(chunks)
+        if strip:
+            chunks = [c.strip() for c in chunks]
+            chunks = [c for c in chunks if c]
+        return separator.join(chunks)
+
+    def _iter_text_nodes(self, out: list[str]) -> None:
+        texts = dict(enumerate_texts(self._texts))
+        for idx in range(len(self.children) + 1):
+            if idx in texts:
+                out.append(texts[idx])
+            if idx < len(self.children):
+                self.children[idx]._iter_text_nodes(out)
+
+    @property
+    def string(self) -> str | None:
+        """bs4 ``.string``: the single text child, recursing through a
+        single element child; None when the content is ambiguous."""
+        texts = [t for _, t in enumerate_texts(self._texts)]
+        if not self.children and len(texts) == 1:
+            return texts[0]
+        if len(self.children) == 1 and not texts:
+            return self.children[0].string
+        return None
+
 
     def _collect_text(self, out: list[str]) -> None:
         texts = dict(enumerate_texts(self._texts))
@@ -84,8 +124,130 @@ class MiniElement:
         found = self.find_all(name, attrs, **kwargs)
         return found[0] if found else None
 
+    # -- sibling navigation -----------------------------------------------
+    def find_next_sibling(self, name: str | None = None, attrs: dict | None = None,
+                          **kwargs: str) -> "MiniElement | None":
+        return self._sibling(1, name, {**(attrs or {}),
+                                       **{k.rstrip("_"): v for k, v in kwargs.items()}})
+
+    def find_previous_sibling(self, name: str | None = None, attrs: dict | None = None,
+                              **kwargs: str) -> "MiniElement | None":
+        return self._sibling(-1, name, {**(attrs or {}),
+                                        **{k.rstrip("_"): v for k, v in kwargs.items()}})
+
+    def _sibling(self, step: int, name: str | None, attrs: dict) -> "MiniElement | None":
+        if self.parent is None:
+            return None
+        sibs = self.parent.children
+        idx = sibs.index(self) + step
+        while 0 <= idx < len(sibs):
+            if sibs[idx]._matches(name, attrs):
+                return sibs[idx]
+            idx += step
+        return None
+
+    # -- CSS selector subset ----------------------------------------------
+    def select(self, selector: str) -> list["MiniElement"]:
+        """CSS subset: tag, ``.class``, ``#id``, ``[attr]``/``[attr=val]``,
+        descendant and ``>`` combinators, comma lists. Document order,
+        deduplicated."""
+        out: list[MiniElement] = []
+        seen: set[int] = set()
+        for part in selector.split(","):
+            for el in self._select_single(part.strip()):
+                if id(el) not in seen:
+                    seen.add(id(el))
+                    out.append(el)
+        return out
+
+    def select_one(self, selector: str) -> "MiniElement | None":
+        found = self.select(selector)
+        return found[0] if found else None
+
+    def _select_single(self, selector: str) -> list["MiniElement"]:
+        steps = _parse_selector(selector)
+        current: list[MiniElement] = [self]
+        for combinator, name, conds in steps:
+            nxt: list[MiniElement] = []
+            seen: set[int] = set()
+            for el in current:
+                pool = el.children if combinator == ">" else _descendants(el)
+                for cand in pool:
+                    if id(cand) not in seen and _compound_matches(cand, name, conds):
+                        seen.add(id(cand))
+                        nxt.append(cand)
+            current = nxt
+        return current
+
     def __repr__(self) -> str:  # pragma: no cover — debugging aid
         return f"<MiniElement {self.name} attrs={self.attrs}>"
+
+
+_COMPOUND_RE = re.compile(
+    r"(?P<tag>[A-Za-z][\w-]*|\*)?"
+    r"(?P<rest>(?:[.#][\w-]+|\[[^\]]+\])*)$"
+)
+_COND_RE = re.compile(r"[.#][\w-]+|\[[^\]]+\]")
+
+
+def _parse_selector(selector: str) -> list[tuple[str, str | None, list[tuple[str, str | None]]]]:
+    """``div.a > p [href]`` → [(combinator, tag, [(kind, value)...]), ...]
+    where combinator is ``" "`` (descendant) or ``">"`` (child) and kind
+    is ``class`` / ``id`` / attribute name (value None = existence)."""
+    tokens = re.findall(r">|[^\s>]+", selector)
+    steps: list[tuple[str, str | None, list[tuple[str, str | None]]]] = []
+    combinator = " "
+    for tok in tokens:
+        if tok == ">":
+            combinator = ">"
+            continue
+        m = _COMPOUND_RE.match(tok)
+        if not m or (not m.group("tag") and not m.group("rest")):
+            raise ValueError(f"unsupported CSS selector fragment: {tok!r}")
+        tag = m.group("tag")
+        conds: list[tuple[str, str | None]] = []
+        for cond in _COND_RE.findall(m.group("rest") or ""):
+            if cond.startswith("."):
+                conds.append(("class", cond[1:]))
+            elif cond.startswith("#"):
+                conds.append(("id", cond[1:]))
+            else:
+                inner = cond[1:-1]
+                if "=" in inner:
+                    key, _, val = inner.partition("=")
+                    conds.append((key.strip(), val.strip().strip("'\"")))
+                else:
+                    conds.append((inner.strip(), None))
+        steps.append((combinator, None if tag in (None, "*") else tag, conds))
+        combinator = " "
+    if not steps:
+        raise ValueError(f"empty CSS selector: {selector!r}")
+    return steps
+
+
+def _descendants(el: "MiniElement") -> Iterator["MiniElement"]:
+    for child in el.children:
+        yield child
+        yield from _descendants(child)
+
+
+def _compound_matches(el: "MiniElement", name: str | None,
+                      conds: list[tuple[str, str | None]]) -> bool:
+    if name is not None and el.name != name:
+        return False
+    for kind, want in conds:
+        if kind == "class":
+            if want not in (el.attrs.get("class") or "").split():
+                return False
+        elif kind == "id":
+            if el.attrs.get("id") != want:
+                return False
+        elif want is None:
+            if kind not in el.attrs:
+                return False
+        elif el.attrs.get(kind) != want:
+            return False
+    return True
 
 
 def enumerate_texts(texts: list[tuple[int, str]]) -> Iterator[tuple[int, str]]:

@@ -181,6 +181,55 @@ class TestHtmlExtraction:
         assert soup.find("img").get("src") == "/banner.png"
         assert soup.find("img").children == []
 
+    def test_mini_soup_css_select(self):
+        from datagrowth_spark.operators.html import mini_soup
+
+        soup = mini_soup(PAGE_HTML)
+        assert [a["href"] for a in soup.select("div.listing a")] == \
+            ["/items/1", "/items/2", "/items/3"]
+        assert soup.select_one("#content").name == "div"
+        assert soup.select_one("div.main.listing") is not None
+        assert soup.select_one("div.absent") is None
+        assert [a.text for a in soup.select("li > a[href='/items/2']")] == ["beta"]
+        assert [e.name for e in soup.select("title, img")] == ["title", "img"]
+        assert soup.select_one("a[href]").text == "alpha"
+
+    def test_mini_soup_text_helpers(self):
+        from datagrowth_spark.operators.html import mini_soup
+
+        soup = mini_soup(PAGE_HTML)
+        li = soup.find_all("li")
+        assert li[0].get_text(strip=True) == "alpha"
+        assert soup.find("ul").get_text("|", strip=True) == \
+            "alpha|beta|gamma|no link here"
+        assert soup.find("title").string == "Catalog"
+        assert li[0].string == "alpha"  # recurses through single <a>
+        assert soup.find("ul").string is None  # ambiguous content
+
+    def test_mini_soup_siblings(self):
+        from datagrowth_spark.operators.html import mini_soup
+
+        soup = mini_soup(PAGE_HTML)
+        first_li = soup.find("li")
+        nxt = first_li.find_next_sibling("li")
+        assert nxt is not None and nxt.text == "beta"
+        assert nxt.find_previous_sibling("li").text == "alpha"
+        assert soup.find("img").find_next_sibling() is None
+
+    def test_css_objective_eval_strings(self):
+        processor = ExtractProcessor(objective={
+            "@": "soup.select('div.listing li > a')",
+            "text": "el.get_text(strip=True)",
+            "link": "el['href']",
+            "#page": "soup.select_one('title').string",
+        })
+        rows = list(processor.extract("text/html", PAGE_HTML))
+        assert rows == [
+            {"text": "alpha", "link": "/items/1", "page": "Catalog"},
+            {"text": "beta", "link": "/items/2", "page": "Catalog"},
+            {"text": "gamma", "link": "/items/3", "page": "Catalog"},
+        ]
+
     def test_html_objective_eval_strings(self):
         processor = ExtractProcessor(objective={
             "@": "soup.find_all('a')",
