@@ -95,6 +95,7 @@ HEADLINE = [
     "corpus_budget_select",
     "dataset_version_diff",
     "streaming_click_attribution",
+    "quality_linear_classifier",
 ]
 
 

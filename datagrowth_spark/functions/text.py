@@ -202,3 +202,42 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
         ones = F.size(F.filter(hashes, _bit_set(1 << j)))
         result = result + F.when(ones * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
     return result
+
+
+def hashed_features(text: Column | str) -> Column:
+    """Unigram + bigram feature strings over lowercased whitespace
+    tokens — the fastText-style feature space (bigrams joined with
+    ``_``), pure Catalyst."""
+    toks = tokens_col(F.lower(F.col(text) if isinstance(text, str) else text))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    return F.concat(toks, bigrams)
+
+
+def hashed_linear_score(text: Column | str, buckets: int = 4096) -> Column:
+    """FastText-shaped linear quality scorer, entirely JVM-side.
+
+    Each feature hashes (md5 → bucket) into a ``buckets``-dim weight
+    vector whose weights are derived arithmetically from the bucket id
+    (Knuth multiplicative hash → [-0.5, 0.5)) — the exact evaluation
+    plan of a hashed-feature linear model with the weight table inlined
+    as arithmetic, so there is no broadcast and the score is
+    reproducible in any engine (oracle parity). Score = mean feature
+    weight; a real deployment swaps the weight expression for an
+    ``element_at`` into a broadcast literal array of trained weights —
+    same plan shape, one map-only stage, no shuffle.
+    """
+    knuth = 2654435761
+    feats = hashed_features(text)
+    weights = F.transform(
+        feats,
+        lambda f: (
+            (md5_long(f) % buckets) * knuth % 1000
+        ).cast("double") / 1000.0 - 0.5,
+    )
+    n = F.greatest(F.size(weights), F.lit(1))
+    return F.aggregate(weights, F.lit(0.0), lambda acc, w: acc + w) / n

@@ -2373,6 +2373,48 @@ FROM scored
 """
 
 
+def q_quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-shaped hashed-feature linear scoring per document:
+    unigram+bigram features → md5 hash buckets → inlined weight
+    arithmetic → mean score + keep decision. One map-only JVM stage, no
+    shuffle, no broadcast — the plan a trained hashed linear model runs
+    at 100 TB (with the weight arithmetic swapped for an element_at
+    into a broadcast weights array).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    score = F.round(TX.hashed_linear_score("text"), 6)
+    return docs.select(
+        "doc_id",
+        F.size(TX.hashed_features("text")).cast("long").alias("n_features"),
+        score.alias("score"),
+        (score > 0).alias("keep"),
+    )
+
+
+SQL_QUALITY_LINEAR_CLASSIFIER = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), f AS (
+  SELECT doc_id,
+         list_concat(
+           toks,
+           list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1])
+         ) AS feats
+  FROM t
+), s AS (
+  SELECT doc_id, len(feats) AS n_features,
+         list_sum(list_transform(feats, ft ->
+           CAST((CAST(CONCAT('0x', substr(md5(ft), 1, 8)) AS BIGINT) % 4096)
+                * 2654435761 % 1000 AS DOUBLE) / 1000.0 - 0.5
+         )) / greatest(len(feats), 1) AS raw
+  FROM f
+)
+SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
+       round(raw, 6) AS score, round(raw, 6) > 0 AS keep
+FROM s
+"""
+
+
 def q_dataset_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level diff between two dataset generations (P11's
     missing analytic: what changed between versions). v2 is a
@@ -2614,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # new in round 4
+        "quality_linear_classifier": q_quality_linear_classifier,
         "corpus_budget_select": q_corpus_budget_select,
         "dataset_version_diff": q_dataset_version_diff,
         "streaming_click_attribution": q_streaming_click_attribution,
@@ -2697,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "quality_linear_classifier": SQL_QUALITY_LINEAR_CLASSIFIER,
         "corpus_budget_select": SQL_CORPUS_BUDGET_SELECT,
         "dataset_version_diff": SQL_DATASET_VERSION_DIFF,
         "streaming_click_attribution": SQL_STREAMING_CLICK_ATTRIBUTION,
