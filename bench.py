@@ -96,6 +96,9 @@ HEADLINE = [
     "dataset_version_diff",
     "streaming_click_attribution",
     "quality_linear_classifier",
+    "nation_pair_revenue",
+    "sole_supplier_orders",
+    "cheapest_supplier_per_part",
 ]
 
 

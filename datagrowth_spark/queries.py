@@ -431,6 +431,128 @@ GROUP BY c_mktsegment
 """
 
 
+def q_nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the fact table joined to TWO independent dim
+    chains (supplier→nation and orders→customer→nation) before a
+    (nation, nation, year) aggregation.
+
+    Both nation roles broadcast end-to-end (supplier/customer/nation/
+    orders are all dims vs lineitem here); lineitem shuffles once for
+    the 50-group agg with map-side combine. Filter on the year range
+    pushes to the orders scan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(orders.select("o_orderkey", "o_custkey", "o_orderdate")),
+              li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").alias("order_year"))
+        .agg(_rev_sum().alias("revenue"))
+    )
+
+
+SQL_NATION_PAIR_REVENUE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       {_REV_SQL} AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 family (adapted — the fixture has no commit/receipt
+    dates): per supplier, how many orders they supplied ALONE. The
+    correlated exists/not-exists pair collapses to ONE per-order
+    aggregation: when the distinct-supplier count is 1, min(suppkey) IS
+    the sole supplier — no join-back. Two shuffles total (orderkey agg,
+    then supplier agg), both map-side combined.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.min("l_suppkey").alias("supp"),
+    )
+    return (
+        per_order.where(F.col("n_supps") == 1)
+        .groupBy(F.col("supp").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("sole_orders"))
+    )
+
+
+SQL_SOLE_SUPPLIER_ORDERS = """
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supps,
+         MIN(l_suppkey) AS supp
+  FROM lineitem GROUP BY 1
+)
+SELECT supp AS suppkey, COUNT(*) AS sole_orders
+FROM per_order WHERE n_supps = 1
+GROUP BY 1
+"""
+
+
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (argmin without a window): per part, the supplier
+    with the lowest observed unit price, ties to the lowest suppkey.
+
+    The arg-min is a lexicographic struct MIN inside a hash aggregation
+    — no sort, no window, no join-back for the winner. part broadcasts
+    for the size filter (pushed to its scan).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") < 15)
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    ps = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_partkey", "p_brand", "l_suppkey")
+        .agg(F.min(unit).alias("u"))
+    )
+    best = ps.groupBy("p_partkey", "p_brand").agg(
+        F.min(F.struct("u", "l_suppkey")).alias("b"))
+    return best.select(
+        "p_partkey", "p_brand",
+        F.round(F.col("b.u"), 6).alias("best_unit_price"),
+        F.col("b.l_suppkey").alias("best_suppkey"),
+    )
+
+
+SQL_CHEAPEST_SUPPLIER_PER_PART = """
+WITH ps AS (
+  SELECT p_partkey, p_brand, l_suppkey, MIN(l_extendedprice / l_quantity) AS u
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size < 15
+  GROUP BY 1, 2, 3
+), b AS (
+  SELECT p_partkey, p_brand, MIN(u) AS best FROM ps GROUP BY 1, 2
+)
+SELECT ps.p_partkey, ps.p_brand, round(ps.u, 6) AS best_unit_price,
+       MIN(ps.l_suppkey) AS best_suppkey
+FROM ps JOIN b ON ps.p_partkey = b.p_partkey AND ps.u = b.best
+GROUP BY 1, 2, 3
+"""
+
+
 def q_promo_share_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional aggregation over a dim join, by month.
 
@@ -2657,6 +2779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # new in round 4
         "quality_linear_classifier": q_quality_linear_classifier,
+        "nation_pair_revenue": q_nation_pair_revenue,
+        "sole_supplier_orders": q_sole_supplier_orders,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
         "corpus_budget_select": q_corpus_budget_select,
         "dataset_version_diff": q_dataset_version_diff,
         "streaming_click_attribution": q_streaming_click_attribution,
@@ -2741,6 +2866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "quality_linear_classifier": SQL_QUALITY_LINEAR_CLASSIFIER,
+        "nation_pair_revenue": SQL_NATION_PAIR_REVENUE,
+        "sole_supplier_orders": SQL_SOLE_SUPPLIER_ORDERS,
+        "cheapest_supplier_per_part": SQL_CHEAPEST_SUPPLIER_PER_PART,
         "corpus_budget_select": SQL_CORPUS_BUDGET_SELECT,
         "dataset_version_diff": SQL_DATASET_VERSION_DIFF,
         "streaming_click_attribution": SQL_STREAMING_CLICK_ATTRIBUTION,
