@@ -82,3 +82,51 @@ def download_files(
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.select(id_col, content_col).mapInPandas(run, out_schema)
+
+
+def read_jsonl_collection(spark, path: str, name: str = "collection",
+                          identifier: str | None = None, referee: str | None = None,
+                          columns: list[str] | None = None):
+    """Ingest a JSONL corpus file/directory as a document Collection.
+
+    Training corpora ship as JSON-lines; Spark's native json reader
+    (schema inference, predicate/column pushdown on the inferred
+    schema) parses it, and every top-level field lifts into the encoded
+    ``properties`` map JVM-side via ``properties_from_columns`` — no
+    Python per-row work. ``columns`` restricts which fields survive
+    (column pruning reaches the reader). Arbitrary nesting is preserved
+    because map values are JSON-encoded.
+    """
+    from datagrowth_spark.datatypes.collection import Collection
+    from datagrowth_spark.datatypes.document import properties_from_columns
+
+    df = spark.read.json(path)
+    cols = columns or df.columns
+    lifted = df.select(properties_from_columns(*cols).alias("properties"))
+    coll = Collection(spark, name=name, identifier=identifier, referee=referee)
+    coll.add(lifted)
+    return coll
+
+
+def write_corpus(df: DataFrame, path: str, partition_by: list[str] | None = None,
+                 target_records_per_file: int | None = None,
+                 mode: str = "overwrite") -> None:
+    """Write a corpus with a deliberate file layout (the 100 TB
+    small-files defense).
+
+    With ``partition_by`` the frame is first repartitioned on those
+    columns, so each hive partition directory is written by one task —
+    one file per partition value instead of one file per (task ×
+    partition) combination (the accidental layout that produces
+    task-count × cardinality tiny files). ``target_records_per_file``
+    re-splits oversized partitions via ``maxRecordsPerFile`` so no
+    single file becomes unsplittable-scan-sized either.
+    """
+    out = df
+    writer_df = out.repartition(*partition_by) if partition_by else out
+    writer = writer_df.write.mode(mode)
+    if target_records_per_file:
+        writer = writer.option("maxRecordsPerFile", target_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

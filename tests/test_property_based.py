@@ -199,3 +199,31 @@ def test_simhash_banding_full_recall_on_adversarial_signatures(spark):
                 expected.add((ia, ib, bin(sa ^ sb).count("1")))
     assert found == expected
     assert len(expected) >= 40  # every constructed partner pair present
+
+
+def test_merge_maps_matches_dict_update_on_generated_corpus(spark):
+    """merge_maps_last_win over a seeded random corpus equals Python
+    dict-update of the decoded payloads — one DataFrame, one action,
+    running under the default EXCEPTION dedup policy (the vanilla-
+    session contract the driver oracle enforces)."""
+    from pyspark.sql import functions as F
+
+    from datagrowth_spark.functions.maps import merge_maps_first_win, merge_maps_last_win
+
+    rng = random.Random(11)
+    key_pool = [f"k{i}" for i in range(8)]  # small pool -> frequent overlap
+    rows, expected_last, expected_first = [], [], []
+    for i in range(80):
+        base = {k: rng.randint(0, 99) for k in rng.sample(key_pool, rng.randint(0, 6))}
+        over = {k: rng.randint(0, 99) for k in rng.sample(key_pool, rng.randint(0, 6))}
+        rows.append((encode_properties(base), encode_properties(over)))
+        expected_last.append(encode_properties({**base, **over}))
+        expected_first.append(encode_properties({**over, **base}))
+    df = spark.createDataFrame(rows, "m1 map<string,string>, m2 map<string,string>")
+    got = df.select(
+        merge_maps_last_win("m1", "m2").alias("lw"),
+        merge_maps_first_win("m1", "m2").alias("fw"),
+    ).collect()
+    for row, el, ef in zip(got, expected_last, expected_first):
+        assert dict(row["lw"]) == el
+        assert dict(row["fw"]) == ef

@@ -500,3 +500,49 @@ class TestTika:
         finally:
             server.shutdown()
             server.server_close()
+
+
+class TestCorpusFiles:
+    def test_read_jsonl_collection(self, spark, tmp_path):
+        from datagrowth_spark.sources.files import read_jsonl_collection
+
+        src = tmp_path / "corpus.jsonl"
+        src.write_text(
+            '{"id": 1, "text": "alpha", "meta": {"lang": "en"}}\n'
+            '{"id": 2, "text": "beta", "meta": {"lang": "de"}}\n'
+        )
+        coll = read_jsonl_collection(spark, str(src), identifier="id")
+        rows = sorted(coll.content(), key=lambda r: r["id"])
+        assert len(rows) == 2
+        assert rows[0]["text"] == "alpha"
+        assert rows[0]["meta"] == {"lang": "en"}  # nesting survives
+        assert rows[0]["_id"] == "1"
+
+    def test_read_jsonl_column_pruning(self, spark, tmp_path):
+        from datagrowth_spark.sources.files import read_jsonl_collection
+
+        src = tmp_path / "c.jsonl"
+        src.write_text('{"id": 1, "text": "x", "junk": "drop me"}\n')
+        coll = read_jsonl_collection(spark, str(src), identifier="id",
+                                     columns=["id", "text"])
+        assert coll.content() == [{"id": 1, "text": "x", "_id": "1"}]
+
+    def test_write_corpus_layout(self, spark, tmp_path):
+        import glob
+
+        from datagrowth_spark.sources.files import write_corpus
+
+        df = spark.range(100).selectExpr("id", "id % 2 AS part")
+        out = str(tmp_path / "corpus")
+        write_corpus(df, out, partition_by=["part"])
+        # one task per partition value -> one data file per directory
+        for p in (0, 1):
+            files = glob.glob(f"{out}/part={p}/*.parquet")
+            assert len(files) == 1, files
+        # re-splitting oversized partitions
+        out2 = str(tmp_path / "corpus2")
+        write_corpus(df, out2, partition_by=["part"], target_records_per_file=20)
+        files = glob.glob(f"{out2}/part=0/*.parquet")
+        assert len(files) == 3  # 50 rows / 20 per file
+        total = spark.read.parquet(out2).count()
+        assert total == 100
