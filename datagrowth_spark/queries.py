@@ -2785,7 +2785,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_budget_select": q_corpus_budget_select,
         "dataset_version_diff": q_dataset_version_diff,
         "streaming_click_attribution": q_streaming_click_attribution,
-        # new in round 3
+        # not in the round-3 window (last checked round 2) — rotate in
+        "curation_pipeline": q_curation_pipeline,
+        "finished_not_pending_custs": q_finished_not_pending_custs,
+        "order_priority_check": q_order_priority_check,
+        "supplier_diversity": q_supplier_diversity,
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "nation_revenue": q_nation_revenue,
+        "returned_items": q_returned_items,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "customers_without_orders": q_customers_without_orders,
+        "active_suppliers": q_active_suppliers,
+        "customer_order_merge": q_customer_order_merge,
+        "orders_rollup": q_orders_rollup,
+        "order_count_distribution": q_order_count_distribution,
+        "big_orders": q_big_orders,
+        "rich_idle_customers": q_rich_idle_customers,
+        "promo_share_monthly": q_promo_share_monthly,
+        # checked green in the round-3 window — absorb overflow positions
         "quality_unigram_lm": q_quality_unigram_lm,
         "corpus_mix_temperature": q_corpus_mix_temperature,
         "events_heavy_hitters": q_events_heavy_hitters,
@@ -2840,26 +2858,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_threshold_by_lang": q_quality_threshold_by_lang,
         "pii_scan": q_pii_scan,
         "corpus_sample": q_corpus_sample,
-        "curation_pipeline": q_curation_pipeline,
-        "finished_not_pending_custs": q_finished_not_pending_custs,
-        "order_priority_check": q_order_priority_check,
-        "supplier_diversity": q_supplier_diversity,
-        # --- past the 50-entry window: long-stable relational core,
-        # green in rounds 1 AND 2; pricing_summary is also exercised
-        # every round via entry() ---
-        "pricing_summary": q_pricing_summary,
-        "top_orders": q_top_orders,
-        "nation_revenue": q_nation_revenue,
-        "returned_items": q_returned_items,
-        "top_parts_per_brand": q_top_parts_per_brand,
-        "customers_without_orders": q_customers_without_orders,
-        "active_suppliers": q_active_suppliers,
-        "customer_order_merge": q_customer_order_merge,
-        "orders_rollup": q_orders_rollup,
-        "order_count_distribution": q_order_count_distribution,
-        "big_orders": q_big_orders,
-        "rich_idle_customers": q_rich_idle_customers,
-        "promo_share_monthly": q_promo_share_monthly,
     }
 
 
