@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Scale smoke: core operators on 10-20M synthetic rows, local[32].
+
+The sf0.1 bench proves correctness-at-speed on ~600k-row tables; this
+script is the next decade of scale for the operators whose plans claim
+"no global sort / no all-pairs / bounded rounds". Rows are generated
+with spark.range (no testdata writes), so the only cost measured is the
+operator itself. Prints one JSON line with per-op seconds.
+
+Run: python scripts/scale_smoke.py [rows_millions, default 10]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from datagrowth_spark.core.session import get_spark
+
+
+def main() -> None:
+    scale_m = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+    n = int(scale_m * 1_000_000)
+    spark = get_spark(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    def bench(name):
+        def run(fn):
+            t0 = time.time()
+            fn()
+            timings[name] = round(time.time() - t0, 2)
+        return run
+
+    # Synthetic corpus: n docs, ~5% exact duplicates, zipf-ish strata.
+    docs = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("doc text "), (F.col("id") % (n // 20)).cast("string")).alias("text"),
+            (F.xxhash64("id") % 20).cast("int").alias("stratum"),
+            (F.xxhash64("id", F.lit(1)) % 997).cast("double").alias("score"),
+            (F.abs(F.xxhash64("id", F.lit(2))) % 900 + 100).cast("long").alias("n_tokens"),
+        )
+    )
+
+    @bench("exact_dedup_groupby")
+    def _():
+        # hash groupBy dedup decision over n rows — no sort anywhere
+        from datagrowth_spark.operators.dedup import exact_dedup
+        exact_dedup(docs, "text", "doc_id").write.format("noop").mode("overwrite").save()
+
+    @bench("pack_layout_sharded_prefix_sum")
+    def _():
+        from datagrowth_spark.operators.packing import pack_layout
+        pack_layout(docs, "doc_id", "n_tokens", ctx=2048).write.format("noop").mode("overwrite").save()
+
+    @bench("token_budget_select")
+    def _():
+        from datagrowth_spark.operators.selection import select_by_token_budget
+        select_by_token_budget(docs, ["stratum"], "score", "n_tokens",
+                               budget=10_000_000, tiebreak_col="doc_id") \
+            .write.format("noop").mode("overwrite").save()
+
+    @bench("budget_threshold_rank_free")
+    def _():
+        from datagrowth_spark.operators.selection import budget_threshold
+        budget_threshold(docs.withColumn("score01", (F.col("score") % 1000) / 1000.0),
+                         ["stratum"], "score01", "n_tokens", budget=10_000_000) \
+            .write.format("noop").mode("overwrite").save()
+
+    @bench("stratified_sample")
+    def _():
+        from datagrowth_spark.operators.sampling import hash_bucket
+        docs.where(hash_bucket("doc_id", buckets=100) < 1) \
+            .write.format("noop").mode("overwrite").save()
+
+    @bench("star_components_200k_chain")
+    def _():
+        # 200k-node path graph — the adversarial diameter case; must
+        # finish in O(log d) rounds, not O(d).
+        from datagrowth_spark.operators.graph import _star_components
+        chain = spark.range(200_000).select(
+            F.col("id").alias("u"), (F.col("id") + 1).alias("v"))
+        labels, rounds = _star_components(chain)
+        assert labels.where(F.col("component") != 0).count() == 0
+        timings["star_components_rounds"] = rounds
+
+    @bench("version_diff_full_outer")
+    def _():
+        from datagrowth_spark.plans.dataset import version_diff
+        v2 = docs.where(F.col("doc_id") % 7 != 0)
+        version_diff(docs.select("doc_id", "text"), v2.select("doc_id", "text"),
+                     key="doc_id", fingerprint=F.md5("text")) \
+            .groupBy("status").count().write.format("noop").mode("overwrite").save()
+
+    print(json.dumps({"metric": "scale_smoke", "rows": n, "unit": "sec",
+                      "ops": timings}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
