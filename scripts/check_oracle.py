@@ -71,10 +71,20 @@ def main() -> int:
         set(sys.argv[1:]) if len(sys.argv) > 1 and not os.path.isdir(sys.argv[1]) else None
     )
 
-    from datagrowth_spark.core.session import get_spark
     from datagrowth_spark.queries import oracle_sql, queries
 
-    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+    if os.environ.get("ORACLE_VANILLA"):
+        # Mimic the driver's harness exactly: a bare SparkSession with
+        # NO engine conf — catches any hidden dependence on the
+        # engine's own session factory (the round-2/3 seed-merge trap).
+        from pyspark.sql import SparkSession
+
+        spark = (SparkSession.builder.appName("oracle-check-vanilla")
+                 .master("local[8]").getOrCreate())
+    else:
+        from datagrowth_spark.core.session import get_spark
+
+        spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
