@@ -7,6 +7,7 @@ split, output templating.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from datagrowth_spark.datatypes.collection import Collection
 from datagrowth_spark.datatypes.document import (
@@ -167,6 +168,35 @@ class TestAnnotations:
         sample = coll.unannotated_sample(ann, "quality", limit=10, seed=3)
         refs = {r["reference"] for r in sample.collect()}
         assert refs == {"r0", "r3", "r4", "r5"}
+
+
+class TestUpdateBroadcastPolicy:
+    def _analyzed(self, df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    def test_batch_sized_update_broadcasts(self, spark):
+        coll = Collection(spark, identifier="id")
+        coll.add([{"id": i} for i in range(5)])
+        coll.update([{"id": 1, "x": "y"}], by_property="id")
+        assert "broadcast" in self._analyzed(coll.df).lower()
+
+    def test_dataframe_update_left_to_aqe(self, spark):
+        # A bulk MERGE from an arbitrary DataFrame must NOT carry a
+        # forced broadcast hint — size-based join selection stays with
+        # AQE (force-broadcasting an unbounded update side OOMs at
+        # scale). Round-3 verdict item 6.
+        from datagrowth_spark.datatypes.document import encode_value_col
+
+        coll = Collection(spark, identifier="id")
+        coll.add([{"id": i} for i in range(5)])
+        updates = spark.range(3).select(
+            F.create_map(F.lit("id"), encode_value_col(F.col("id")),
+                         F.lit("bulk"), F.lit('"1"')).alias("properties"))
+        coll.update(updates, by_property="id")
+        assert "broadcast" not in self._analyzed(coll.df).lower()
+        # semantics unchanged: matched rows merged, unmatched inserted
+        rows = {r["id"]: r for r in coll.content()}
+        assert rows[1].get("bulk") == "1" and 4 in rows
 
 
 class TestTypedConversion:
