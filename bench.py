@@ -99,6 +99,7 @@ HEADLINE = [
     "nation_pair_revenue",
     "sole_supplier_orders",
     "cheapest_supplier_per_part",
+    "pipeline_growth_chain",
 ]
 
 

@@ -1659,6 +1659,70 @@ GROUP BY user_id
 """
 
 
+def _tier_request(content: dict) -> dict | None:
+    """Phase-2 growth template: needs phase-1's flag from the merged
+    content (properties + derivatives) — the reference's dependent-
+    enrichment contract, necessarily the Python template path."""
+    from datagrowth_spark.sources.http import http_request
+
+    flag = content.get("flag")
+    if flag is None:
+        return None
+    return http_request(f"http://testclient/tier/{content['doc_id']}-{flag}")
+
+
+def q_pipeline_growth_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-phase growth chain (E8 + P6-P8 end to end): phase 'analyze'
+    enriches every document; phase 'tier' runs only where analyze
+    succeeded (``depends_on`` gating) and its REQUEST is built from
+    analyze's output — the merged-content Python template path, Arrow-
+    batched in executors. Both phases' results land in derivatives and
+    project back out; the oracle regenerates the whole chain from pure
+    arithmetic.
+    """
+    import tempfile
+
+    from datagrowth_spark.datatypes.collection import Collection
+    from datagrowth_spark.datatypes.document import properties_from_columns
+    from datagrowth_spark.plans.growth import GrowthProcessor
+    from datagrowth_spark.sources.cache import ResourceCache
+
+    docs = _t(spark, sf_dir, "documents")
+    coll = Collection(spark, name="docs", identifier="doc_id")
+    coll.add(docs.select(properties_from_columns("doc_id").alias("properties")))
+
+    cache = ResourceCache(spark, tempfile.mkdtemp(prefix="chain-cache-"))
+    analyze = {
+        "growth_phase": "analyze",
+        "retrieve_data": {"request_template": {
+            "uri_template": "http://testclient/analyze/{}", "args": ["$.doc_id"],
+        }},
+        "contribute_data": {"objective": {"score": "$.score", "flag": "$.flag"}},
+    }
+    tier = {
+        "growth_phase": "tier",
+        "depends_on": "analyze",
+        "retrieve_data": {"request_template": _tier_request},
+        "contribute_data": {"objective": {"tier": "$.tier"}},
+    }
+    GrowthProcessor(analyze, transport=TC.testclient_transport)(coll, cache)
+    GrowthProcessor(tier, transport=TC.testclient_transport)(coll, cache)
+
+    return coll.df.select(
+        F.col("identity").cast("long").alias("doc_id"),
+        F.get_json_object(F.col("derivatives")["analyze"]["flag"], "$").alias("flag"),
+        F.get_json_object(F.col("derivatives")["tier"]["tier"], "$").alias("tier"),
+    )
+
+
+SQL_PIPELINE_GROWTH_CHAIN = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'hi' ELSE 'lo' END AS flag,
+       'T' || CAST((doc_id + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) % 4 AS VARCHAR) AS tier
+FROM documents
+"""
+
+
 def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join BY THE STREAMING PATH: click events
     paired with same-user purchase events within the following hour,
@@ -2778,6 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # new in round 4
+        "pipeline_growth_chain": q_pipeline_growth_chain,
         "quality_linear_classifier": q_quality_linear_classifier,
         "nation_pair_revenue": q_nation_pair_revenue,
         "sole_supplier_orders": q_sole_supplier_orders,
@@ -2863,6 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pipeline_growth_chain": SQL_PIPELINE_GROWTH_CHAIN,
         "quality_linear_classifier": SQL_QUALITY_LINEAR_CLASSIFIER,
         "nation_pair_revenue": SQL_NATION_PAIR_REVENUE,
         "sole_supplier_orders": SQL_SOLE_SUPPLIER_ORDERS,

@@ -65,4 +65,15 @@ def testclient_transport(method: str, url: str, headers: dict, data: Any) -> tup
         return 200, {"content-type": "application/json"}, json.dumps(
             {"score": analyze_score(i), "flag": analyze_flag(i)}
         )
+    if parsed.path.startswith("/tier/"):
+        # Second-stage enrichment whose INPUT depends on a prior phase's
+        # output (the flag) — exercises depends_on growth chains with a
+        # SQL-expressible contract: tier = (id + (flag=='hi')) % 4.
+        token = parsed.path.rsplit("/", 1)[1]
+        id_part, _, flag = token.partition("-")
+        i = int(id_part)
+        tier = (i + (1 if flag == "hi" else 0)) % 4
+        return 200, {"content-type": "application/json"}, json.dumps(
+            {"tier": f"T{tier}"}
+        )
     return 404, {}, ""
