@@ -92,6 +92,33 @@ def main() -> None:
         assert labels.where(F.col("component") != 0).count() == 0
         timings["star_components_rounds"] = rounds
 
+    @bench("salted_agg_hot_key")
+    def _():
+        # adversarial skew: one key holds half the rows; the two-phase
+        # salted aggregate spreads its combine over 32 reducers
+        from datagrowth_spark.operators.skew import salted_aggregate
+        skewed = docs.withColumn(
+            "key", F.when(F.col("doc_id") % 2 == 0, F.lit(0)).otherwise(F.col("doc_id") % 100))
+        salted_aggregate(skewed, "key",
+                         {"n": ("count", "doc_id"), "toks": ("sum", "n_tokens")},
+                         salt=32).write.format("noop").mode("overwrite").save()
+
+    @bench("curation_chain")
+    def _():
+        # dedup decision -> quality gate -> budget selection, one lazy
+        # plan end to end (the composite a real curation run executes)
+        from datagrowth_spark.operators.dedup import exact_dedup
+        from datagrowth_spark.operators.selection import select_by_token_budget
+        keepers = exact_dedup(docs, "text", "doc_id").select(
+            F.col("keep_id").alias("doc_id"))
+        survivors = docs.join(keepers, "doc_id", "left_semi") \
+            .where(F.col("score") % 997 > 100)
+        select_by_token_budget(survivors, ["stratum"], "score", "n_tokens",
+                               budget=5_000_000, tiebreak_col="doc_id") \
+            .where(F.col("kept")).groupBy("stratum") \
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("toks")) \
+            .write.format("noop").mode("overwrite").save()
+
     @bench("version_diff_full_outer")
     def _():
         from datagrowth_spark.plans.dataset import version_diff
