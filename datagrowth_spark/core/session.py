@@ -55,6 +55,36 @@ def get_spark(
     return builder.getOrCreate()
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, confs: dict):
+    """Set session confs for the duration of a block, then restore.
+
+    The sanctioned mechanism for conf that Spark only reads from the
+    session (no per-read ``option()`` / per-plan hint equivalent) and
+    that a specific plan genuinely needs — e.g. the state-store
+    partition count of a bounded streaming drain, which Spark derives
+    from ``spark.sql.shuffle.partitions`` at query start. Restores the
+    previous value (or unsets) on exit so caller session state never
+    leaks (round-3 verdict item 7: no bare ``spark.conf.set`` inside
+    queries).
+    """
+    previous: dict[str, str | None] = {}
+    for key, value in confs.items():
+        previous[key] = spark.conf.get(key, None)
+        spark.conf.set(key, str(value))
+    try:
+        yield spark
+    finally:
+        for key, old in previous.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
+
 def ensure_ts_readable(spark: SparkSession, path: str, column: str = "ts") -> bool:
     """Make a parquet table with a possibly-NANOS timestamp column readable.
 

@@ -1570,9 +1570,13 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "stream_events_hourly"
     stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    # state_partitions: bounded drain over ~100k rows — state-store
+    # count should track state size, not session default (see
+    # run_to_memory docstring; a vanilla 200-partition session would
+    # pay 25x the store overhead here).
     query = run_to_memory(
         windowed_counts(stream, window="1 hour", watermark="2 hours"),
-        name, output_mode="complete",
+        name, output_mode="complete", state_partitions=8,
     )
     query.stop()
     return spark.table(name)
@@ -1602,6 +1606,7 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_documents_stream(spark, os.path.join(sf_dir, "documents.parquet"))
     query = run_to_memory(
         exact_dedup_stream(stream, key_cols=["lang"]), name, output_mode="append",
+        state_partitions=8,
     )
     query.stop()
     return (
@@ -1631,7 +1636,8 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "stream_sessionize"
     stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
-    query = run_to_memory(sessionize_stream(stream), name, output_mode="complete")
+    query = run_to_memory(sessionize_stream(stream), name, output_mode="complete",
+                          state_partitions=8)
     query.stop()
     return (
         spark.table(name)
@@ -1706,6 +1712,12 @@ def q_pipeline_growth_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contribute_data": {"objective": {"tier": "$.tier"}},
     }
     GrowthProcessor(analyze, transport=TC.testclient_transport)(coll, cache)
+    # Snapshot between rounds, exactly like the task-DAG fixpoint loop
+    # (plans/dataset.py): phase 2 consumes phase 1's output twice
+    # (request building + final join-back), and without a checkpoint the
+    # whole analyze lineage — cache scan included — re-executes per
+    # consumer. At scale this is the write-intermediate-corpus step.
+    coll._df = coll._df.localCheckpoint(eager=True)
     GrowthProcessor(tier, transport=TC.testclient_transport)(coll, cache)
 
     return coll.df.select(
@@ -1737,9 +1749,12 @@ def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     path = os.path.join(sf_dir, "events.parquet")
     clicks = read_events_stream(spark, path)
     purchases = read_events_stream(spark, path)
+    # Stream-stream join keeps FOUR state stores per partition; 8
+    # partitions halve the measured micro-batch time vs 32 on this
+    # backlog (see run_to_memory docstring).
     query = run_to_memory(
         paired_events_stream(clicks, purchases, "click", "purchase", within="1 hour"),
-        name, output_mode="append",
+        name, output_mode="append", state_partitions=8,
     )
     query.stop()
     return spark.table(name).select("first_id", "second_id", "user_id")

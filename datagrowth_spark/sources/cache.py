@@ -114,10 +114,16 @@ class ResourceCache:
         self.spark = spark
         self.path = path
 
-    def read(self) -> DataFrame:
-        if not os.path.exists(self.path) or not any(
+    def is_empty(self) -> bool:
+        """True when no parquet has ever been committed — a pure driver
+        filesystem check (no job), used to skip the hit-lookup join on
+        the cold path."""
+        return not os.path.exists(self.path) or not any(
             not n.startswith((".", "_")) for n in os.listdir(self.path)
-        ):
+        )
+
+    def read(self) -> DataFrame:
+        if self.is_empty():
             # absent or still-empty cache directory (no committed parquet)
             return self.spark.createDataFrame([], RESPONSE_SCHEMA)
         df = self.spark.read.parquet(self.path)
@@ -265,18 +271,23 @@ def fetch(
         # signature forever and the document could never be enriched.
         # cache_only replay is the exception: nothing can be re-sent, so
         # serve whatever is cached (hermetic fixture mode).
-        hit_src = cache.latest()
-        if not cache_only:
-            hit_src = hit_src.where(success_predicate())
-        cached = hit_src.select("signature").withColumn("__hit", F.lit(True))
-        # Persisted: consumed by the count below AND the fetch job — without
-        # it the cache anti-join (and any Python request lineage above the
-        # persist boundary) runs twice per fetch call.
-        misses = (
-            requests_df.join(cached, "signature", "left")
-            .where(F.col("__hit").isNull())
-            .drop("__hit")
-        ).persist()
+        if cache.is_empty():
+            # Cold path: nothing committed yet, every request is a miss —
+            # skip the hit-lookup join (and its latest() window) entirely.
+            misses = requests_df.persist()
+        else:
+            hit_src = cache.latest()
+            if not cache_only:
+                hit_src = hit_src.where(success_predicate())
+            cached = hit_src.select("signature").withColumn("__hit", F.lit(True))
+            # Persisted: consumed by the count below AND the fetch job —
+            # without it the cache anti-join (and any Python request lineage
+            # above the persist boundary) runs twice per fetch call.
+            misses = (
+                requests_df.join(cached, "signature", "left")
+                .where(F.col("__hit").isNull())
+                .drop("__hit")
+            ).persist()
         extra_sigs: list = []
         try:
             n_misses = misses.count()

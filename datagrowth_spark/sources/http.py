@@ -148,15 +148,17 @@ def paginated_fetch(
 
     def gather(frontier_sigs: list[str]) -> None:
         """Resolve every cached row reachable by chain-head or signature
-        and fold its pagination edge into the driver dict."""
-        sig_frame = spark.createDataFrame([(s,) for s in frontier_sigs], "s string")
+        and fold its pagination edge into the driver dict.
+
+        The frontier is a driver-side list by construction (one entry
+        per unresolved chain cursor, bounded by the caller's request
+        batch), so membership is an IN predicate pushed into the cache
+        scan — one filtered parquet read, no join, no shuffle — instead
+        of two broadcast semi-joins over separate scans.
+        """
         latest = cache.latest()
-        rows = (
-            latest.join(F.broadcast(sig_frame), latest["chain"] == sig_frame["s"], "left_semi")
-            .unionByName(
-                latest.join(F.broadcast(sig_frame), latest["signature"] == sig_frame["s"],
-                            "left_semi"))
-            .dropDuplicates(["signature"])
+        rows = latest.where(
+            F.col("chain").isin(frontier_sigs) | F.col("signature").isin(frontier_sigs)
         )
         if next_request is None:
             resolved = [(r["signature"], None) for r in rows.select("signature").collect()]
@@ -205,5 +207,9 @@ def paginated_fetch(
         if not cursors or (frontier and not progress):
             break  # done, or the source stopped yielding rows (defensive)
 
+    if len(result_sigs) <= 10_000:
+        # Driver-known page set of sane size: IN predicate on the scan
+        # beats materializing a join side (no shuffle, no broadcast).
+        return cache.latest().where(F.col("signature").isin(list(result_sigs)))
     sigs = spark.createDataFrame([(s,) for s in result_sigs], "signature string")
     return cache.latest().join(sigs, "signature", "left_semi")
