@@ -151,6 +151,74 @@ def contamination_flags(
     )
 
 
+def drop_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Exact-substring deduplication that REWRITES documents: every
+    token covered by an ``n``-token span occurring in more than one
+    document is removed — except in the single keeper document (minimum
+    id among the span's holders), which keeps its text intact. The
+    distributed form of Lee et al.'s "Deduplicating Training Data Makes
+    Language Models Better" exact-substring dedup, at token-window
+    granularity (this corpus has no line structure for line-level dedup).
+
+    Returns one row per input document::
+
+        doc_id, n_tokens, n_removed, text_deduped
+
+    Plan shape (never pairwise): explode token windows → one hash
+    aggregate per span hash (document frequency + keeper id) → join
+    back on the span hash → per-doc covered-position set → one
+    array-filter rewrite against the doc's own token array. Two
+    shuffles, both keyed on the 8-byte span hash or the doc id; the
+    rewrite never explodes the corpus to token rows. Per-doc cost of
+    the final filter is O(len × |covered|) array_contains probes —
+    bounded by document length, embarrassingly parallel.
+
+    Tokens are whitespace-split; output joins kept tokens with a single
+    space (the operator contract is token-level, not byte-level).
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    toked = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+
+    size = F.size("toks")
+    wins = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(0), size - n),
+            lambda i: F.struct(
+                i.alias("pos"),
+                md5_long(F.concat_ws(" ", F.slice("toks", i + 1, n))).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:long>>"))
+    spans = toked.select("id", F.explode(wins).alias("w")) \
+        .select("id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+
+    span_df = spans.groupBy("h").agg(
+        F.count_distinct("id").alias("dfreq"), F.min("id").alias("keeper"))
+    covered = (
+        spans.join(span_df, "h")
+        .where((F.col("dfreq") > 1) & (F.col("id") != F.col("keeper")))
+        .select("id", F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("tokpos"))
+        .distinct()
+    )
+    cov = covered.groupBy("id").agg(F.collect_set("tokpos").alias("cov"))
+
+    out = toked.join(cov, "id", "left").withColumn(
+        "cov", F.coalesce(F.col("cov"), F.array().cast("array<int>")))
+    kept = F.filter("toks", lambda t, i: ~F.array_contains("cov", i))
+    return out.select(
+        F.col("id").alias(id_col),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size("cov").cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("text_deduped"),
+    )
+
+
 # Affine MinHash family over a single md5 base hash: h_i = (a_i·h + b_i) mod P.
 # P is the first prime above 2^32; a_i < 2^30 keeps a_i·h < 2^62 so the
 # arithmetic never overflows BIGINT in any engine (portable, deterministic).
@@ -232,6 +300,102 @@ def minhash_lsh_pairs(
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def _banded_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band_key) rows — one md5 bucket key per band of the signature."""
+    rows = num_hashes // bands
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    frames = []
+    for b in range(bands):
+        band_cols = [F.col(c).cast("string") for c in mh_cols[b * rows:(b + 1) * rows]]
+        key = F.md5(F.concat_ws(",", F.lit(str(b)), *band_cols))
+        frames.append(sig.select(F.col("id"), key.alias("band_key")))
+    banded = frames[0]
+    for frame in frames[1:]:
+        banded = banded.unionByName(frame)
+    return banded
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    signature_store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup detection for an INCREMENTAL ingest batch against a
+    persisted MinHash signature store — the production shape at corpus
+    scale: the historical corpus is never re-shingled or re-joined
+    against itself; only its (id, mh_0..mh_{k-1}) signature table
+    participates, and only in buckets the new batch touches.
+
+    Checks each new document against (a) the store and (b) earlier new
+    documents in the same batch (smaller id wins, so batch-internal
+    dups resolve deterministically). Returns ``(verdicts, new_sigs)``:
+
+    * ``verdicts`` — one row per new document:
+      (id, is_dup, dup_of, est_jaccard); ``dup_of`` is the smallest
+      matching id (store or batch), NULL when the document is novel.
+    * ``new_sigs`` — the batch's signature rows, schema-compatible with
+      the store for the caller to append (the store stays the single
+      source of truth; this operator never mutates it).
+
+    Scale shape: the store-side band keys are derived from stored
+    signatures (k longs per historical doc — no text touched); the
+    candidate join is keyed on band buckets so shuffle volume tracks
+    bucket overlap with the batch, not store size; verification joins
+    signatures only for candidate ids. A new batch is typically orders
+    of magnitude smaller than the store, so every per-batch frame
+    broadcasts.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    new_sigs = minhash_signature(new_docs, text_col, id_col, num_hashes, n).persist()
+
+    banded_new = _banded_keys(new_sigs, num_hashes, bands)
+    banded_store = _banded_keys(signature_store, num_hashes, bands)
+    nb = banded_new.alias("a")
+    cand_old = (
+        nb.join(banded_store.alias("s"), F.col("a.band_key") == F.col("s.band_key"))
+        .select(F.col("a.id").alias("id"), F.col("s.id").alias("other"))
+    )
+    cand_new = (
+        nb.join(banded_new.alias("b"),
+                (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") > F.col("b.id")))
+        .select(F.col("a.id").alias("id"), F.col("b.id").alias("other"))
+    )
+    candidates = cand_old.unionByName(cand_new).distinct()
+
+    all_sigs = signature_store.select("id", *mh_cols).unionByName(
+        new_sigs.select("id", *mh_cols))
+    sig_a = new_sigs.select(F.col("id"), *[F.col(c).alias(f"a_{c}") for c in mh_cols])
+    sig_b = all_sigs.select(F.col("id").alias("other"),
+                            *[F.col(c).alias(f"b_{c}") for c in mh_cols])
+    agree = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in mh_cols
+    )
+    matches = (
+        candidates.join(sig_a, "id").join(sig_b, "other")
+        .withColumn("est_jaccard", F.round(agree / F.lit(num_hashes), 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .groupBy("id")
+        .agg(F.min("other").alias("dup_of"),
+             F.min_by("est_jaccard", "other").alias("est_jaccard"))
+    )
+    verdicts = (
+        new_sigs.select("id").join(matches, "id", "left")
+        .select(
+            "id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            "est_jaccard",
+        )
+    )
+    return verdicts, new_sigs
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

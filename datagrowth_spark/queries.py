@@ -1077,6 +1077,73 @@ WHERE round(({agree}) / CAST({_NUM_HASHES} AS DOUBLE), 6) >= 0.2
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (the production shape at corpus scale):
+    docs with doc_id % 10 < 8 play the already-ingested corpus — only
+    their SIGNATURE table participates, as a persisted store would —
+    and the rest arrive as a new batch checked against store + earlier
+    batch members. The oracle recomputes the same verdicts from
+    scratch, proving the store-only path loses nothing."""
+    docs = _t(spark, sf_dir, "documents")
+    store_docs = docs.where(F.col("doc_id") % 10 < 8)
+    batch = docs.where(F.col("doc_id") % 10 >= 8)
+    store_sigs = DD.minhash_signature(store_docs, "text", "doc_id",
+                                      num_hashes=_NUM_HASHES, n=3)
+    verdicts, new_sigs = DD.incremental_minhash_dedup(
+        batch, store_sigs, "text", "doc_id",
+        num_hashes=_NUM_HASHES, bands=_BANDS, n=3, threshold=0.2)
+    new_sigs.unpersist()
+    return verdicts.select(
+        F.col("id").alias("doc_id"), "is_dup", "dup_of", "est_jaccard")
+
+
+def _incremental_sql() -> str:
+    rows = _NUM_HASHES // _BANDS
+    mh_selects = ",\n       ".join(f"{_mh_expr_sql(i)} AS mh_{i}" for i in range(_NUM_HASHES))
+
+    def banded(src: str) -> str:
+        parts = []
+        for b in range(_BANDS):
+            cols = " || ',' || ".join(
+                f"CAST(mh_{i} AS VARCHAR)" for i in range(b * rows, (b + 1) * rows))
+            parts.append(f"SELECT id, md5('{b},' || {cols}) AS band_key FROM {src}")
+        return "\nUNION ALL\n".join(parts)
+
+    agree = " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(_NUM_HASHES))
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (SELECT id, {mh_selects} FROM sh GROUP BY id),
+new_sig AS (SELECT * FROM sig WHERE id % 10 >= 8),
+old_sig AS (SELECT * FROM sig WHERE id % 10 < 8),
+banded_new AS ({banded('new_sig')}),
+banded_old AS ({banded('old_sig')}),
+cand AS (
+  SELECT a.id AS id, s.id AS other
+  FROM banded_new a JOIN banded_old s ON a.band_key = s.band_key
+  UNION
+  SELECT a.id AS id, b.id AS other
+  FROM banded_new a JOIN banded_new b ON a.band_key = b.band_key AND a.id > b.id
+),
+matches AS (
+  SELECT c.id, c.other, round(({agree}) / CAST({_NUM_HASHES} AS DOUBLE), 6) AS est
+  FROM cand c
+  JOIN sig a ON a.id = c.id
+  JOIN sig b ON b.id = c.other
+  WHERE round(({agree}) / CAST({_NUM_HASHES} AS DOUBLE), 6) >= 0.2
+),
+best AS (
+  SELECT id, MIN(other) AS dup_of, arg_min(est, other) AS est_jaccard
+  FROM matches GROUP BY id
+)
+SELECT s.id AS doc_id,
+       best.dup_of IS NOT NULL AS is_dup,
+       best.dup_of,
+       best.est_jaccard
+FROM new_sig s LEFT JOIN best ON best.id = s.id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures per document (32-bit, engine-portable)."""
     return DD.simhash_signatures(_t(spark, sf_dir, "documents"), "text", "doc_id") \
@@ -1880,6 +1947,49 @@ SELECT id AS doc_id,
        round(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS shared_frac
 FROM h JOIN dfreq USING (h)
 GROUP BY id
+"""
+
+
+def q_dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup that REWRITES documents (Lee et al. shape):
+    tokens covered by an 8-token span occurring in >1 document are
+    removed everywhere except the keeper (min doc_id holding the span).
+    The oracle recomputes the rewrite from first principles — a value
+    match on the rewritten text proves position bookkeeping, keeper
+    election and re-assembly all agree."""
+    return DD.drop_duplicated_spans(_t(spark, sf_dir, "documents"), "text", "doc_id", n=8)
+
+
+SQL_DEDUP_SPAN_REWRITE = f"""
+WITH toked AS (SELECT doc_id AS id, {_RAW_TOKS_SQL} AS toks FROM documents),
+spans AS (
+  SELECT id, i - 1 AS pos, array_to_string(list_slice(toks, i, i + 7), ' ') AS span
+  FROM toked, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+  WHERE len(toks) >= 8
+),
+span_df AS (
+  SELECT span, COUNT(DISTINCT id) AS dfreq, MIN(id) AS keeper FROM spans GROUP BY span
+),
+covered AS (
+  SELECT DISTINCT s.id, u.tokpos
+  FROM spans s
+  JOIN span_df d ON s.span = d.span AND d.dfreq > 1 AND s.id <> d.keeper,
+       unnest(generate_series(s.pos, s.pos + 7)) AS u(tokpos)
+),
+kept AS (
+  SELECT t.id, u.i, t.toks[u.i] AS tok
+  FROM toked t, unnest(generate_series(1, len(t.toks))) AS u(i)
+  WHERE NOT EXISTS (SELECT 1 FROM covered c WHERE c.id = t.id AND c.tokpos = u.i - 1)
+),
+agg AS (
+  SELECT id, COUNT(*) AS n_kept, string_agg(tok, ' ' ORDER BY i) AS text_deduped
+  FROM kept GROUP BY id
+)
+SELECT t.id AS doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.text_deduped, '') AS text_deduped
+FROM toked t LEFT JOIN agg a ON a.id = t.id
 """
 
 
@@ -2857,6 +2967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # new in round 4
+        "dedup_span_rewrite": q_dedup_span_rewrite,
+        "dedup_incremental": q_dedup_incremental,
         "pipeline_growth_chain": q_pipeline_growth_chain,
         "quality_linear_classifier": q_quality_linear_classifier,
         "nation_pair_revenue": q_nation_pair_revenue,
@@ -2997,6 +3109,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_rfm": SQL_CUSTOMER_RFM,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_spans_crossdoc": SQL_DEDUP_SPANS_CROSSDOC,
+        "dedup_span_rewrite": SQL_DEDUP_SPAN_REWRITE,
+        "dedup_incremental": _incremental_sql(),
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_lsh": _minhash_lsh_sql(),

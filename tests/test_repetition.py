@@ -91,3 +91,75 @@ class TestCrossdocSpans:
         got = {r["id"]: r for r in crossdoc_span_stats(df, n=8).collect()}
         assert got[1]["shared_spans"] == 3
         assert got[2]["shared_spans"] == 3
+
+
+class TestSpanRewrite:
+    """drop_duplicated_spans — the exact-substring dedup REWRITE."""
+
+    def test_keeper_intact_dup_stripped(self, spark):
+        from datagrowth_spark.operators.dedup import drop_duplicated_spans
+
+        base = " ".join(f"w{i}" for i in range(12))
+        other = " ".join(f"v{i}" for i in range(12))
+        df = _docs(spark, [(1, base), (2, base), (3, other)])
+        got = {r["doc_id"]: r for r in drop_duplicated_spans(df, n=8).collect()}
+        # keeper (min id) keeps its text verbatim
+        assert got[1]["text_deduped"] == base and got[1]["n_removed"] == 0
+        # the duplicate loses every covered token (all 12 are inside
+        # some shared 8-gram)
+        assert got[2]["text_deduped"] == "" and got[2]["n_removed"] == 12
+        # the unrelated doc is untouched
+        assert got[3]["text_deduped"] == other and got[3]["n_removed"] == 0
+
+    def test_partial_overlap_removes_only_covered_prefix(self, spark):
+        from datagrowth_spark.operators.dedup import drop_duplicated_spans
+
+        shared = " ".join(f"w{i}" for i in range(10))
+        tail_a = " ".join(f"a{i}" for i in range(10))
+        tail_b = " ".join(f"b{i}" for i in range(10))
+        df = _docs(spark, [(1, shared + " " + tail_a), (2, shared + " " + tail_b)])
+        got = {r["doc_id"]: r for r in drop_duplicated_spans(df, n=8).collect()}
+        assert got[1]["n_removed"] == 0
+        # doc 2: shared 8-grams are those fully inside the 10-token
+        # prefix -> starts 0..2, covering token positions 0..9
+        assert got[2]["n_removed"] == 10
+        assert got[2]["text_deduped"] == tail_b
+
+    def test_short_docs_pass_through(self, spark):
+        from datagrowth_spark.operators.dedup import drop_duplicated_spans
+
+        df = _docs(spark, [(1, "a b c"), (2, "a b c")])
+        got = {r["doc_id"]: r for r in drop_duplicated_spans(df, n=8).collect()}
+        assert got[1]["n_removed"] == 0 and got[2]["n_removed"] == 0
+        assert got[2]["text_deduped"] == "a b c"
+
+
+class TestIncrementalDedup:
+    """incremental_minhash_dedup — batch-vs-store near-dup verdicts."""
+
+    def test_store_hit_batch_hit_and_novel(self, spark):
+        from datagrowth_spark.operators.dedup import (
+            incremental_minhash_dedup, minhash_signature)
+
+        text_a = " ".join(f"w{i}" for i in range(30))
+        text_b = " ".join(f"z{i}" for i in range(30))
+        store_docs = _docs(spark, [(1, text_a)])
+        # 10 = dup of store doc 1; 11+12 = batch-internal dups of each
+        # other; 13 = novel
+        batch = _docs(spark, [
+            (10, text_a), (11, text_b), (12, text_b),
+            (13, " ".join(f"q{i}" for i in range(30))),
+        ])
+        store_sigs = minhash_signature(store_docs, num_hashes=16, n=3)
+        verdicts, new_sigs = incremental_minhash_dedup(
+            batch, store_sigs, num_hashes=16, bands=4, n=3, threshold=0.5)
+        got = {r["id"]: r for r in verdicts.collect()}
+        assert got[10]["is_dup"] and got[10]["dup_of"] == 1
+        assert got[10]["est_jaccard"] == 1.0
+        assert not got[11]["is_dup"] and got[11]["dup_of"] is None
+        assert got[12]["is_dup"] and got[12]["dup_of"] == 11
+        assert not got[13]["is_dup"]
+        # new_sigs append-compatible with the store
+        assert set(new_sigs.columns) == set(store_sigs.columns)
+        assert new_sigs.count() == 4
+        new_sigs.unpersist()
