@@ -100,6 +100,8 @@ HEADLINE = [
     "sole_supplier_orders",
     "cheapest_supplier_per_part",
     "pipeline_growth_chain",
+    "dedup_span_rewrite",
+    "dedup_incremental",
 ]
 
 

@@ -191,7 +191,11 @@ def drop_duplicated_spans(
             F.sequence(F.lit(0), size - n),
             lambda i: F.struct(
                 i.alias("pos"),
-                md5_long(F.concat_ws(" ", F.slice("toks", i + 1, n))).alias("h"),
+                # span identity = 64-bit hash of the token slice itself:
+                # no string re-assembly, native hash — the span frame is
+                # produced twice (df aggregate + coverage join) and this
+                # is its dominant cost on boilerplate-heavy corpora
+                F.xxhash64(F.slice("toks", i + 1, n)).alias("h"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,h:long>>"))
@@ -200,13 +204,17 @@ def drop_duplicated_spans(
 
     span_df = spans.groupBy("h").agg(
         F.count_distinct("id").alias("dfreq"), F.min("id").alias("keeper"))
-    covered = (
+    # Window STARTS per doc, expanded to covered token positions with
+    # per-row array ops — never an exploded token-position shuffle (a
+    # dup-heavy corpus would otherwise shuffle n× the span count).
+    starts = (
         spans.join(span_df, "h")
         .where((F.col("dfreq") > 1) & (F.col("id") != F.col("keeper")))
-        .select("id", F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("tokpos"))
-        .distinct()
+        .groupBy("id").agg(F.collect_set("pos").alias("starts"))
     )
-    cov = covered.groupBy("id").agg(F.collect_set("tokpos").alias("cov"))
+    cov_expr = F.array_distinct(F.flatten(F.transform(
+        "starts", lambda s: F.sequence(s, s + (n - 1)))))
+    cov = starts.select("id", cov_expr.alias("cov"))
 
     out = toked.join(cov, "id", "left").withColumn(
         "cov", F.coalesce(F.col("cov"), F.array().cast("array<int>")))

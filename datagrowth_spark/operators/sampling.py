@@ -34,6 +34,47 @@ def hash_bucket(key: Column | str, buckets: int = 100, salt: str = "sample") -> 
     return (md5_long(salted) % F.lit(buckets)).cast("int")
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    key_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: take ``k``
+    rows with probability proportional to ``weight_col`` (Efraimidis-
+    Spirakis A-Res order statistics: key = u^(1/w) with u uniform, keep
+    the k largest keys).
+
+    The uniform draw is a pure function of the row key — a salted md5
+    mapped into (0, 1) — so the sample is identical across re-runs,
+    partition layouts and engines (the same reproducibility contract as
+    :func:`stratified_sample`, which this generalizes from Bernoulli to
+    weighted top-k). Rows with weight <= 0 are excluded (they would
+    need key 0, i.e. never sampled).
+
+    Plan shape: one projection computes the key, then a global top-k —
+    Spark executes ORDER BY ... LIMIT k as per-partition top-k + a
+    k-row driver merge (TakeOrderedAndProject), NOT a full sort
+    shuffle; linear scan at any corpus size for bench-sized k.
+
+    Output: input columns + ``sample_key`` (rounded to 9dp), ordered by
+    key descending — slice-stable for pagination or unioning shards.
+    """
+    weight = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    key = F.col(key_col)
+    salted = F.concat(F.lit(f"{salt}:"), key.cast("string"))
+    # (h + 0.5) / 2^32 in (0, 1): never exactly 0 or 1, engine-portable.
+    u = (md5_long(salted).cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+    sample_key = F.round(F.pow(u, F.lit(1.0) / weight.cast("double")), 9)
+    return (
+        df.where(weight > 0)
+        .withColumn("sample_key", sample_key)
+        .orderBy(F.desc("sample_key"), key)
+        .limit(k)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, int],

@@ -2091,6 +2091,32 @@ WHERE bucket < CASE lang WHEN 'en' THEN {_SAMPLE_RATES['en']}
 """
 
 
+def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+    200 documents drawn with probability proportional to length, as a
+    pure function of the doc id — same sample on any partitioning, any
+    engine. Executes as per-partition top-k + k-row driver merge, not a
+    global sort."""
+    from datagrowth_spark.operators import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents")
+    out = SMP.weighted_sample(docs, "n_chars", "doc_id", k=200)
+    return out.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+                      "sample_key")
+
+
+SQL_CORPUS_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         round(pow((CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    + 0.5) / 4294967296.0,
+                   1.0 / CAST(n_chars AS DOUBLE)), 9) AS sample_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT * FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 200
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation verdict: one pass assigns every document
     its keep/drop decision with the reason — exact-dup canonical
@@ -2969,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4
         "dedup_span_rewrite": q_dedup_span_rewrite,
         "dedup_incremental": q_dedup_incremental,
+        "corpus_weighted_sample": q_corpus_weighted_sample,
         "pipeline_growth_chain": q_pipeline_growth_chain,
         "quality_linear_classifier": q_quality_linear_classifier,
         "nation_pair_revenue": q_nation_pair_revenue,
@@ -3111,6 +3138,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans_crossdoc": SQL_DEDUP_SPANS_CROSSDOC,
         "dedup_span_rewrite": SQL_DEDUP_SPAN_REWRITE,
         "dedup_incremental": _incremental_sql(),
+        "corpus_weighted_sample": SQL_CORPUS_WEIGHTED_SAMPLE,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_lsh": _minhash_lsh_sql(),

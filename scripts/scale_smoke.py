@@ -119,6 +119,42 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("toks")) \
             .write.format("noop").mode("overwrite").save()
 
+    @bench("weighted_sample_topk")
+    def _():
+        # global weighted top-k must run as per-partition top-k + driver
+        # merge (TakeOrderedAndProject), not a full sort shuffle
+        from datagrowth_spark.operators.sampling import weighted_sample
+        weighted_sample(docs, "n_tokens", "doc_id", k=1000) \
+            .write.format("noop").mode("overwrite").save()
+
+    @bench("span_rewrite_1m_docs")
+    def _():
+        # exact-substring rewrite at 1/10 scale (span explode is ~20
+        # rows/doc here); dup texts make every non-keeper fully covered
+        from datagrowth_spark.operators.dedup import drop_duplicated_spans
+        # NB: filter, not limit() — a global LIMIT collapses the whole
+        # downstream plan to one partition
+        small = docs.where(F.col("doc_id") < n // 10).withColumn(
+            "text", F.concat(F.lit("a b c d e f g h i j k l m n o p q r s t u "),
+                             (F.col("doc_id") % (n // 200)).cast("string")))
+        drop_duplicated_spans(small, "text", "doc_id", n=8) \
+            .select(F.sum("n_removed")).write.format("noop").mode("overwrite").save()
+
+    @bench("incremental_dedup_store_10m")
+    def _():
+        # 10M-row signature STORE vs a 100k-doc batch: per-ingest cost
+        # must track the batch, not the store (store is never re-shingled)
+        from datagrowth_spark.operators.dedup import incremental_minhash_dedup
+        store = spark.range(n).select(
+            F.col("id"),
+            *[(F.abs(F.xxhash64("id", F.lit(i))) % 4294967311).alias(f"mh_{i}")
+              for i in range(16)])
+        batch = docs.where(F.col("doc_id") < 100_000)
+        verdicts, sigs = incremental_minhash_dedup(batch, store, "text", "doc_id",
+                                                   num_hashes=16, bands=4, n=3)
+        verdicts.write.format("noop").mode("overwrite").save()
+        sigs.unpersist()
+
     @bench("version_diff_full_outer")
     def _():
         from datagrowth_spark.plans.dataset import version_diff

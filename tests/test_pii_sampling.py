@@ -68,3 +68,38 @@ class TestSampling:
         a = {r["doc_id"] for r in stratified_sample(df, {"en": 30}, "lang", "doc_id", salt="s1").collect()}
         b = {r["doc_id"] for r in stratified_sample(df, {"en": 30}, "lang", "doc_id", salt="s2").collect()}
         assert a != b
+
+
+class TestWeightedSample:
+    """weighted_sample — deterministic Efraimidis-Spirakis top-k."""
+
+    def test_partition_layout_invariant(self, spark):
+        from datagrowth_spark.operators.sampling import weighted_sample
+
+        df = spark.range(500).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 50 + 1).alias("w"))
+        a = [r["doc_id"] for r in weighted_sample(df, "w", "doc_id", 50).collect()]
+        b = [r["doc_id"] for r in
+             weighted_sample(df.repartition(13), "w", "doc_id", 50).collect()]
+        assert a == b and len(a) == 50
+
+    def test_heavy_weights_dominate(self, spark):
+        from datagrowth_spark.operators.sampling import weighted_sample
+
+        # weight 1000 vs weight 1: the heavy half should dominate the
+        # sample (in expectation ~all of it; assert a safe margin).
+        df = spark.range(400).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 200, 1000).otherwise(1).alias("w"))
+        got = weighted_sample(df, "w", "doc_id", 100).collect()
+        heavy = sum(1 for r in got if r["doc_id"] < 200)
+        assert heavy >= 90
+
+    def test_zero_weight_excluded_and_k_truncates(self, spark):
+        from datagrowth_spark.operators.sampling import weighted_sample
+
+        df = spark.range(10).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, 5).otherwise(0).alias("w"))
+        got = weighted_sample(df, "w", "doc_id", 100).collect()
+        assert sorted(r["doc_id"] for r in got) == [0, 2, 4, 6, 8]
