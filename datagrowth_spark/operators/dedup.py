@@ -48,18 +48,29 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
-def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int,
+                   hashed: bool = False) -> DataFrame:
     # Tokenize into a real column first: shingle construction indexes the
     # token array per position, and an inlined tokenizer expression would
     # be re-evaluated per shingle (O(len²) per document).
+    #
+    # ``hashed=True`` emits xxhash64(shingle) longs instead of strings —
+    # for operators where the shingle is ONLY an internal join/group key
+    # (jaccard, decontamination), shuffling 8-byte longs beats shuffling
+    # n-token strings; 64-bit collisions are negligible against exact
+    # verification thresholds. MinHash keeps the string form: its hash
+    # family is the engine-portable md5 arithmetic.
     from datagrowth_spark.functions.text import shingles_from_tokens, tokens_col
 
     toked = df.select(
         F.col(id_col).alias("id"),
         tokens_col(F.lower(F.col(text_col))).alias("toks"),
     )
+    sh = shingles_from_tokens(F.col("toks"), n)
+    if hashed:
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
     return toked.select(
-        "id", F.explode(F.array_distinct(shingles_from_tokens(F.col("toks"), n))).alias("shingle")
+        "id", F.explode(F.array_distinct(sh)).alias("shingle")
     )
 
 
@@ -84,7 +95,7 @@ def ngram_jaccard_pairs(
     stop-shingle in every doc would otherwise emit |corpus|² pairs).
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp.
     """
-    sh = _shingle_frame(df, text_col, id_col, n)
+    sh = _shingle_frame(df, text_col, id_col, n, hashed=True)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     posts = sh.groupBy("shingle").agg(F.sort_array(F.collect_list("id")).alias("ids"))
     posts = posts.where(F.size("ids") > 1)
@@ -133,8 +144,8 @@ def contamination_flags(
     per-doc overlap count), no corpus self-join anywhere. Output:
     (doc_id, overlap, contaminated) for every corpus document.
     """
-    corpus_sh = _shingle_frame(corpus, text_col, id_col, n)
-    bench_sh = _shingle_frame(benchmark, text_col, id_col, n) \
+    corpus_sh = _shingle_frame(corpus, text_col, id_col, n, hashed=True)
+    bench_sh = _shingle_frame(benchmark, text_col, id_col, n, hashed=True) \
         .select("shingle").distinct()
     overlap = (
         corpus_sh.join(bench_sh, "shingle")

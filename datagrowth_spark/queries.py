@@ -1087,8 +1087,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     store_docs = docs.where(F.col("doc_id") % 10 < 8)
     batch = docs.where(F.col("doc_id") % 10 >= 8)
+    # The store is a MATERIALIZED table in production (that's the point
+    # of the operator); persist stands in for the parquet signature
+    # table so the band branches don't re-shingle the corpus per branch.
     store_sigs = DD.minhash_signature(store_docs, "text", "doc_id",
-                                      num_hashes=_NUM_HASHES, n=3)
+                                      num_hashes=_NUM_HASHES, n=3).persist()
     verdicts, new_sigs = DD.incremental_minhash_dedup(
         batch, store_sigs, "text", "doc_id",
         num_hashes=_NUM_HASHES, bands=_BANDS, n=3, threshold=0.2)
