@@ -102,6 +102,8 @@ HEADLINE = [
     "pipeline_growth_chain",
     "dedup_span_rewrite",
     "dedup_incremental",
+    "corpus_weighted_sample",
+    "semantic_dedup",
 ]
 
 

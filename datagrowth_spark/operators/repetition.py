@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datagrowth_spark.functions.text import md5_long, shingles_from_tokens, tokens_col
+from datagrowth_spark.functions.text import shingles_from_tokens, tokens_col
 
 
 def _occurrence_shingles(
@@ -143,19 +143,24 @@ def crossdoc_span_stats(
     has at least one span. A planted near-duplicate shows
     ``shared_frac`` ≈ 1; organic documents sit near 0 for n ≥ 8.
 
-    Scale shape: spans are md5-hashed to 8-byte keys before the global
-    document-frequency aggregate, so the shuffle carries longs, not
-    strings; document frequency needs a plain COUNT because spans are
-    already distinct per document.
+    Scale shape: spans are xxhash64-hashed to 8-byte keys before the
+    global document-frequency aggregate, so the shuffle carries longs,
+    not strings; document frequency needs a plain COUNT because spans
+    are already distinct per document.
     """
     toked = df.select(
         F.col(id_col).alias("id"),
         tokens_col(F.lower(F.col(text_col))).alias("toks"),
     )
+    # Span identity is internal to this operator (outputs are counts),
+    # so hash inside the array before exploding: the explode emits
+    # longs, array_distinct compares longs, and the document-frequency
+    # shuffle carries 8 bytes per span instead of an n-token string.
     spans = toked.select(
         "id",
-        F.explode(F.array_distinct(shingles_from_tokens(F.col("toks"), n))).alias("span"),
-    ).select("id", md5_long(F.col("span")).alias("h"))
+        F.explode(F.array_distinct(F.transform(
+            shingles_from_tokens(F.col("toks"), n), lambda s: F.xxhash64(s)))).alias("h"),
+    )
     doc_freq = spans.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     joined = spans.join(doc_freq, "h")
     return (

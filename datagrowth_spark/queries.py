@@ -1345,6 +1345,31 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup END TO END: cluster-blocked
+    embedding near-dup pairs (cosine >= 0.35) → connected components →
+    per-vector keep verdict (canonical = min id of the component;
+    singletons keep themselves). The oracle replays the whole chain
+    with an exhaustive pair join + recursive CTE, so a hash match
+    proves the blocked pair search AND the distributed component
+    resolution both lose nothing."""
+    from datagrowth_spark.operators.graph import dedup_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_near_dup_pairs(emb, threshold=0.35)
+    clusters = dedup_clusters(pairs.select("id_a", "id_b")) \
+        .withColumnRenamed("doc_id", "vec_id")
+    return (
+        emb.select("vec_id").join(clusters, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", F.col("vec_id")).alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+            F.coalesce("is_canonical", F.lit(True)).alias("keep"),
+        )
+    )
+
+
 # Raw-dot / norm-product — the exact expression shape of
 # SIM.embedding_near_dup_pairs (scalar norms, no normalized arrays).
 _NDOT_SQL = ("round(list_sum(list_transform(generate_series(1, len(a.vec)), "
@@ -1360,6 +1385,30 @@ WITH e AS (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_NDOT_SQL} AS cos_sim
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_NDOT_SQL} >= 0.35
+"""
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE pairs AS ({SQL_EMBEDDING_NEAR_DUPS}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, comp) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+),
+components AS (SELECT node, MIN(comp) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM components GROUP BY cluster_id)
+SELECT v.vec_id,
+       COALESCE(c.cluster_id, v.vec_id) AS cluster_id,
+       CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+       COALESCE(c.node = c.cluster_id, TRUE) AS keep
+FROM embeddings v
+LEFT JOIN components c ON c.node = v.vec_id
+LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
 """
 
 
@@ -2999,6 +3048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_rewrite": q_dedup_span_rewrite,
         "dedup_incremental": q_dedup_incremental,
         "corpus_weighted_sample": q_corpus_weighted_sample,
+        "semantic_dedup": q_semantic_dedup,
         "pipeline_growth_chain": q_pipeline_growth_chain,
         "quality_linear_classifier": q_quality_linear_classifier,
         "nation_pair_revenue": q_nation_pair_revenue,
@@ -3142,6 +3192,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_span_rewrite": SQL_DEDUP_SPAN_REWRITE,
         "dedup_incremental": _incremental_sql(),
         "corpus_weighted_sample": SQL_CORPUS_WEIGHTED_SAMPLE,
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_lsh": _minhash_lsh_sql(),

@@ -227,3 +227,45 @@ def test_merge_maps_matches_dict_update_on_generated_corpus(spark):
     for row, el, ef in zip(got, expected_last, expected_first):
         assert dict(row["lw"]) == el
         assert dict(row["fw"]) == ef
+
+
+def test_span_rewrite_matches_bruteforce_on_generated_corpus(spark):
+    """drop_duplicated_spans over a seeded random dup-heavy corpus
+    equals a brute-force Python rewrite: same covered positions, same
+    keeper election, same reassembled text — one DataFrame, one action."""
+    from datagrowth_spark.operators.dedup import drop_duplicated_spans
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(12)]  # tiny vocab -> organic span collisions
+    n = 4
+    docs = {}
+    for i in range(60):
+        if i > 0 and rng.random() < 0.3:
+            src = docs[rng.randrange(i)].split()
+            cut = rng.randrange(len(src) + 1)
+            toks = src[:cut] + [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+        else:
+            toks = [rng.choice(vocab) for _ in range(rng.randint(0, 14))]
+        docs[i] = " ".join(toks)
+
+    # brute force: span -> doc set; covered positions per non-keeper doc
+    span_docs = {}
+    for i, text in docs.items():
+        toks = text.split()
+        for p in range(len(toks) - n + 1):
+            span_docs.setdefault(tuple(toks[p:p + n]), set()).add(i)
+    expected = {}
+    for i, text in docs.items():
+        toks = text.split()
+        covered = set()
+        for p in range(len(toks) - n + 1):
+            holders = span_docs[tuple(toks[p:p + n])]
+            if len(holders) > 1 and i != min(holders):
+                covered.update(range(p, p + n))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        expected[i] = (len(toks), len(covered), " ".join(kept))
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_deduped"])
+           for r in drop_duplicated_spans(df, n=n).collect()}
+    assert got == expected
