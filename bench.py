@@ -104,6 +104,7 @@ HEADLINE = [
     "dedup_incremental",
     "corpus_weighted_sample",
     "semantic_dedup",
+    "price_quantity_regression",
 ]
 
 

@@ -1507,6 +1507,32 @@ FROM f
 """
 
 
+def q_price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag OLS of extended price on quantity — the native
+    ``regr_*``/``corr`` aggregate family (one hash aggregate with
+    map-side partials; the moment sums are mergeable, so this is the
+    same single-shuffle shape as any sum/count at 100 TB). Rounded to
+    4dp: both engines accumulate the same moments in a partition-
+    dependent order, so the last float ulps differ legitimately."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("r"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+
+
+SQL_PRICE_QUANTITY_REGRESSION = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(corr(l_extendedprice, l_quantity), 6) AS r,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-type value quantiles (sort-based percentile).
 
@@ -3049,6 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "corpus_weighted_sample": q_corpus_weighted_sample,
         "semantic_dedup": q_semantic_dedup,
+        "price_quantity_regression": q_price_quantity_regression,
         "pipeline_growth_chain": q_pipeline_growth_chain,
         "quality_linear_classifier": q_quality_linear_classifier,
         "nation_pair_revenue": q_nation_pair_revenue,
@@ -3193,6 +3220,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _incremental_sql(),
         "corpus_weighted_sample": SQL_CORPUS_WEIGHTED_SAMPLE,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
+        "price_quantity_regression": SQL_PRICE_QUANTITY_REGRESSION,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_lsh": _minhash_lsh_sql(),

@@ -263,3 +263,35 @@ class TestDatetimeParity:
             format_datetime_col(parse_datetime_col("s")).alias("s2")
         ).collect()[0].s2
         assert back == format_datetime(dt)
+
+
+class TestScopedConf:
+    """scoped_conf — set/restore without leaking caller session state."""
+
+    def test_restores_previous_value(self, spark):
+        from datagrowth_spark.core.session import scoped_conf
+
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        with scoped_conf(spark, {"spark.sql.shuffle.partitions": 3}):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    def test_unsets_previously_unset_key(self, spark):
+        from datagrowth_spark.core.session import scoped_conf
+
+        key = "spark.sql.legacy.sessionInitWithConfigDefaults.dgsprobe"
+        assert spark.conf.get(key, None) is None
+        with scoped_conf(spark, {key: "true"}):
+            assert spark.conf.get(key) == "true"
+        assert spark.conf.get(key, None) is None
+
+    def test_restores_on_exception(self, spark):
+        import pytest as _pytest
+
+        from datagrowth_spark.core.session import scoped_conf
+
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        with _pytest.raises(RuntimeError):
+            with scoped_conf(spark, {"spark.sql.shuffle.partitions": 5}):
+                raise RuntimeError("boom")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
