@@ -105,6 +105,7 @@ HEADLINE = [
     "corpus_weighted_sample",
     "semantic_dedup",
     "price_quantity_regression",
+    "link_pagerank",
 ]
 
 

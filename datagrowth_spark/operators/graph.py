@@ -219,3 +219,76 @@ def dedup_clusters(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
             (F.col("node") == F.col("component")).alias("is_canonical"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge frame — the
+    link-graph quality-propagation signal CommonCrawl-style curation
+    uses to score domains/documents (harmonic/centrality family).
+
+    Returns ``(node, rank)`` for every node appearing as a source or
+    destination, after exactly ``iterations`` power-iteration steps
+    from the uniform vector — fixed iterations (not convergence-gated)
+    so the result is deterministic and oracle-checkable by unrolling
+    the same steps in SQL.
+
+    Semantics: standard damped PageRank with dangling-mass
+    redistribution — each step,
+    ``rank'(v) = (1-d)/N + d * (Σ_{u→v} rank(u)/out(u) + dangling/N)``
+    where ``dangling`` is the total rank sitting on nodes with no
+    out-edges.
+
+    Scale shape: each iteration is one join (edges ⋈ ranks on src —
+    both sides hash-partitioned on the node id, so successive
+    iterations reuse the same partitioning) + one groupBy(dst) sum over
+    the EDGE set, plus a one-row dangling aggregate broadcast into the
+    next step. Ranks are ``localCheckpoint``-ed per iteration, exactly
+    like the component loop above: bounded lineage, no re-execution of
+    prior rounds. Per-iteration cost is O(|E|) shuffle — the Pregel
+    cost model — and the iteration count is a caller-fixed constant.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("out"))
+
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iterations):
+        with_deg = ranks.join(out_deg, "node", "left")
+        dangling = (
+            with_deg.where(F.col("out").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+            .collect()[0]["d"]
+        )
+        contribs = (
+            e.join(with_deg.where(F.col("out").isNotNull()),
+                   e["u"] == F.col("node"))
+            .select(F.col("v").alias("node"),
+                    (F.col("rank") / F.col("out")).alias("c"))
+            .groupBy("node").agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping)
+                 * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                    + F.lit(dangling / n_nodes))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -2195,6 +2195,67 @@ SELECT * FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 200
 """
 
 
+_PR_KNUTH = 2654435761
+_PR_STEP = 40503
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph quality propagation (CommonCrawl-curation shape):
+    PageRank over a deterministic synthetic doc-link graph (every doc
+    links to 3 arithmetic neighbors), 5 fixed power iterations. The
+    oracle unrolls the exact same steps as chained CTEs, so a value
+    match proves the iterative join+aggregate loop — including the
+    per-round checkpointed lineage — computes the textbook recurrence.
+    Output rank is scaled by N (values ~1) and rounded to 6dp."""
+    from datagrowth_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    d = F.col("doc_id")
+    dsts = [((d * _PR_KNUTH + k * _PR_STEP) % n).alias(f"d{k}") for k in range(3)]
+    edges = docs.select(d.alias("src"), F.explode(F.array(*dsts)).alias("dst"))
+    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
+    return ranks.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.round(F.col("rank") * n, 6).alias("rank_n"),
+    )
+
+
+def _pagerank_sql() -> str:
+    base = f"(1.0 - {_PR_DAMPING}) / (SELECT n FROM nn)"
+    its = []
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f"""r{i} AS (
+  SELECT d.doc_id AS node,
+         {base} + {_PR_DAMPING} * COALESCE(inf.s, 0) AS rank
+  FROM documents d
+  LEFT JOIN (
+    SELECT e.v AS node, SUM(r.rank / dg.outd) AS s
+    FROM e
+    JOIN r{i - 1} r ON r.node = e.u
+    JOIN deg dg ON dg.u = e.u
+    GROUP BY e.v
+  ) inf ON inf.node = d.doc_id
+)""")
+    chain = ",\n".join(its)
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS u,
+         (doc_id * {_PR_KNUTH} + k.k * {_PR_STEP}) % (SELECT n FROM nn) AS v
+  FROM documents, (SELECT unnest([0, 1, 2]) AS k) k
+),
+deg AS (SELECT u, COUNT(*) AS outd FROM e GROUP BY u),
+r0 AS (SELECT doc_id AS node, 1.0 / (SELECT n FROM nn) AS rank FROM documents),
+{chain}
+SELECT node AS doc_id,
+       round(rank * (SELECT n FROM nn), 6) AS rank_n
+FROM r{_PR_ITERS}
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation verdict: one pass assigns every document
     its keep/drop decision with the reason — exact-dup canonical
@@ -3076,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_weighted_sample": q_corpus_weighted_sample,
         "semantic_dedup": q_semantic_dedup,
         "price_quantity_regression": q_price_quantity_regression,
+        "link_pagerank": q_link_pagerank,
         "pipeline_growth_chain": q_pipeline_growth_chain,
         "quality_linear_classifier": q_quality_linear_classifier,
         "nation_pair_revenue": q_nation_pair_revenue,
@@ -3221,6 +3283,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_weighted_sample": SQL_CORPUS_WEIGHTED_SAMPLE,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "price_quantity_regression": SQL_PRICE_QUANTITY_REGRESSION,
+        "link_pagerank": _pagerank_sql(),
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_lsh": _minhash_lsh_sql(),

@@ -115,3 +115,35 @@ class TestDecontamination:
         out = contamination_flags(corpus, benchmark)
         assert out.count() == 6
         assert out.where(F.col("contaminated")).count() == 0
+
+
+class TestPageRank:
+    """pagerank — fixed-iteration power method with dangling mass."""
+
+    def test_two_cycle_is_uniform_fixed_point(self, spark):
+        from datagrowth_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        got = {r["node"]: r["rank"] for r in pagerank(e, iterations=7).collect()}
+        assert got[1] == pytest.approx(0.5) and got[2] == pytest.approx(0.5)
+
+    def test_dangling_mass_redistributed_hand_computed(self, spark):
+        from datagrowth_spark.operators.graph import pagerank
+
+        # 1 -> 2, node 2 dangling. One iteration from (0.5, 0.5):
+        # dangling = 0.5; r(1) = 0.075 + 0.85*0.25 = 0.2875,
+        # r(2) = 0.075 + 0.85*(0.5 + 0.25) = 0.7125. Sum stays 1.
+        e = spark.createDataFrame([(1, 2)], "src long, dst long")
+        got = {r["node"]: r["rank"] for r in pagerank(e, iterations=1).collect()}
+        assert got[1] == pytest.approx(0.2875)
+        assert got[2] == pytest.approx(0.7125)
+        assert sum(got.values()) == pytest.approx(1.0)
+
+    def test_hub_outranks_leaves(self, spark):
+        from datagrowth_spark.operators.graph import pagerank
+
+        edges = [(i, 0) for i in range(1, 6)] + [(0, i) for i in range(1, 6)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["rank"] for r in pagerank(e, iterations=10).collect()}
+        assert got[0] > max(got[i] for i in range(1, 6))
+        assert sum(got.values()) == pytest.approx(1.0)
