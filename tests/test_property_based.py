@@ -269,3 +269,55 @@ def test_span_rewrite_matches_bruteforce_on_generated_corpus(spark):
     got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_deduped"])
            for r in drop_duplicated_spans(df, n=n).collect()}
     assert got == expected
+
+
+def test_incremental_dedup_consistent_with_full_lsh(spark):
+    """Verdicts from the store+batch incremental path must equal what
+    full-corpus banded LSH implies for the batch ids: same candidate
+    construction, so for every new doc the minimum qualifying partner
+    (store or earlier batch member) and its est_jaccard agree."""
+    from datagrowth_spark.operators.dedup import (
+        incremental_minhash_dedup, minhash_lsh_pairs, minhash_signature)
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = {}
+    for i in range(50):
+        if i > 10 and rng.random() < 0.4:
+            src = docs[rng.randrange(i)].split()
+            # light mutation -> near-dup with high (not always 1.0) sim
+            if src and rng.random() < 0.5:
+                src[rng.randrange(len(src))] = rng.choice(vocab)
+            docs[i] = " ".join(src)
+        else:
+            docs[i] = " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 20)))
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    store_docs = df.where(F.col("doc_id") % 3 != 0)
+    batch = df.where(F.col("doc_id") % 3 == 0)
+
+    store_sigs = minhash_signature(store_docs, num_hashes=16, n=3)
+    verdicts, new_sigs = incremental_minhash_dedup(
+        batch, store_sigs, num_hashes=16, bands=4, n=3, threshold=0.4)
+    got = {r["id"]: (r["dup_of"], r["est_jaccard"]) for r in verdicts.collect()}
+    new_sigs.unpersist()
+
+    full = minhash_lsh_pairs(df, num_hashes=16, bands=4, n=3, threshold=0.4).collect()
+    batch_ids = {r["doc_id"] for r in batch.collect()}
+    best = {}
+    for r in full:
+        a, b, est = r["id_a"], r["id_b"], r["est_jaccard"]
+        # orient: new doc vs (store or earlier-batch) partner
+        for new, other in ((a, b), (b, a)):
+            if new in batch_ids and (other not in batch_ids or other < new):
+                cur = best.get(new)
+                if cur is None or other < cur[0]:
+                    best[new] = (other, est)
+    for new_id, (dup_of, est) in got.items():
+        exp = best.get(new_id)
+        if exp is None:
+            assert dup_of is None, (new_id, dup_of)
+        else:
+            assert (dup_of, est) == exp, (new_id, (dup_of, est), exp)
+    assert any(v[0] is not None for v in got.values())  # dups actually found
