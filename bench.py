@@ -106,6 +106,8 @@ HEADLINE = [
     "semantic_dedup",
     "price_quantity_regression",
     "link_pagerank",
+    "pipeline_composition",
+    "collection_validate",
 ]
 
 

@@ -1648,6 +1648,106 @@ FROM generate_series(0, {TC.TOTAL - 1}) t(i)
 """
 
 
+def q_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeding with ``composition_to`` (P3's nesting form): the detail
+    fetch is composed UNDER a key of the seed record instead of merged
+    into it — reference ``contribute_data.composition_to``. The nested
+    JSON is projected back to typed columns so the oracle compares
+    values, not text layout."""
+    import tempfile
+
+    from datagrowth_spark.datatypes.collection import Collection
+    from datagrowth_spark.datatypes.document import prop_col
+    from datagrowth_spark.plans.seeding import SeedingProcessor
+    from datagrowth_spark.sources.cache import ResourceCache
+
+    cache = ResourceCache(spark, tempfile.mkdtemp(prefix="comp-cache-"))
+    phases = [
+        {
+            "phase": "entities",
+            "strategy": "initial",
+            "retrieve_data": {
+                "requests": [_entity_page_request(0)],
+                "next_request": _entity_next_page,
+                "continuation_limit": 10,
+            },
+            "contribute_data": {
+                "objective": {"@": "$.results", "id": "$.id", "name": "$.name"},
+            },
+        },
+        {
+            "phase": "details",
+            "strategy": "merge",
+            "retrieve_data": {"request_template": _entity_detail_request},
+            "contribute_data": {
+                "objective": {"id": "$.id", "detail": "$.detail", "score": "$.score"},
+                "merge_on": "id",
+                "composition_to": "extra",
+            },
+        },
+    ]
+    coll = Collection(spark, name="entities", identifier="id")
+    SeedingProcessor(spark, cache, phases, transport=TC.testclient_transport)(coll)
+    extra = prop_col("properties", "$.extra")
+    return coll.df.select(
+        prop_col("properties", "$.id").cast("long").alias("id"),
+        prop_col("properties", "$.name").alias("name"),
+        F.get_json_object(extra, "$.detail").alias("detail"),
+        F.get_json_object(extra, "$.score").cast("double").alias("score"),
+    )
+
+
+SQL_PIPELINE_COMPOSITION = f"""
+SELECT i AS id, 'entity ' || i AS name,
+       'detail ' || i AS detail, i / 10.0 AS score
+FROM generate_series(0, {TC.TOTAL - 1}) t(i)
+"""
+
+
+def q_collection_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Schema validation (E11) as an oracle-checked query: lift
+    documents to payloads, deterministically break some (drop ``lang``
+    for doc_id % 5 == 0), validate against a schema requiring ``lang``
+    and capping ``n_chars`` at 500, and count violations per document.
+    The oracle recomputes the expected error count from the same rules."""
+    from datagrowth_spark.datatypes.document import properties_from_columns
+    from datagrowth_spark.datatypes.validation import validation_errors
+
+    docs = _t(spark, sf_dir, "documents")
+    props = properties_from_columns("doc_id", "lang", "n_chars")
+    props = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.map_filter(props, lambda k, v: k != F.lit("lang")),
+    ).otherwise(props)
+    lifted = docs.select(F.col("doc_id").cast("string").alias("identity"),
+                         props.alias("properties"))
+    schema = {
+        "type": "object",
+        "required": ["lang"],
+        "properties": {"n_chars": {"maximum": 500}},
+    }
+    errs = validation_errors(lifted, schema).groupBy("identity").agg(
+        F.count(F.lit(1)).alias("n_errors"))
+    return (
+        docs.select("doc_id", F.col("doc_id").cast("string").alias("identity"))
+        .join(errs, "identity", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_errors", F.lit(0)).cast("long").alias("n_errors"),
+            (F.coalesce("n_errors", F.lit(0)) == 0).alias("valid"),
+        )
+    )
+
+
+SQL_COLLECTION_VALIDATE = """
+SELECT doc_id,
+       CAST((CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       (doc_id % 5 <> 0 AND n_chars <= 500) AS valid
+FROM documents
+"""
+
+
 def q_pipeline_growth_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Growth enrichment pipeline (P6-P8) over the documents table:
     lift rows to documents (JVM-side payload encoding), fetch one
@@ -3138,6 +3238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "price_quantity_regression": q_price_quantity_regression,
         "link_pagerank": q_link_pagerank,
+        "pipeline_composition": q_pipeline_composition,
+        "collection_validate": q_collection_validate,
         "pipeline_growth_chain": q_pipeline_growth_chain,
         "quality_linear_classifier": q_quality_linear_classifier,
         "nation_pair_revenue": q_nation_pair_revenue,
@@ -3284,6 +3386,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "price_quantity_regression": SQL_PRICE_QUANTITY_REGRESSION,
         "link_pagerank": _pagerank_sql(),
+        "pipeline_composition": SQL_PIPELINE_COMPOSITION,
+        "collection_validate": SQL_COLLECTION_VALIDATE,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
