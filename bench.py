@@ -108,6 +108,7 @@ HEADLINE = [
     "link_pagerank",
     "pipeline_composition",
     "collection_validate",
+    "dedup_containment",
 ]
 
 

@@ -123,6 +123,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Shingle CONTAINMENT pairs — the asymmetric complement of Jaccard:
+    ``cont(A in B) = |A∩B| / |A|``. Catches doc-in-doc relationships
+    (quotes, supersets, page-of-site) that symmetric Jaccard misses:
+    a 50-shingle doc fully contained in a 5000-shingle doc has
+    containment 1.0 but Jaccard ~0.01.
+
+    Identical plan shape to :func:`ngram_jaccard_pairs` (one posting-
+    list shuffle, pair counts, size join — hashed shingle keys, skew
+    guard via ``max_shingle_df``). Output: one row per unordered pair
+    with max(cont_a, cont_b) >= threshold: (id_a, id_b, cont_a,
+    cont_b) where cont_a = containment of id_a's shingle set in id_b's.
+    """
+    sh = _shingle_frame(df, text_col, id_col, n, hashed=True)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    posts = sh.groupBy("shingle").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    posts = posts.where(F.size("ids") > 1)
+    if max_shingle_df is not None:
+        posts = posts.where(F.size("ids") <= max_shingle_df)
+    pairs = posts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("inter") / F.col("size_a"), 6).alias("cont_a"),
+            F.round(F.col("inter") / F.col("size_b"), 6).alias("cont_b"),
+        )
+        .where(F.greatest("cont_a", "cont_b") >= threshold)
+    )
+
+
 def contamination_flags(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1012,6 +1012,33 @@ WHERE round(inter / CAST(sa.n_shingles + sb.n_shingles - inter AS DOUBLE), 6) >=
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment pairs (doc-in-doc detection): asymmetric
+    |A∩B|/|A| over hashed 3-gram shingle sets — catches subset/quote
+    relationships symmetric Jaccard scores near zero."""
+    return DD.ngram_containment_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                                      n=3, threshold=0.5)
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT id, COUNT(*) AS n_shingles FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(inter / CAST(sa.n_shingles AS DOUBLE), 6) AS cont_a,
+       round(inter / CAST(sb.n_shingles AS DOUBLE), 6) AS cont_b
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE greatest(round(inter / CAST(sa.n_shingles AS DOUBLE), 6),
+               round(inter / CAST(sb.n_shingles AS DOUBLE), 6)) >= 0.5
+"""
+
+
 _NUM_HASHES = 16
 _BANDS = 4
 
@@ -3240,6 +3267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "pipeline_composition": q_pipeline_composition,
         "collection_validate": q_collection_validate,
+        "dedup_containment": q_dedup_containment,
         "pipeline_growth_chain": q_pipeline_growth_chain,
         "quality_linear_classifier": q_quality_linear_classifier,
         "nation_pair_revenue": q_nation_pair_revenue,
@@ -3388,6 +3416,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": _pagerank_sql(),
         "pipeline_composition": SQL_PIPELINE_COMPOSITION,
         "collection_validate": SQL_COLLECTION_VALIDATE,
+        "dedup_containment": SQL_DEDUP_CONTAINMENT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_lsh": _minhash_lsh_sql(),

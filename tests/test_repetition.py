@@ -163,3 +163,22 @@ class TestIncrementalDedup:
         assert set(new_sigs.columns) == set(store_sigs.columns)
         assert new_sigs.count() == 4
         new_sigs.unpersist()
+
+
+class TestContainment:
+    def test_subset_doc_has_full_containment_tiny_jaccard(self, spark):
+        from datagrowth_spark.operators.dedup import (
+            ngram_containment_pairs, ngram_jaccard_pairs)
+
+        quote = " ".join(f"w{i}" for i in range(6))          # 4 shingles
+        host = quote + " " + " ".join(f"h{i}" for i in range(40))
+        df = _docs(spark, [(1, quote), (2, host)])
+        got = ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+        assert len(got) == 1
+        row = got[0]
+        assert (row["id_a"], row["id_b"]) == (1, 2)
+        assert row["cont_a"] == 1.0          # quote fully inside host
+        assert row["cont_b"] < 0.2           # host barely overlaps quote
+        # symmetric jaccard misses this pair entirely at any usable cut
+        jac = ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+        assert jac == []
