@@ -109,6 +109,7 @@ HEADLINE = [
     "pipeline_composition",
     "collection_validate",
     "dedup_containment",
+    "corpus_split_leakage_safe",
 ]
 
 

@@ -1261,6 +1261,63 @@ FROM components c JOIN sizes s ON s.cluster_id = c.cluster_id
 """
 
 
+def q_corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split: every member of a near-dup
+    cluster lands in the SAME split (split key = the cluster's
+    canonical id, not the doc id), so train/eval leakage through
+    near-duplicates is impossible by construction — the group-aware
+    splitting rule real eval hygiene requires. Composition: jaccard
+    pairs → connected components → salted-hash bucket of the group key.
+    """
+    from datagrowth_spark.operators.graph import dedup_clusters
+    from datagrowth_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    clusters = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    grouped = docs.select("doc_id").join(clusters, "doc_id", "left") \
+        .withColumn("group_key", F.coalesce("cluster_id", F.col("doc_id")))
+    bucket = hash_bucket("group_key", buckets=100, salt="split")
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return grouped.select("doc_id", F.col("group_key").cast("long").alias("group_key"),
+                          split.alias("split"))
+
+
+SQL_CORPUS_SPLIT_LEAKAGE_SAFE = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_NGRAM_JACCARD}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, comp) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+),
+components AS (SELECT node, MIN(comp) AS cluster_id FROM reach GROUP BY node),
+grouped AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN components c ON c.node = d.doc_id
+),
+bucketed AS (
+  SELECT doc_id, group_key,
+         CAST(('0x' || substr(md5('split:' || CAST(group_key AS VARCHAR)), 1, 8)) AS BIGINT)
+         % 100 AS bucket
+  FROM grouped
+)
+SELECT doc_id, group_key,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM bucketed
+"""
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing ≥ 5 distinct
     3-gram shingles with the (deterministic) benchmark subset
@@ -3268,6 +3325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_composition": q_pipeline_composition,
         "collection_validate": q_collection_validate,
         "dedup_containment": q_dedup_containment,
+        "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
         "pipeline_growth_chain": q_pipeline_growth_chain,
         "quality_linear_classifier": q_quality_linear_classifier,
         "nation_pair_revenue": q_nation_pair_revenue,
@@ -3417,6 +3475,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_composition": SQL_PIPELINE_COMPOSITION,
         "collection_validate": SQL_COLLECTION_VALIDATE,
         "dedup_containment": SQL_DEDUP_CONTAINMENT,
+        "corpus_split_leakage_safe": SQL_CORPUS_SPLIT_LEAKAGE_SAFE,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
