@@ -253,7 +253,8 @@ def pagerank(
     prior rounds. Per-iteration cost is O(|E|) shuffle — the Pregel
     cost model — and the iteration count is a caller-fixed constant.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")) \
+        .localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
@@ -263,12 +264,17 @@ def pagerank(
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("out"))
+    out_deg = e.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("out")) \
+        .localCheckpoint(eager=False)
 
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iterations):
-        with_deg = ranks.join(out_deg, "node", "left")
+        # ONE materialization per round: the (rank, out) join is the
+        # frame both the dangling aggregate and the contribution join
+        # consume — checkpointing it here (instead of raw ranks at the
+        # end) halves the per-round passes and keeps lineage depth 1.
+        with_deg = ranks.join(out_deg, "node", "left").localCheckpoint(eager=True)
         dangling = (
             with_deg.where(F.col("out").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
@@ -289,6 +295,5 @@ def pagerank(
                  * (F.coalesce(F.col("inflow"), F.lit(0.0))
                     + F.lit(dangling / n_nodes))).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
     return ranks

@@ -155,6 +155,20 @@ def main() -> None:
         verdicts.write.format("noop").mode("overwrite").save()
         sigs.unpersist()
 
+    @bench("pagerank_5m_edges")
+    def _():
+        # 5 power iterations over a 5M-edge synthetic link graph: each
+        # round one edges-ranks join + one groupBy(dst) sum, ranks
+        # checkpointed — linear in |E| per round, no corpus-sized state
+        from datagrowth_spark.operators.graph import pagerank
+        nn = n // 4
+        g = spark.range(nn).select(
+            F.col("id").alias("src"),
+            F.explode(F.array(
+                ((F.col("id") * 2654435761) % nn),
+                ((F.col("id") * 2654435761 + 40503) % nn))).alias("dst"))
+        pagerank(g, iterations=5).write.format("noop").mode("overwrite").save()
+
     @bench("version_diff_full_outer")
     def _():
         from datagrowth_spark.plans.dataset import version_diff
@@ -162,6 +176,40 @@ def main() -> None:
         version_diff(docs.select("doc_id", "text"), v2.select("doc_id", "text"),
                      key="doc_id", fingerprint=F.md5("text")) \
             .groupBy("status").count().write.format("noop").mode("overwrite").save()
+
+    @bench("streaming_hourly_10m_backlog")
+    def _():
+        # Streaming layer one decade up: drain an n-row event backlog
+        # through the watermarked windowed aggregate (availableNow,
+        # state partitions sized to state not cluster width). Writes
+        # only to a temp dir; records wall + micro-batch compute.
+        import shutil
+        import tempfile
+
+        from datagrowth_spark.streaming.events import (
+            LAST_DRAIN_METRICS, run_to_memory, windowed_counts)
+
+        tmp = tempfile.mkdtemp(prefix="stream-smoke-")
+        try:
+            (spark.range(n).select(
+                F.col("id").alias("event_id"),
+                F.timestamp_micros((F.lit(1700000000) + F.col("id") % 864000)
+                                   * 1_000_000).alias("ts"),
+                (F.col("id") % 100_000).alias("user_id"),
+                F.when(F.col("id") % 3 == 0, "click").otherwise("view").alias("event_type"),
+                (F.col("id") % 997).cast("double").alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            ).write.mode("overwrite").parquet(tmp))
+            stream = (spark.readStream.schema(spark.read.parquet(tmp).schema)
+                      .parquet(tmp))
+            q = run_to_memory(windowed_counts(stream, window="1 hour", watermark="2 hours"),
+                              "smoke_hourly", output_mode="complete",
+                              state_partitions=32)
+            q.stop()
+            timings["streaming_hourly_trigger_ms"] = (
+                LAST_DRAIN_METRICS.get("smoke_hourly", {}).get("trigger_ms"))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     print(json.dumps({"metric": "scale_smoke", "rows": n, "unit": "sec",
                       "ops": timings}))
