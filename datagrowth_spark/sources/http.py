@@ -157,9 +157,21 @@ def paginated_fetch(
         of two broadcast semi-joins over separate scans.
         """
         latest = cache.latest()
-        rows = latest.where(
-            F.col("chain").isin(frontier_sigs) | F.col("signature").isin(frontier_sigs)
-        )
+        if len(frontier_sigs) <= 10_000:
+            rows = latest.where(
+                F.col("chain").isin(frontier_sigs) | F.col("signature").isin(frontier_sigs)
+            )
+        else:
+            # Huge request batches: an IN-list this size bloats the plan;
+            # fall back to a broadcast semi-join per key column.
+            sig_frame = spark.createDataFrame([(s,) for s in frontier_sigs], "s string")
+            rows = (
+                latest.join(F.broadcast(sig_frame), latest["chain"] == sig_frame["s"],
+                            "left_semi")
+                .unionByName(latest.join(F.broadcast(sig_frame),
+                                         latest["signature"] == sig_frame["s"], "left_semi"))
+                .dropDuplicates(["signature"])
+            )
         if next_request is None:
             resolved = [(r["signature"], None) for r in rows.select("signature").collect()]
         else:
