@@ -240,7 +240,12 @@ def drop_duplicated_spans(
     Tokens are whitespace-split; output joins kept tokens with a single
     space (the operator contract is token-level, not byte-level).
     """
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    # NULL text → empty token array (size() on a null array is -1 and
+    # would corrupt n_tokens; a null doc passes through with 0/0/"").
+    toks = F.coalesce(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")),
+        F.array().cast("array<string>"),
+    )
     toked = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
 
     size = F.size("toks")

@@ -133,6 +133,15 @@ class TestSpanRewrite:
         assert got[1]["n_removed"] == 0 and got[2]["n_removed"] == 0
         assert got[2]["text_deduped"] == "a b c"
 
+    def test_null_text_passes_through_empty(self, spark):
+        from datagrowth_spark.operators.dedup import drop_duplicated_spans
+
+        df = spark.createDataFrame([(1, None), (2, "a b c")],
+                                   "doc_id long, text string")
+        got = {r["doc_id"]: r for r in drop_duplicated_spans(df, n=8).collect()}
+        assert got[1]["n_tokens"] == 0 and got[1]["n_removed"] == 0
+        assert got[1]["text_deduped"] == ""
+
 
 class TestIncrementalDedup:
     """incremental_minhash_dedup — batch-vs-store near-dup verdicts."""
