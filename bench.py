@@ -110,6 +110,7 @@ HEADLINE = [
     "collection_validate",
     "dedup_containment",
     "corpus_split_leakage_safe",
+    "quality_bigram_lm",
 ]
 
 

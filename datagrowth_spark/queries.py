@@ -2949,6 +2949,66 @@ GROUP BY doc_id
 """
 
 
+def q_quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score per document — one order up from the
+    unigram filter toward the KenLM n-gram scorer: score = average
+    log P(w2 | w1) over the document's bigram positions, with the
+    conditional estimated from the corpus itself (bigram count /
+    context count). Same factored scale shape as the unigram: corpus →
+    per-(doc, bigram) counts once, then everything joins on the bigram
+    / context keys; raw text is never touched again. Same decimal
+    contribution trick for order-independent sums. Documents with
+    fewer than two tokens have no bigram positions and emit no row.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.normalized_tokens(F.col("text")).alias("t"))
+    bigrams = toks.where(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(slice(t, 1, size(t) - 1), (w, i) -> "
+            "struct(w AS w1, t[i + 1] AS w2))"
+        )).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    tf = bigrams.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    bg_counts = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("bg_cnt"))
+    ctx_counts = bg_counts.groupBy("w1").agg(F.sum("bg_cnt").alias("ctx_cnt"))
+    contrib = (
+        F.col("tf")
+        * F.round(F.log(F.col("bg_cnt") / F.col("ctx_cnt")), 6).cast("decimal(20,6)")
+    )
+    return (
+        tf.join(bg_counts, ["w1", "w2"]).join(ctx_counts, "w1")
+        .select("doc_id", "tf", contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(F.sum("contrib").cast("double") / F.sum("tf"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+SQL_QUALITY_BIGRAM_LM = f"""
+WITH t AS (
+  SELECT doc_id, {_NORM_TOKS_SQL} AS t FROM documents
+),
+bigrams AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+tf AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bigrams GROUP BY 1, 2, 3
+),
+bg AS (SELECT w1, w2, SUM(tf) AS bg_cnt FROM tf GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(bg_cnt) AS ctx_cnt FROM bg GROUP BY 1)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(tf * CAST(round(ln(bg_cnt / ctx_cnt), 6) AS DECIMAL(20,6))) AS DOUBLE)
+             / SUM(tf), 6) AS avg_logprob
+FROM tf JOIN bg USING (w1, w2) JOIN ctx USING (w1)
+GROUP BY doc_id
+"""
+
+
 def q_quality_threshold_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality-percentile filter: the P25 quality score of
     each language is the cut, documents below it drop. The threshold is
@@ -3326,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_validate": q_collection_validate,
         "dedup_containment": q_dedup_containment,
         "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
+        "quality_bigram_lm": q_quality_bigram_lm,
         "pipeline_growth_chain": q_pipeline_growth_chain,
         "quality_linear_classifier": q_quality_linear_classifier,
         "nation_pair_revenue": q_nation_pair_revenue,
@@ -3476,6 +3537,7 @@ def oracle_sql() -> dict[str, str]:
         "collection_validate": SQL_COLLECTION_VALIDATE,
         "dedup_containment": SQL_DEDUP_CONTAINMENT,
         "corpus_split_leakage_safe": SQL_CORPUS_SPLIT_LEAKAGE_SAFE,
+        "quality_bigram_lm": SQL_QUALITY_BIGRAM_LM,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
