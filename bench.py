@@ -111,6 +111,7 @@ HEADLINE = [
     "dedup_containment",
     "corpus_split_leakage_safe",
     "quality_bigram_lm",
+    "embedding_quantize",
 ]
 
 

@@ -138,6 +138,43 @@ def unit_normalize(vec: Column) -> Column:
     return F.transform(v, lambda x: x / n)
 
 
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector symmetric int quantization — the 4x (int8) memory cut
+    a 100 TB ANN index takes before anything else: scale = max|x| /
+    (2^(bits-1) - 1), q_i = round(x_i / scale). Returns the quantized
+    array plus audit columns (scale, rmse of reconstruction q·scale vs
+    x) so a pipeline can gate on quantization error before swapping the
+    index over.
+
+    Pure Catalyst array arithmetic, map-only, no shuffle; rounding is
+    half-away-from-zero in both Spark and DuckDB, so the quantized
+    values are oracle-comparable. All-zero vectors get scale 0 and an
+    all-zero code (division guarded).
+    """
+    qmax = float((1 << (bits - 1)) - 1)
+    v = _to_double(F.col(vec_col))
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = absmax / F.lit(qmax)
+    safe = F.greatest(scale, F.lit(1e-30))
+    q = F.transform(v, lambda x: F.round(x / safe).cast("int"))
+    err2 = F.aggregate(
+        F.zip_with(v, q, lambda x, c: (x - c * scale) * (x - c * scale)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    rmse = F.sqrt(err2 / F.greatest(F.size(v), F.lit(1)))
+    return embeddings.select(
+        F.col(id_col),
+        q.alias("q"),
+        F.round(scale, 6).alias("scale"),
+        F.round(rmse, 6).alias("rmse"),
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.99,

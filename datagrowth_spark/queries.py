@@ -1454,6 +1454,43 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of every embedding (the ANN-index
+    memory cut) with reconstruction-error audit. Map-only, no shuffle;
+    the quantized code is compared via order-insensitive checksums
+    (L1 and signed sums) plus the rounded scale and rmse."""
+    q = SIM.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", "scale", "rmse",
+        F.aggregate(F.transform("q", lambda x: F.abs(x)), F.lit(0),
+                    lambda a, x: a + x).cast("long").alias("q_l1"),
+        F.aggregate("q", F.lit(0), lambda a, x: a + x).cast("long").alias("q_sum"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(round(x / greatest(scale, 1e-30)) AS INT)) AS qv
+  FROM m
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       round(sqrt(list_sum(list_transform(generate_series(1, len(v)),
+                                          i -> pow(v[i] - qv[i] * scale, 2)))
+                  / greatest(len(v), 1)), 6) AS rmse,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum
+FROM q
+"""
+
+
 # Raw-dot / norm-product — the exact expression shape of
 # SIM.embedding_near_dup_pairs (scalar norms, no normalized arrays).
 _NDOT_SQL = ("round(list_sum(list_transform(generate_series(1, len(a.vec)), "
@@ -3387,6 +3424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
         "quality_bigram_lm": q_quality_bigram_lm,
+        "embedding_quantize": q_embedding_quantize,
         "pipeline_growth_chain": q_pipeline_growth_chain,
         "quality_linear_classifier": q_quality_linear_classifier,
         "nation_pair_revenue": q_nation_pair_revenue,
@@ -3538,6 +3576,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment": SQL_DEDUP_CONTAINMENT,
         "corpus_split_leakage_safe": SQL_CORPUS_SPLIT_LEAKAGE_SAFE,
         "quality_bigram_lm": SQL_QUALITY_BIGRAM_LM,
+        "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
