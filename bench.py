@@ -112,6 +112,7 @@ HEADLINE = [
     "corpus_split_leakage_safe",
     "quality_bigram_lm",
     "embedding_quantize",
+    "events_funnel",
 ]
 
 

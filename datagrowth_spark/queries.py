@@ -1628,6 +1628,57 @@ FROM f
 """
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked at-or-after their
+    first view, then purchased at-or-after that first qualifying click.
+    Three keyed min-aggregates chained by user id — each stage is one
+    hash aggregate plus a user-keyed join, no windows, no self-join
+    blowup; the per-user frame shrinks at every stage.
+    """
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    views = ev.where(F.col("event_type") == "view") \
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        views.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(clicks.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(purchases.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+       (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+       (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+"""
+
+
 def q_price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-flag OLS of extended price on quantity — the native
     ``regr_*``/``corr`` aggregate family (one hash aggregate with
@@ -3425,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
         "quality_bigram_lm": q_quality_bigram_lm,
         "embedding_quantize": q_embedding_quantize,
+        "events_funnel": q_events_funnel,
         "pipeline_growth_chain": q_pipeline_growth_chain,
         "quality_linear_classifier": q_quality_linear_classifier,
         "nation_pair_revenue": q_nation_pair_revenue,
@@ -3577,6 +3629,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split_leakage_safe": SQL_CORPUS_SPLIT_LEAKAGE_SAFE,
         "quality_bigram_lm": SQL_QUALITY_BIGRAM_LM,
         "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
+        "events_funnel": SQL_EVENTS_FUNNEL,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
