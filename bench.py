@@ -113,6 +113,7 @@ HEADLINE = [
     "quality_bigram_lm",
     "embedding_quantize",
     "events_funnel",
+    "html_extract",
 ]
 
 

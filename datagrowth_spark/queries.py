@@ -1628,6 +1628,45 @@ FROM f
 """
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML objective extraction (E2) as an oracle-checked query:
+    deterministic HTML is synthesized from each document, then the
+    reference-style soup objective ('@' node selector + '#' context
+    key, eval-string expressions) runs through ExtractProcessor's
+    text_html path — the mini-soup fallback in this container — and the
+    extracted rows are compared against pure string SQL. One Arrow-
+    batched flat-map, the same stage shape as response-stream
+    extraction."""
+    from datagrowth_spark.operators.extraction import extract_df
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><h1>"), F.col("doc_id").cast("string"),
+        F.lit('</h1><p class="intro">'), F.col("lang"),
+        F.lit("</p><p>"), F.substring("text", 1, 40),
+        F.lit("</p></body></html>"),
+    )
+    objective = {
+        "@": "soup.find_all('p')",
+        "#doc_id": "soup.find('h1').text",
+        "text": "el.text",
+    }
+    out = extract_df(docs.select(html.alias("body")), "body", objective,
+                     content_type="text/html")
+    from datagrowth_spark.datatypes.document import prop_col
+    return out.select(
+        prop_col("properties", "$.doc_id").cast("long").alias("doc_id"),
+        prop_col("properties", "$.text").alias("text"),
+    )
+
+
+SQL_HTML_EXTRACT = """
+SELECT doc_id, lang AS text FROM documents
+UNION ALL
+SELECT doc_id, substr(text, 1, 40) AS text FROM documents
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: users who viewed, then clicked at-or-after their
     first view, then purchased at-or-after that first qualifying click.
@@ -3477,6 +3516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_bigram_lm": q_quality_bigram_lm,
         "embedding_quantize": q_embedding_quantize,
         "events_funnel": q_events_funnel,
+        "html_extract": q_html_extract,
         "pipeline_growth_chain": q_pipeline_growth_chain,
         "quality_linear_classifier": q_quality_linear_classifier,
         "nation_pair_revenue": q_nation_pair_revenue,
@@ -3630,6 +3670,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_bigram_lm": SQL_QUALITY_BIGRAM_LM,
         "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
         "events_funnel": SQL_EVENTS_FUNNEL,
+        "html_extract": SQL_HTML_EXTRACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
