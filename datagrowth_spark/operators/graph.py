@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -122,9 +123,43 @@ def _star_components(pairs: DataFrame, max_iterations: int = 25) -> tuple[DataFr
     return labels, rounds
 
 
+def _driver_components(spark, rows, u_type) -> DataFrame:
+    """Union-find over a collected edge list — the local solve for
+    graphs below the distributed threshold."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        u, v = r["u"], r["v"]
+        for n in (u, v):
+            if n not in parent:
+                parent[n] = n
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for n in parent:
+        root = find(n)
+        cur = comp_min.get(root)
+        if cur is None or n < cur:
+            comp_min[root] = n
+    out = [(n, comp_min[find(n)]) for n in parent]
+    schema = T.StructType([T.StructField("node", u_type),
+                           T.StructField("component", u_type)])
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
                          max_iterations: int = 20, algorithm: str = "auto",
-                         min_label_rounds: int = 4) -> DataFrame:
+                         min_label_rounds: int = 4,
+                         driver_threshold: int = 100_000) -> DataFrame:
     """Component label per node of an undirected edge frame.
 
     Returns ``(node, component)`` where ``component`` is the minimum
@@ -142,11 +177,28 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
       then, if unconverged, contract the graph through the partial
       labels (component-preserving, usually a huge shrink) and finish
       with star rounds. Worst case stays O(log d).
+
+    ``driver_threshold``: edge sets at or below this size are solved
+    with a driver-side union-find instead of iterative rounds — the
+    standard hybrid: a thresholded dup graph is usually a tiny fraction
+    of the corpus, and a local solve replaces N driver-coordinated
+    rounds (each several jobs) with one collect. 100k edges is a few MB
+    on the driver; identical output by construction (min id per
+    component). Pass 0 to force the distributed path.
     """
     pairs = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if algorithm == "star":
         labels, _ = _star_components(pairs, max_iterations=max_iterations)
         return labels
+
+    if driver_threshold:
+        # limit(threshold+1) caps the collect: if the graph is over the
+        # bound we learn that from ONE extra row, never by pulling the
+        # full edge set to the driver.
+        head = pairs.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            return _driver_components(
+                pairs.sparkSession, head, pairs.schema["u"].dataType)
 
     sym = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint(eager=False)

@@ -147,3 +147,27 @@ class TestPageRank:
         got = {r["node"]: r["rank"] for r in pagerank(e, iterations=10).collect()}
         assert got[0] > max(got[i] for i in range(1, 6))
         assert sum(got.values()) == pytest.approx(1.0)
+
+
+class TestHybridComponents:
+    """driver-side union-find (small graphs) vs distributed rounds."""
+
+    def test_driver_and_distributed_paths_agree(self, spark):
+        import random
+
+        rng = random.Random(31)
+        pairs = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+        edges = _edges(spark, pairs)
+        local = {(r["node"], r["component"])
+                 for r in connected_components(edges).collect()}
+        dist = {(r["node"], r["component"])
+                for r in connected_components(edges, driver_threshold=0).collect()}
+        star = {(r["node"], r["component"])
+                for r in connected_components(edges, algorithm="star").collect()}
+        assert local == dist == star and local
+
+    def test_distributed_path_still_used_above_threshold(self, spark):
+        got = {r["node"]: r["component"]
+               for r in connected_components(_edges(spark, [(1, 2), (2, 3)]),
+                                             driver_threshold=1).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
