@@ -66,6 +66,7 @@ def assign_to_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: tuple[str, ...] = (),
+    with_distance: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment (squared L2, deterministic tiebreak).
 
@@ -93,6 +94,9 @@ def assign_to_centroids(
         return F.struct(F.round(d2, 6).alias("d2"), c["centroid_id"].alias("centroid_id"))
 
     best = F.array_min(F.transform(F.col("_cents"), _scored))
-    return df.crossJoin(F.broadcast(packed)).select(
-        id_col, *keep_cols, best["centroid_id"].alias("assigned")
-    )
+    out = [id_col, *keep_cols, best["centroid_id"].alias("assigned")]
+    if with_distance:
+        # The (rounded) squared distance to the winning centroid — the
+        # outlier-pruning signal; same determinism contract as the argmin.
+        out.append(best["d2"].alias("d2"))
+    return df.crossJoin(F.broadcast(packed)).select(*out)

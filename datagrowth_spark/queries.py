@@ -3491,6 +3491,381 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus analytics & curation additions (round 4, second pass)
+# ---------------------------------------------------------------------------
+
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 5-gram novelty — the "how much of this document has
+    the corpus already seen" curation signal (the inverse of the
+    RefinedWeb/Gopher duplication signals: high novelty = fresh content
+    worth keeping, near-zero novelty = recombined boilerplate).
+
+    A gram's "owner" is the smallest doc_id containing it; a document's
+    novelty is the fraction of its distinct 5-grams it owns.
+
+    Scale shape: grams shuffle ONCE on a fixed-width md5 key (never the
+    variable-length gram text), the first-occurrence table is a
+    map-side-combinable min aggregate, and the join back is on the same
+    key — AQE co-partitions the two sides, no second full shuffle of
+    the exploded frame. Raw text is touched exactly once.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", TX.tokens_col(F.lower(F.col("text"))).alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.shingles_from_tokens(F.col("toks"), 5))).alias("gram"),
+    ).select("doc_id", F.md5(F.encode("gram", "utf-8")).alias("gh"))
+    first = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int")).alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )
+
+
+SQL_TEXT_NGRAM_NOVELTY = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, md5(gram) AS gh FROM (
+    SELECT doc_id, unnest(list_distinct(
+      CASE WHEN len(toks) < 5 THEN []
+           ELSE list_transform(generate_series(1, len(toks) - 4),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))
+      END)) AS gram
+    FROM t
+  )
+),
+first AS (SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM g JOIN first USING (gh)
+GROUP BY doc_id
+"""
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity day,
+    counted on each subsequent active day (offset ≤ 14).
+
+    One shuffle on user_id (the distinct + window share it); the final
+    (cohort × offset) aggregate is tiny. The per-user min is a
+    whole-partition window — no sort, no second exchange.
+    """
+    ev = _events(spark, sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    cohort = F.min("d").over(Window.partitionBy("user_id"))
+    return (
+        ud.withColumn("cohort_date", cohort)
+        .withColumn("day_offset", F.datediff("d", "cohort_date").cast("int"))
+        .where(F.col("day_offset") <= 14)
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+c AS (
+  SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS cohort_date FROM ud
+)
+SELECT cohort_date, CAST(date_diff('day', cohort_date, d) AS INT) AS day_offset,
+       COUNT(*) AS n_users
+FROM c
+WHERE date_diff('day', cohort_date, d) <= 14
+GROUP BY 1, 2
+"""
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier screen (|z| > 2).
+
+    Two passes over a pruned (event_type, value) projection: exact
+    decimal sums make the per-type mean/std order-independent scalars,
+    which broadcast back for the outlier count — the classic
+    sigma-rule data-quality monitor, all JVM-side.
+    """
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("_s"),
+        F.sum((F.col("value").cast("decimal(18,2)") * F.col("value").cast("decimal(18,2)"))).alias("_ss"),
+    ).select(
+        "event_type", "n_events",
+        (F.col("_s").cast("double") / F.col("n_events")).alias("_mean"),
+        F.sqrt(
+            (F.col("_ss").cast("double") - F.col("_s").cast("double") * F.col("_s").cast("double") / F.col("n_events"))
+            / (F.col("n_events") - 1)
+        ).alias("_std"),
+    )
+    z = (F.col("value") - F.col("_mean")) / F.col("_std")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n_events").alias("n_events"),
+            F.round(F.first("_mean"), 6).alias("mean_value"),
+            F.round(F.first("_std"), 6).alias("std_value"),
+            F.sum((F.abs(F.round(z, 6)) > 2.0).cast("int")).alias("n_outliers"),
+        )
+    )
+
+
+SQL_EVENTS_ANOMALY = """
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+  FROM events GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n_events, s / n_events AS mean_value,
+         sqrt((ss - s * s / n_events) / (n_events - 1)) AS std_value
+  FROM stats
+)
+SELECT e.event_type, MIN(m.n_events) AS n_events,
+       round(MIN(m.mean_value), 6) AS mean_value,
+       round(MIN(m.std_value), 6) AS std_value,
+       CAST(SUM(CASE WHEN abs(round((e.value - m.mean_value) / m.std_value, 6)) > 2.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search over the corpus (Okapi, k1=1.2, b=0.75):
+    top-20 documents for a fixed 3-term query.
+
+    Scale shape: the token explode is filtered to the query terms
+    BEFORE any aggregation, so the shuffled frame is |terms|-bounded
+    per document, not vocabulary-sized; document lengths come from a
+    map-only projection; df and avgdl are term-count / one-row frames
+    that broadcast. Per-term scores round to 6dp then sum exactly
+    (DECIMAL) so the top-k order is engine-independent; ties break on
+    doc_id.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens_col(F.lower(F.col("text"))).alias("toks"))
+    lens = toks.select("doc_id", F.size("toks").alias("dl"))
+    totals = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    tf = (
+        toks.select(
+            "doc_id",
+            F.explode(F.filter(F.col("toks"), lambda t: F.array_contains(terms, t))).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = F.round(idf * F.col("tf") * F.lit(_BM25_K1 + 1.0) / denom, 6)
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", term_score.cast("decimal(20,6)").alias("_ts"))
+        .groupBy("doc_id")
+        .agg(F.sum("_ts").cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_SEARCH_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+lens AS (SELECT doc_id, len(toks) AS dl FROM toks),
+totals AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(list_filter(toks, t -> t IN ('spark', 'join', 'window'))) AS token
+    FROM toks
+  ) GROUP BY 1, 2
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (t.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * {_BM25_K1 + 1.0}
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * l.dl / t.avgdl)),
+         6) AS DECIMAL(20,6)) AS ts
+  FROM tf JOIN dfreq d USING (token) JOIN lens l ON l.doc_id = tf.doc_id, totals t
+)
+SELECT doc_id, CAST(SUM(ts) AS DOUBLE) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+def q_events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type transitions (Markov edges) across per-user
+    timelines — the funnel-discovery complement to q_events_funnel.
+
+    One shuffle on user_id for the lead() window; the transition count
+    is a tiny (|types|²) aggregate. Window order is (ts, event_id) so
+    simultaneous events are deterministically sequenced.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", nxt)
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src_type"),
+            F.col("next_type").alias("dst_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy(F.desc("n_transitions"), F.asc("src_type"), F.asc("dst_type"))
+        .limit(20)
+    )
+
+
+SQL_EVENTS_USER_PATHS = """
+WITH seq AS (
+  SELECT event_type AS src_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+  FROM events
+)
+SELECT src_type, dst_type, COUNT(*) AS n_transitions
+FROM seq WHERE dst_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY n_transitions DESC, src_type ASC, dst_type ASC
+LIMIT 20
+"""
+
+
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the 25 part pairs most often bought in
+    the same order (pairwise frequent-itemset support).
+
+    Per-order part sets are bounded (TPC-H orders have ≤ 7 lineitems),
+    so the pair explosion is O(k²)-per-order with tiny k — a groupBy +
+    in-row pair generation, NO self-join: one shuffle on orderkey, one
+    on the pair key, versus the self-join's two shuffles plus a skew
+    risk on hot parts.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(25)
+    )
+
+
+SQL_BASKET_PART_PAIRS = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY support DESC, part_a ASC, part_b ASC
+LIMIT 25
+"""
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-to-centroid outlier pruning: the 25 embeddings farthest
+    from their assigned per-label centroid — the standard "drop the
+    mislabeled / off-distribution tail" signal in embedding-space data
+    curation (the flip side of SemDeDup's keep-closest).
+
+    Same map-only plan as q_embedding_assign (k centroids pack into one
+    broadcast row; the corpus never shuffles) plus a TakeOrdered top-k —
+    no global sort. Distances round to 6dp before ranking; ties break
+    on vec_id.
+    """
+    from datagrowth_spark.operators import clustering as CL
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = CL.centroid_vectors(CL.label_centroids(emb, "label"), "label")
+    assigned = CL.assign_to_centroids(
+        emb, cents, id_col="vec_id", keep_cols=("label",), with_distance=True
+    )
+    return assigned.select("vec_id", "label", "assigned", "d2").orderBy(
+        F.desc("d2"), F.asc("vec_id")
+    ).limit(25)
+
+
+SQL_EMBEDDING_OUTLIERS = """
+WITH flat AS (
+  SELECT vec_id, label, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS centroid_id, pos,
+         CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid
+  FROM flat GROUP BY 1, 2
+),
+dists AS (
+  SELECT f.vec_id, f.label, c.centroid_id,
+         round(SUM((CAST(f.val AS DOUBLE) - c.centroid) ^ 2), 6) AS d2
+  FROM flat f JOIN cent c USING (pos)
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, label, centroid_id AS assigned, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+  FROM dists
+)
+SELECT vec_id, label, assigned, d2
+FROM best WHERE rn = 1
+ORDER BY d2 DESC, vec_id ASC
+LIMIT 25
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ordered for the driver's bounded correctness window.
 
@@ -3502,6 +3877,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     positions past 50. When adding a query, insert it near the top.
     """
     return {
+        # new in round 4, second pass
+        "text_ngram_novelty": q_text_ngram_novelty,
+        "events_retention": q_events_retention,
+        "events_anomaly": q_events_anomaly,
+        "search_bm25": q_search_bm25,
+        "events_user_paths": q_events_user_paths,
+        "basket_part_pairs": q_basket_part_pairs,
+        "embedding_outliers": q_embedding_outliers,
         # new in round 4
         "dedup_span_rewrite": q_dedup_span_rewrite,
         "dedup_incremental": q_dedup_incremental,
@@ -3603,6 +3986,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "text_ngram_novelty": SQL_TEXT_NGRAM_NOVELTY,
+        "events_retention": SQL_EVENTS_RETENTION,
+        "events_anomaly": SQL_EVENTS_ANOMALY,
+        "search_bm25": SQL_SEARCH_BM25,
+        "events_user_paths": SQL_EVENTS_USER_PATHS,
+        "basket_part_pairs": SQL_BASKET_PART_PAIRS,
+        "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
         "pipeline_growth_chain": SQL_PIPELINE_GROWTH_CHAIN,
         "quality_linear_classifier": SQL_QUALITY_LINEAR_CLASSIFIER,
         "nation_pair_revenue": SQL_NATION_PAIR_REVENUE,
