@@ -3866,6 +3866,105 @@ LIMIT 25
 """
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts PIVOTed into one column per event type.
+
+    The pivot value list is explicit, so Spark skips the extra
+    distinct-values job and the output schema is static — at 100 TB an
+    implicit pivot would scan the corpus twice and produce a
+    data-dependent schema. One shuffle on day; the pivot itself is a
+    map-side conditional aggregation.
+    """
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES],
+        )
+    )
+
+
+SQL_EVENTS_TYPE_PIVOT = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events
+GROUP BY 1
+"""
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week): every subtotal combination
+    in one pass — the grouping-sets complement to q_orders_rollup's
+    ROLLUP. The expand operator multiplies rows 4× before the single
+    shuffle; group count stays tiny (|types|+1 × 8)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select("event_type", F.dayofweek("ts").alias("dow"), "value")
+        .cube("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n_events"), _dec_sum("value").alias("total_value"))
+    )
+
+
+SQL_EVENTS_CUBE = """
+SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CUBE(event_type, CAST(dayofweek(ts) + 1 AS INT))
+"""
+
+
+def q_events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total of distinct users ever seen, by day.
+
+    Cumulative-distinct folds to first-seen-day counts: one shuffle on
+    user_id for the min-date, one tiny aggregate to new-users-per-day,
+    then the running sum over the day dimension is a broadcast
+    triangle join (d' ≤ d) on the ~hundreds-of-rows daily frame — NO
+    single-partition global-order window anywhere, at any scale.
+    """
+    ev = _events(spark, sf_dir)
+    first_seen = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("first_day"))
+    )
+    daily_new = first_seen.groupBy("first_day").agg(F.count(F.lit(1)).alias("new_users"))
+    days = daily_new.select(F.col("first_day").alias("day"))
+    return (
+        days.join(
+            F.broadcast(daily_new),
+            F.col("first_day") <= F.col("day"),
+        )
+        .groupBy("day")
+        .agg(F.sum("new_users").alias("cumulative_users"))
+    )
+
+
+SQL_EVENTS_CUMULATIVE_USERS = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+),
+daily_new AS (
+  SELECT first_day, COUNT(*) AS new_users FROM first_seen GROUP BY first_day
+)
+SELECT d.first_day AS day,
+       CAST(SUM(n.new_users) AS BIGINT) AS cumulative_users
+FROM daily_new d JOIN daily_new n ON n.first_day <= d.first_day
+GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ordered for the driver's bounded correctness window.
 
@@ -3885,6 +3984,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_paths": q_events_user_paths,
         "basket_part_pairs": q_basket_part_pairs,
         "embedding_outliers": q_embedding_outliers,
+        "events_type_pivot": q_events_type_pivot,
+        "events_cube": q_events_cube,
+        "events_cumulative_users": q_events_cumulative_users,
         # new in round 4
         "dedup_span_rewrite": q_dedup_span_rewrite,
         "dedup_incremental": q_dedup_incremental,
@@ -3993,6 +4095,9 @@ def oracle_sql() -> dict[str, str]:
         "events_user_paths": SQL_EVENTS_USER_PATHS,
         "basket_part_pairs": SQL_BASKET_PART_PAIRS,
         "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
+        "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
+        "events_cube": SQL_EVENTS_CUBE,
+        "events_cumulative_users": SQL_EVENTS_CUMULATIVE_USERS,
         "pipeline_growth_chain": SQL_PIPELINE_GROWTH_CHAIN,
         "quality_linear_classifier": SQL_QUALITY_LINEAR_CLASSIFIER,
         "nation_pair_revenue": SQL_NATION_PAIR_REVENUE,
