@@ -114,6 +114,16 @@ HEADLINE = [
     "embedding_quantize",
     "events_funnel",
     "html_extract",
+    "text_ngram_novelty",
+    "events_retention",
+    "events_anomaly",
+    "search_bm25",
+    "events_user_paths",
+    "basket_part_pairs",
+    "embedding_outliers",
+    "events_type_pivot",
+    "events_cube",
+    "events_cumulative_users",
 ]
 
 

@@ -48,6 +48,39 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def ngram_novelty(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 5, hashed: bool = False) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    n-grams whose smallest containing ``id`` is the document itself.
+
+    The curation signal inverse to the repetition family — near-zero
+    novelty means the corpus already contains this document's content
+    recombined. Output: (doc_id, n_grams, n_novel, novelty∈[0,1]).
+
+    Plan: grams shuffle once on a fixed-width key (md5 by default — the
+    cross-engine determinism contract; ``hashed=True`` switches to
+    xxhash64 longs, 4× fewer key bytes, for internal pipelines); the
+    first-occurrence table is a map-side-combinable min; the join back
+    shares the key so AQE co-partitions it. Raw text is read once.
+    """
+    sh = _shingle_frame(df, text_col, id_col, n, hashed=hashed)
+    if not hashed:
+        sh = sh.select("id", F.md5(F.encode("shingle", "utf-8")).alias("shingle"))
+    first = sh.groupBy("shingle").agg(F.min("id").alias("first_id"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_id") == F.col("id")).cast("int")).alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )
+
+
 def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int,
                    hashed: bool = False) -> DataFrame:
     # Tokenize into a real column first: shingle construction indexes the

@@ -3510,27 +3510,7 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — AQE co-partitions the two sides, no second full shuffle of
     the exploded frame. Raw text is touched exactly once.
     """
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", TX.tokens_col(F.lower(F.col("text"))).alias("toks")
-    )
-    grams = toks.select(
-        "doc_id",
-        F.explode(F.array_distinct(TX.shingles_from_tokens(F.col("toks"), 5))).alias("gram"),
-    ).select("doc_id", F.md5(F.encode("gram", "utf-8")).alias("gh"))
-    first = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        grams.join(first, "gh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int")).alias("n_novel"),
-        )
-        .select(
-            "doc_id", "n_grams", "n_novel",
-            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
-        )
-    )
+    return DD.ngram_novelty(_t(spark, sf_dir, "documents"), "text", "doc_id", n=5)
 
 
 SQL_TEXT_NGRAM_NOVELTY = f"""

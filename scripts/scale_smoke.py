@@ -169,6 +169,41 @@ def main() -> None:
                 ((F.col("id") * 2654435761 + 40503) % nn))).alias("dst"))
         pagerank(g, iterations=5).write.format("noop").mode("overwrite").save()
 
+    @bench("ngram_novelty_2m_docs")
+    def _():
+        # 2M docs × 24 tokens from a 200k vocab → ~40M exploded grams
+        # sharing heavily across docs (every gram seen ~100×): the gram
+        # shuffle + min + co-partitioned join-back at one decade past
+        # the bench corpus. hashed=True → 8-byte shuffle keys.
+        from datagrowth_spark.operators.dedup import ngram_novelty
+        nd = n // 5
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda j: F.concat(F.lit("w"), ((F.col("id") * 31 + j * 7) % 200_000).cast("string")),
+        )
+        corpus = spark.range(nd).select(
+            F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text"))
+        ngram_novelty(corpus, "text", "doc_id", n=5, hashed=True) \
+            .write.format("noop").mode("overwrite").save()
+
+    @bench("basket_pairs_10m_items")
+    def _():
+        # 10M (order, item) rows, ~5 items per order → in-row pair
+        # generation from sorted per-order sets; one shuffle per side of
+        # the pair key, no self-join, no hot-item skew amplification.
+        items = spark.range(n).select(
+            (F.col("id") / 5).cast("long").alias("order_id"),
+            (F.abs(F.xxhash64("id")) % 1_000_000).alias("item_id"),
+        ).distinct()
+        baskets = items.groupBy("order_id").agg(
+            F.array_sort(F.collect_list("item_id")).alias("ps"))
+        pairs = baskets.select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) ->"
+            " transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"
+        )).alias("p"))
+        pairs.groupBy("p.a", "p.b").count().orderBy(F.desc("count")).limit(25) \
+            .write.format("noop").mode("overwrite").save()
+
     @bench("version_diff_full_outer")
     def _():
         from datagrowth_spark.plans.dataset import version_diff

@@ -191,3 +191,39 @@ class TestContainment:
         # symmetric jaccard misses this pair entirely at any usable cut
         jac = ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
         assert jac == []
+
+
+class TestNgramNovelty:
+    def test_copy_doc_owns_nothing_first_doc_owns_all(self, spark):
+        from datagrowth_spark.operators.dedup import ngram_novelty
+
+        base = " ".join(f"w{i}" for i in range(10))           # 6 distinct 5-grams
+        fresh = " ".join(f"f{i}" for i in range(10))
+        half = " ".join(f"w{i}" for i in range(5, 15))        # shares w5..w9 tail
+        df = _docs(spark, [(1, base), (2, base), (3, fresh), (4, half)])
+        got = {r["doc_id"]: r for r in ngram_novelty(df, n=5).collect()}
+        assert got[1]["novelty"] == 1.0                       # first owner of every gram
+        assert got[2]["novelty"] == 0.0                       # exact copy, owns nothing
+        assert got[3]["novelty"] == 1.0                       # disjoint vocabulary
+        # doc 4: grams starting inside w5..w9 that lie fully in base are owned
+        # by doc 1; the rest (crossing into w10..w14) are novel
+        assert 0.0 < got[4]["novelty"] < 1.0
+        assert got[4]["n_grams"] == 6
+        assert got[4]["n_novel"] == 5                         # only "w5 w6 w7 w8 w9" is owned by doc 1
+
+    def test_hashed_and_md5_paths_agree(self, spark):
+        from datagrowth_spark.operators.dedup import ngram_novelty
+
+        rows = [(i, " ".join(f"t{(i * 3 + j) % 7}" for j in range(8))) for i in range(12)]
+        df = _docs(spark, rows)
+        a = {r["doc_id"]: (r["n_grams"], r["n_novel"]) for r in ngram_novelty(df, n=5).collect()}
+        b = {r["doc_id"]: (r["n_grams"], r["n_novel"])
+             for r in ngram_novelty(df, n=5, hashed=True).collect()}
+        assert a == b
+
+    def test_short_docs_drop_out(self, spark):
+        from datagrowth_spark.operators.dedup import ngram_novelty
+
+        df = _docs(spark, [(1, "a b c"), (2, " ".join(f"x{i}" for i in range(5)))])
+        got = {r["doc_id"] for r in ngram_novelty(df, n=5).collect()}
+        assert got == {2}                                     # doc 1 has no 5-grams
