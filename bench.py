@@ -124,6 +124,7 @@ HEADLINE = [
     "events_type_pivot",
     "events_cube",
     "events_cumulative_users",
+    "streaming_user_stats",
 ]
 
 

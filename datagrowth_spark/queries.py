@@ -3945,6 +3945,44 @@ GROUP BY 1
 """
 
 
+def q_streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator computed BY THE STREAMING PATH:
+    ``applyInPandasWithState`` running per-user totals (exact_cents
+    variant — integer-cent state, so the final totals are independent
+    of how the backlog split into micro-batches), drained with
+    availableNow, then reduced to each user's LAST update. Must
+    reproduce the batch per-user aggregate exactly — proving the
+    Arrow-batched state machine accumulates losslessly.
+
+    The last update per user is the max-n_events row (the counter is
+    strictly monotone across the batches a user appears in).
+    """
+    from datagrowth_spark.streaming import read_events_stream, stateful_user_stats
+    from datagrowth_spark.streaming.events import run_to_memory
+
+    name = "stream_user_stats"
+    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    query = run_to_memory(
+        stateful_user_stats(stream, exact_cents=True), name,
+        output_mode="update", state_partitions=8,
+    )
+    query.stop()
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "n_events", "value_cents")
+    )
+
+
+SQL_STREAMING_USER_STATS = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ordered for the driver's bounded correctness window.
 
@@ -3967,6 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_pivot": q_events_type_pivot,
         "events_cube": q_events_cube,
         "events_cumulative_users": q_events_cumulative_users,
+        "streaming_user_stats": q_streaming_user_stats,
         # new in round 4
         "dedup_span_rewrite": q_dedup_span_rewrite,
         "dedup_incremental": q_dedup_incremental,
@@ -4078,6 +4117,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
         "events_cube": SQL_EVENTS_CUBE,
         "events_cumulative_users": SQL_EVENTS_CUMULATIVE_USERS,
+        "streaming_user_stats": SQL_STREAMING_USER_STATS,
         "pipeline_growth_chain": SQL_PIPELINE_GROWTH_CHAIN,
         "quality_linear_classifier": SQL_QUALITY_LINEAR_CLASSIFIER,
         "nation_pair_revenue": SQL_NATION_PAIR_REVENUE,

@@ -123,8 +123,26 @@ STATEFUL_STATE_SCHEMA = T.StructType([
     T.StructField("n_batches", T.LongType()),
 ])
 
+# exact_cents variant: the running money total is held as integer cents
+# (per-element rounding, order-independent) so the final state is
+# bit-identical no matter how the backlog split into micro-batches —
+# the property that makes the operator ORACLE-comparable to a batch
+# aggregate, not just pytest-checkable.
+STATEFUL_CENTS_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("value_cents", T.LongType()),
+    T.StructField("n_batches", T.LongType()),
+])
 
-def stateful_user_stats(events: DataFrame) -> DataFrame:
+STATEFUL_CENTS_STATE_SCHEMA = T.StructType([
+    T.StructField("n_events", T.LongType()),
+    T.StructField("value_cents", T.LongType()),
+    T.StructField("n_batches", T.LongType()),
+])
+
+
+def stateful_user_stats(events: DataFrame, exact_cents: bool = False) -> DataFrame:
     """Custom stateful operator: running per-user stats via
     ``applyInPandasWithState``.
 
@@ -157,10 +175,28 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
             "n_batches": [n_batches],
         })
 
+    def update_cents(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState  # noqa: F821
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        n_events, cents, n_batches = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n_events += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        n_batches += 1
+        state.update((n_events, cents, n_batches))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [n_events],
+            "value_cents": [cents],
+            "n_batches": [n_batches],
+        })
+
     return events.groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType=STATEFUL_OUTPUT_SCHEMA,
-        stateStructType=STATEFUL_STATE_SCHEMA,
+        update_cents if exact_cents else update,
+        outputStructType=STATEFUL_CENTS_OUTPUT_SCHEMA if exact_cents else STATEFUL_OUTPUT_SCHEMA,
+        stateStructType=STATEFUL_CENTS_STATE_SCHEMA if exact_cents else STATEFUL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

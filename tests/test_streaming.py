@@ -180,3 +180,27 @@ def test_streaming_exact_dedup_first_occurrence_wins(spark, tmp_path):
     assert sorted((r["text"], r["lang"]) for r in kept) == [
         ("alpha beta", "de"), ("alpha beta", "en"), ("delta", "en"), ("gamma", "en"),
     ]
+
+
+def test_stateful_user_stats_exact_cents_matches_batch(spark, events_dir, events_batch):
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    query = run_to_memory(stateful_user_stats(stream, exact_cents=True),
+                          "user_stats_cents", output_mode="update")
+    try:
+        rows = spark.table("user_stats_cents").collect()
+        final = {}
+        for r in rows:
+            if r.user_id not in final or r.n_batches > final[r.user_id].n_batches:
+                final[r.user_id] = r
+        expected = {
+            r.user_id: (r.n, r.cents)
+            for r in events_batch.groupBy("user_id").agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            ).collect()
+        }
+        # integer-cent state: EXACT equality however the backlog split
+        assert {u: (r.n_events, r.value_cents) for u, r in final.items()} == expected
+        assert max(r.n_batches for r in rows) > 1
+    finally:
+        query.stop()
