@@ -125,6 +125,8 @@ HEADLINE = [
     "events_cube",
     "events_cumulative_users",
     "streaming_user_stats",
+    "customer_set_ops",
+    "link_triangles",
 ]
 
 

@@ -3945,6 +3945,143 @@ GROUP BY 1
 """
 
 
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator coverage: customers active in BOTH halves of 1997
+    (INTERSECT) minus those with a returned line on a 1997 order
+    (EXCEPT), counted per market segment.
+
+    INTERSECT/EXCEPT compile to aggregate-based left-semi/anti shuffle
+    joins on the full row — each side pre-shrinks to a distinct custkey
+    projection before the set op, so the shuffled payload is one long
+    column, and the final segment count rides a broadcast join against
+    the customer dim.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    h1 = orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select("o_custkey").distinct()
+    h2 = orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey").distinct()
+    returners = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    loyal = h1.intersect(h2).exceptAll(returners)
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        loyal.join(cust, loyal.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+SQL_CUSTOMER_SET_OPS = """
+WITH h1 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+),
+h2 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+),
+returners AS (
+  SELECT DISTINCT o_custkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+),
+loyal AS (
+  SELECT o_custkey FROM h1 INTERSECT SELECT o_custkey FROM h2
+  EXCEPT SELECT o_custkey FROM returners
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM loyal JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the same synthetic doc-link graph as
+    q_link_pagerank — the local-clustering signal (spam farms and
+    boilerplate rings are triangle-dense; organic link neighborhoods
+    are sparse).
+
+    Canonical-direction trick: edges orient low→high once, so each
+    triangle {a<b<c} is found exactly once by joining (a,b)⨝(b,c) and
+    closing with (a,c) — two shuffle joins on vertex keys, no
+    double-counting correction pass. Degree-bounded graphs (≤6 here)
+    keep the wedge explosion linear; at web scale the standard
+    refinement (orient by degree, not id) caps wedges at hub nodes —
+    same plan shape.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    d = F.col("doc_id")
+    dsts = [((d * _PR_KNUTH + k * _PR_STEP) % n).alias(f"d{k}") for k in range(3)]
+    directed = docs.select(d.alias("src"), F.explode(F.array(*dsts)).alias("dst"))
+    und = (
+        directed.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        und.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("doc_id"))
+        .limit(20)
+    )
+    return per_node
+
+
+def _triangles_sql() -> str:
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+directed AS (
+  SELECT doc_id AS src, ((doc_id * {_PR_KNUTH} + k * {_PR_STEP}) % (SELECT n FROM nn)) AS dst
+  FROM documents, (SELECT unnest([0, 1, 2]) AS k)
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM directed WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT unnest([a, b, c]) AS doc_id FROM tri
+)
+SELECT doc_id, COUNT(*) AS n_triangles
+FROM nodes GROUP BY doc_id
+ORDER BY n_triangles DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 def q_streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator computed BY THE STREAMING PATH:
     ``applyInPandasWithState`` running per-user totals (exact_cents
@@ -4006,6 +4143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": q_events_cube,
         "events_cumulative_users": q_events_cumulative_users,
         "streaming_user_stats": q_streaming_user_stats,
+        "customer_set_ops": q_customer_set_ops,
+        "link_triangles": q_link_triangles,
         # new in round 4
         "dedup_span_rewrite": q_dedup_span_rewrite,
         "dedup_incremental": q_dedup_incremental,
@@ -4118,6 +4257,8 @@ def oracle_sql() -> dict[str, str]:
         "events_cube": SQL_EVENTS_CUBE,
         "events_cumulative_users": SQL_EVENTS_CUMULATIVE_USERS,
         "streaming_user_stats": SQL_STREAMING_USER_STATS,
+        "customer_set_ops": SQL_CUSTOMER_SET_OPS,
+        "link_triangles": _triangles_sql(),
         "pipeline_growth_chain": SQL_PIPELINE_GROWTH_CHAIN,
         "quality_linear_classifier": SQL_QUALITY_LINEAR_CLASSIFIER,
         "nation_pair_revenue": SQL_NATION_PAIR_REVENUE,

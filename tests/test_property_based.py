@@ -321,3 +321,36 @@ def test_incremental_dedup_consistent_with_full_lsh(spark):
         else:
             assert (dup_of, est) == exp, (new_id, (dup_of, est), exp)
     assert any(v[0] is not None for v in got.values())  # dups actually found
+
+
+def test_ngram_novelty_matches_bruteforce_on_generated_corpus(spark):
+    """ngram_novelty over a seeded dup-heavy corpus equals a brute-force
+    Python first-owner computation — one DataFrame, one action."""
+    from datagrowth_spark.operators.dedup import ngram_novelty
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(9)]  # tiny vocab -> heavy gram sharing
+    n = 3
+    docs = {}
+    for i in range(50):
+        if i > 0 and rng.random() < 0.25:
+            docs[i] = docs[rng.randrange(i)]  # exact copy
+        else:
+            docs[i] = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 10)))
+
+    first = {}
+    for i in sorted(docs):
+        toks = docs[i].split()
+        for p in range(len(toks) - n + 1):
+            first.setdefault(tuple(toks[p:p + n]), i)
+    expected = {}
+    for i, text in docs.items():
+        grams = {tuple(text.split()[p:p + n]) for p in range(len(text.split()) - n + 1)}
+        if grams:
+            novel = sum(1 for g in grams if first[g] == i)
+            expected[i] = (len(grams), novel)
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_novel"])
+           for r in ngram_novelty(df, n=n).collect()}
+    assert got == expected
