@@ -130,3 +130,26 @@ def write_corpus(df: DataFrame, path: str, partition_by: list[str] | None = None
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed_table(df: DataFrame, table: str, bucket_cols: list[str],
+                         num_buckets: int = 32, sort_cols: list[str] | None = None,
+                         mode: str = "overwrite") -> None:
+    """Persist a table bucketed (and optionally sorted) on its join key —
+    the co-located-join layout.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle: each task reads matching bucket files from both
+    sides (SortMergeJoin with zero Exchange — see
+    tests/test_bucketing.py for the plan assertion). At 100 TB this is
+    the difference between re-shuffling the fact table on every join
+    and paying the shuffle ONCE at write time; ``sort_cols`` additionally
+    pre-sorts bucket files so the merge join skips its sort too.
+
+    Spark bucketing requires the table catalog (``saveAsTable``) — the
+    bucket spec lives in the metastore, not the parquet footer.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
