@@ -23,6 +23,7 @@ import os
 from typing import Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -86,7 +87,8 @@ def download_files(
 
 def read_jsonl_collection(spark, path: str, name: str = "collection",
                           identifier: str | None = None, referee: str | None = None,
-                          columns: list[str] | None = None):
+                          columns: list[str] | None = None,
+                          quarantine: bool = False):
     """Ingest a JSONL corpus file/directory as a document Collection.
 
     Training corpora ship as JSON-lines; Spark's native json reader
@@ -96,15 +98,37 @@ def read_jsonl_collection(spark, path: str, name: str = "collection",
     Python per-row work. ``columns`` restricts which fields survive
     (column pruning reaches the reader). Arbitrary nesting is preserved
     because map values are JSON-encoded.
+
+    ``quarantine=True`` returns ``(collection, bad_lines_df)`` instead:
+    PERMISSIVE-mode corrupt lines (truncated writes, mid-file
+    corruption — routine at crawl scale) are split into a one-column
+    frame of raw offending lines for inspection/replay rather than
+    silently becoming all-null documents.
     """
     from datagrowth_spark.datatypes.collection import Collection
     from datagrowth_spark.datatypes.document import properties_from_columns
 
-    df = spark.read.json(path)
-    cols = columns or df.columns
+    CORRUPT = "_corrupt_record"
+    reader = spark.read
+    if quarantine:
+        reader = reader.option("mode", "PERMISSIVE") \
+                       .option("columnNameOfCorruptRecord", CORRUPT)
+    df = reader.json(path)
+    bad = None
+    if quarantine and CORRUPT in df.columns:
+        # Spark requires caching/materializing before referencing only
+        # the corrupt column (SPARK-21610 contract).
+        df = df.cache()
+        bad = df.where(F.col(CORRUPT).isNotNull()).select(F.col(CORRUPT).alias("raw_line"))
+        df = df.where(F.col(CORRUPT).isNull()).drop(CORRUPT)
+    elif quarantine:
+        bad = spark.createDataFrame([], "raw_line string")
+    cols = columns or [c for c in df.columns if c != CORRUPT]
     lifted = df.select(properties_from_columns(*cols).alias("properties"))
     coll = Collection(spark, name=name, identifier=identifier, referee=referee)
     coll.add(lifted)
+    if quarantine:
+        return coll, bad
     return coll
 
 
@@ -153,3 +177,45 @@ def write_bucketed_table(df: DataFrame, table: str, bucket_cols: list[str],
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_range_sorted(df: DataFrame, path: str, sort_cols: list[str],
+                       num_ranges: int | None = None, mode: str = "overwrite") -> None:
+    """Globally-sorted parquet output WITHOUT a single-partition sort.
+
+    ``repartitionByRange`` samples range boundaries (one pass), then each
+    task sorts only its slice — files are internally sorted AND file N's
+    keys all precede file N+1's, so downstream consumers get a global
+    order while the cluster never funnels through one task. This is the
+    export layout for binary-searchable corpora (token-offset lookup
+    tables, id-sorted shards).
+    """
+    if num_ranges:
+        ranged = df.repartitionByRange(num_ranges, *sort_cols)
+    else:
+        ranged = df.repartitionByRange(*sort_cols)
+    ranged.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def compact_parquet(spark, path: str, target_records_per_file: int,
+                    dest: str | None = None) -> int:
+    """Small-files compaction: rewrite a parquet dataset into files of
+    ~``target_records_per_file`` rows; returns the new file count.
+
+    Streaming sinks and per-batch appends accumulate thousands of tiny
+    files; at 100 TB the scan's task-scheduling overhead and the
+    NameNode/object-store listing dominate. Repartitioning to
+    ceil(rows/target) tasks bounds both file count and file size; with
+    ``dest`` unset the rewrite lands beside the source at
+    ``<path>__compacted`` (atomic-rename promotion is the caller's
+    choice — never overwrite the input mid-read).
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    n_files = max(1, math.ceil(rows / target_records_per_file))
+    dest = dest or path.rstrip("/") + "__compacted"
+    df.repartition(n_files).write.mode("overwrite") \
+        .option("maxRecordsPerFile", target_records_per_file).parquet(dest)
+    return n_files

@@ -546,3 +546,67 @@ class TestCorpusFiles:
         assert len(files) == 3  # 50 rows / 20 per file
         total = spark.read.parquet(out2).count()
         assert total == 100
+
+    def test_read_jsonl_quarantine_splits_corrupt_lines(self, spark, tmp_path):
+        from datagrowth_spark.sources.files import read_jsonl_collection
+
+        src = tmp_path / "dirty.jsonl"
+        src.write_text(
+            '{"id": 1, "text": "good"}\n'
+            '{"id": 2, "text": "truncated...\n'
+            'not json at all\n'
+            '{"id": 3, "text": "also good"}\n'
+        )
+        coll, bad = read_jsonl_collection(spark, str(src), identifier="id",
+                                          quarantine=True)
+        rows = sorted(coll.content(), key=lambda r: r["id"])
+        assert [r["id"] for r in rows] == [1, 3]
+        bad_lines = sorted(r["raw_line"] for r in bad.collect())
+        assert len(bad_lines) == 2
+        assert "not json at all" in bad_lines
+        assert any(line.startswith('{"id": 2') for line in bad_lines)
+
+    def test_read_jsonl_quarantine_clean_file_empty_bad(self, spark, tmp_path):
+        from datagrowth_spark.sources.files import read_jsonl_collection
+
+        src = tmp_path / "clean.jsonl"
+        src.write_text('{"id": 1, "text": "x"}\n')
+        coll, bad = read_jsonl_collection(spark, str(src), identifier="id",
+                                          quarantine=True)
+        assert bad.count() == 0
+        assert len(coll.content()) == 1
+
+    def test_write_range_sorted_global_order(self, spark, tmp_path):
+        import glob
+
+        from datagrowth_spark.sources.files import write_range_sorted
+
+        df = spark.range(10_000).selectExpr("CAST(pmod(id * 2654435761, 10000) AS BIGINT) AS k")
+        out = str(tmp_path / "sorted")
+        write_range_sorted(df, out, ["k"], num_ranges=8)
+        files = sorted(glob.glob(f"{out}/part-*.parquet"))
+        assert len(files) == 8
+        # file-internal sort AND cross-file range order = global order
+        prev_max = None
+        import pyarrow.parquet as pq
+        for f in files:
+            ks = pq.read_table(f).column("k").to_pylist()
+            assert ks == sorted(ks)
+            if prev_max is not None and ks:
+                assert ks[0] >= prev_max
+            if ks:
+                prev_max = ks[-1]
+
+    def test_compact_parquet_bounds_file_count(self, spark, tmp_path):
+        import glob
+
+        from datagrowth_spark.sources.files import compact_parquet
+
+        src = str(tmp_path / "small")
+        spark.range(1_000).repartition(50).write.parquet(src)
+        assert len(glob.glob(f"{src}/part-*.parquet")) == 50
+        n = compact_parquet(spark, src, target_records_per_file=500)
+        dest = src + "__compacted"
+        assert n == 2
+        assert len(glob.glob(f"{dest}/part-*.parquet")) == 2
+        assert spark.read.parquet(dest).count() == 1_000
