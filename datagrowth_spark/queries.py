@@ -2309,6 +2309,13 @@ def q_dedup_spans_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans hashed to longs → global doc-frequency agg (one shuffle on the
     hash) → join back → per-doc agg. The RefinedWeb/CCNet line-dedup
     signal at n-gram granularity.
+
+    Hash contract: each engine may use its own span hash, but BOTH must
+    be collision-free at the corpus size — Spark uses xxhash64 (64-bit),
+    the oracle full md5 (128-bit). A truncated hash breaks the value
+    match exactly at scale: a 32-bit oracle key collided at sf0.1
+    (~450k distinct spans → ~20 birthday collisions → phantom shared
+    spans) while passing sf0.01 — caught by the 10× oracle sweep.
     """
     from datagrowth_spark.operators import repetition as RT
 
@@ -2328,7 +2335,7 @@ spans AS (
                                   t[i+4], t[i+5], t[i+6], t[i+7])) END)) AS span
   FROM toks
 ),
-h AS (SELECT id, CAST(('0x' || substr(md5(span), 1, 8)) AS BIGINT) AS h FROM spans),
+h AS (SELECT id, md5(span) AS h FROM spans),
 dfreq AS (SELECT h, COUNT(*) AS df FROM h GROUP BY h)
 SELECT id AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_spans,
