@@ -4152,6 +4152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_stats": q_streaming_user_stats,
         "customer_set_ops": q_customer_set_ops,
         "link_triangles": q_link_triangles,
+        # oracle changed this session (128-bit span hash) — keep in window
+        "dedup_spans_crossdoc": q_dedup_spans_crossdoc,
         # new in round 4
         "dedup_span_rewrite": q_dedup_span_rewrite,
         "dedup_incremental": q_dedup_incremental,
@@ -4225,7 +4227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm": q_customer_rfm,
         "similarity_topk": q_similarity_topk,
         "dedup_exact": q_dedup_exact,
-        "dedup_spans_crossdoc": q_dedup_spans_crossdoc,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
