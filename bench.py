@@ -127,6 +127,8 @@ HEADLINE = [
     "streaming_user_stats",
     "customer_set_ops",
     "link_triangles",
+    "text_self_dedup",
+    "text_char_entropy",
 ]
 
 

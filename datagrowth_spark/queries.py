@@ -4089,6 +4089,137 @@ LIMIT 20
 """
 
 
+def q_text_self_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition rewrite: split each document into
+    consecutive 8-token blocks, drop every repeat of an
+    already-seen-in-this-doc block, and fingerprint the cleaned text —
+    the in-doc complement of the cross-doc span rewrite (chatbot loops,
+    scraped pagination artifacts, template stutter).
+
+    One shuffle keyed by (doc_id, block) for first-occurrence election,
+    one by doc_id for reassembly — both on per-document keys, so the
+    plan is embarrassingly document-parallel at any corpus size.
+    Reassembly preserves original block order via the position column.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", TX.tokens_col(F.lower(F.col("text"))).alias("toks")
+    ).where(F.size("toks") > 0)  # sequence(0, -1) would run DESCENDING
+    nblocks = (F.size("toks") + F.lit(7)) / F.lit(8)
+    blocks = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nblocks.cast("int") - 1),
+                lambda i: F.array_join(F.slice(F.col("toks"), i * 8 + 1, 8), " "),
+            )
+        ).alias("pos", "block"),
+    )
+    w = Window.partitionBy("doc_id", "block").orderBy("pos")
+    firsts = blocks.withColumn("_rn", F.row_number().over(w))
+    return (
+        firsts.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum((F.col("_rn") > 1).cast("int")).alias("n_dropped"),
+            F.md5(
+                F.encode(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.when(F.col("_rn") == 1, F.struct("pos", "block"))
+                                )
+                            ),
+                            lambda s: s["block"],
+                        ),
+                        " ",
+                    ),
+                    "utf-8",
+                )
+            ).alias("cleaned_md5"),
+        )
+    )
+
+
+SQL_TEXT_SELF_DEDUP = f"""
+WITH toked AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+blocks AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, (i - 1) * 8 + 1, (i - 1) * 8 + 8), ' ') AS block
+  FROM toked, LATERAL unnest(generate_series(1, CAST(ceil(len(toks) / 8.0) AS INT))) t(i)
+  WHERE len(toks) > 0
+),
+ranked AS (
+  SELECT doc_id, pos, block,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, block ORDER BY pos) AS rn
+  FROM blocks
+)
+SELECT doc_id, COUNT(*) AS n_blocks,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       md5(string_agg(CASE WHEN rn = 1 THEN block END, ' ' ORDER BY pos)) AS cleaned_md5
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    gibberish/base64-blob detector (natural language sits ~4 bits/char;
+    random alphanumerics ~5.9; single-char runs ~0).
+
+    Map-only per document: in-row char histogram via aggregate over the
+    distinct chars of the doc, no explode-shuffle of one row per
+    character. Entropy contributions round to 6dp then sum exactly as
+    decimals so engines agree.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    distinct_chars = F.array_distinct(chars)
+    n = F.size(chars)
+    # per distinct char c: p = count(c)/n ; entropy = -Σ p·log2 p
+    contrib = F.transform(
+        distinct_chars,
+        lambda c: F.round(
+            -(F.size(F.filter(chars, lambda x: x == c)) / n)
+            * F.log2(F.size(F.filter(chars, lambda x: x == c)) / n),
+            6,
+        ).cast("decimal(20,6)"),
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_chars_tok"),
+        F.size(distinct_chars).cast("long").alias("n_distinct_chars"),
+        F.aggregate(
+            contrib, F.lit(0).cast("decimal(28,6)"),
+            lambda a, x: (a + x).cast("decimal(28,6)"),
+        ).cast("double").alias("char_entropy"),
+    ).where(F.col("n_chars_tok") > 0)
+
+
+SQL_TEXT_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, string_split(text, '') AS cs FROM documents WHERE len(text) > 0
+),
+contrib AS (
+  SELECT doc_id, len(cs) AS n, len(list_distinct(cs)) AS nd,
+         list_transform(
+           list_distinct(cs),
+           c -> CAST(round(
+                  -(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / len(cs))
+                  * log2(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / len(cs)),
+                6) AS DECIMAL(20,6))
+         ) AS parts
+  FROM chars
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars_tok, CAST(nd AS BIGINT) AS n_distinct_chars,
+       CAST(list_sum(parts) AS DOUBLE) AS char_entropy
+FROM contrib
+"""
+
+
 def q_streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator computed BY THE STREAMING PATH:
     ``applyInPandasWithState`` running per-user totals (exact_cents
@@ -4154,6 +4285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_triangles": q_link_triangles,
         # oracle changed this session (128-bit span hash) — keep in window
         "dedup_spans_crossdoc": q_dedup_spans_crossdoc,
+        "text_self_dedup": q_text_self_dedup,
+        "text_char_entropy": q_text_char_entropy,
         # new in round 4
         "dedup_span_rewrite": q_dedup_span_rewrite,
         "dedup_incremental": q_dedup_incremental,
@@ -4267,6 +4400,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_user_stats": SQL_STREAMING_USER_STATS,
         "customer_set_ops": SQL_CUSTOMER_SET_OPS,
         "link_triangles": _triangles_sql(),
+        "text_self_dedup": SQL_TEXT_SELF_DEDUP,
+        "text_char_entropy": SQL_TEXT_CHAR_ENTROPY,
         "pipeline_growth_chain": SQL_PIPELINE_GROWTH_CHAIN,
         "quality_linear_classifier": SQL_QUALITY_LINEAR_CLASSIFIER,
         "nation_pair_revenue": SQL_NATION_PAIR_REVENUE,
