@@ -4170,33 +4170,47 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     gibberish/base64-blob detector (natural language sits ~4 bits/char;
     random alphanumerics ~5.9; single-char runs ~0).
 
-    Map-only per document: in-row char histogram via aggregate over the
-    distinct chars of the doc, no explode-shuffle of one row per
-    character. Entropy contributions round to 6dp then sum exactly as
-    decimals so engines agree.
+    Map-only per document, O(n log n) in-row: sort the char array once,
+    find run boundaries (one pass of element_at comparisons), and read
+    the histogram off the run lengths — no explode-shuffle of one row
+    per character, and no O(distinct × len) re-scan per distinct char
+    (the first cut did exactly that and was the slowest query in the
+    bench at 8.4 s; this shape runs ~0.7 s). Entropy contributions
+    round to 6dp then sum exactly as decimals so engines agree.
     """
     docs = _t(spark, sf_dir, "documents")
-    chars = F.split(F.col("text"), "")
-    distinct_chars = F.array_distinct(chars)
-    n = F.size(chars)
-    # per distinct char c: p = count(c)/n ; entropy = -Σ p·log2 p
+    chars = F.array_sort(F.split(F.col("text"), ""))
+    base = docs.select("doc_id", chars.alias("cs"), F.size(chars).alias("n")).where(
+        F.col("n") > 0
+    )
+    # run starts: 1-based indices where the sorted array changes value
+    starts = F.filter(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda i: (i == 1)
+        | (F.element_at(F.col("cs"), i) != F.element_at(F.col("cs"), i - 1)),
+    )
+    with_runs = base.select("doc_id", "n", starts.alias("starts"))
+    # run length k = next start − this start (last run ends at n+1)
+    run_lens = F.zip_with(
+        F.col("starts"),
+        F.concat(F.slice(F.col("starts"), 2, F.size(F.col("starts"))), F.array(F.col("n") + 1)),
+        lambda a, b: b - a,
+    )
     contrib = F.transform(
-        distinct_chars,
-        lambda c: F.round(
-            -(F.size(F.filter(chars, lambda x: x == c)) / n)
-            * F.log2(F.size(F.filter(chars, lambda x: x == c)) / n),
-            6,
+        run_lens,
+        lambda k: F.round(
+            -(k / F.col("n")) * F.log2(k / F.col("n")), 6
         ).cast("decimal(20,6)"),
     )
-    return docs.select(
+    return with_runs.select(
         "doc_id",
-        n.cast("long").alias("n_chars_tok"),
-        F.size(distinct_chars).cast("long").alias("n_distinct_chars"),
+        F.col("n").cast("long").alias("n_chars_tok"),
+        F.size("starts").cast("long").alias("n_distinct_chars"),
         F.aggregate(
             contrib, F.lit(0).cast("decimal(28,6)"),
             lambda a, x: (a + x).cast("decimal(28,6)"),
         ).cast("double").alias("char_entropy"),
-    ).where(F.col("n_chars_tok") > 0)
+    )
 
 
 SQL_TEXT_CHAR_ENTROPY = """
