@@ -129,6 +129,7 @@ HEADLINE = [
     "link_triangles",
     "text_self_dedup",
     "text_char_entropy",
+    "sql_frontend",
 ]
 
 

@@ -4234,6 +4234,33 @@ FROM contrib
 """
 
 
+# ONE string, TWO engines: q_sql_frontend registers the parquet tables
+# as views and hands this exact text to spark.sql(); the oracle hands it
+# to DuckDB. Scalar subquery + join + aggregate in dialect-shared ANSI —
+# the SQL front-end the reference never had (SURVEY §2.5), free on Spark.
+_SQL_FRONTEND = """
+SELECT n_name,
+       COUNT(*) AS n_rich_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM customer
+)
+GROUP BY n_name
+"""
+
+
+def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL entry point: above-average-balance customers per nation,
+    via the IDENTICAL ANSI text DuckDB runs as the oracle (scalar
+    subquery → one extra 1-row scan pass; nation dim broadcasts; exact
+    decimal mean so the threshold can never flip between engines)."""
+    for t in ("customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_FRONTEND)
+
+
 def q_streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator computed BY THE STREAMING PATH:
     ``applyInPandasWithState`` running per-user totals (exact_cents
@@ -4301,6 +4328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_crossdoc": q_dedup_spans_crossdoc,
         "text_self_dedup": q_text_self_dedup,
         "text_char_entropy": q_text_char_entropy,
+        "sql_frontend": q_sql_frontend,
         # new in round 4
         "dedup_span_rewrite": q_dedup_span_rewrite,
         "dedup_incremental": q_dedup_incremental,
@@ -4416,6 +4444,7 @@ def oracle_sql() -> dict[str, str]:
         "link_triangles": _triangles_sql(),
         "text_self_dedup": SQL_TEXT_SELF_DEDUP,
         "text_char_entropy": SQL_TEXT_CHAR_ENTROPY,
+        "sql_frontend": _SQL_FRONTEND,
         "pipeline_growth_chain": SQL_PIPELINE_GROWTH_CHAIN,
         "quality_linear_classifier": SQL_QUALITY_LINEAR_CLASSIFIER,
         "nation_pair_revenue": SQL_NATION_PAIR_REVENUE,
