@@ -4180,8 +4180,12 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _t(spark, sf_dir, "documents")
     chars = F.array_sort(F.split(F.col("text"), ""))
-    base = docs.select("doc_id", chars.alias("cs"), F.size(chars).alias("n")).where(
-        F.col("n") > 0
+    # Filter on length(text), not size(split): Spark splits "" into [""]
+    # (size 1), so a size guard would smuggle empty documents in while
+    # the oracle's len(text) > 0 excludes them (caught by the
+    # adversarial-input suite; the fixtures have no empty docs).
+    base = docs.where(F.length("text") > 0).select(
+        "doc_id", chars.alias("cs"), F.size(chars).alias("n")
     )
     # run starts: 1-based indices where the sorted array changes value
     starts = F.filter(
