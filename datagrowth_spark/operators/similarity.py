@@ -48,9 +48,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
+    """NULL (not an error, not NaN) when either norm is zero: under
+    Spark's ANSI mode a bare divide throws DIVIDE_BY_ZERO, so ONE
+    zero-norm embedding in the corpus would kill an entire top-k job;
+    try_divide degrades it to a NULL similarity, which sorts after
+    every real score in the DESC rankings every caller uses."""
     a = _to_double(a)
     b = _to_double(b)
-    return F.round(dot(a, b) / (norm(a) * norm(b)), decimals)
+    return F.round(F.try_divide(dot(a, b), norm(a) * norm(b)), decimals)
 
 
 def cosine_topk(
@@ -135,7 +140,9 @@ def unit_normalize(vec: Column) -> Column:
     """
     v = _to_double(vec)
     n = norm(v)
-    return F.transform(v, lambda x: x / n)
+    # try_divide: a zero vector normalizes to NULL components instead of
+    # throwing DIVIDE_BY_ZERO under ANSI mode (one bad row, whole job).
+    return F.transform(v, lambda x: F.try_divide(x, n))
 
 
 def quantize_embeddings(
@@ -217,7 +224,7 @@ def embedding_near_dup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = F.round(raw_dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    cos = F.round(F.try_divide(raw_dot, F.col("a.nrm") * F.col("b.nrm")), 6)
     # The threshold filter must NOT re-evaluate the dot product: Catalyst
     # pushes Filter through Project (and HOFs are interpreted — no
     # codegen CSE), so a plain withColumn+where computes the O(d) fold
@@ -415,7 +422,7 @@ def embedding_near_dup_pairs_lsh(
     )
     return (
         candidates.join(a, "id_a").join(b, "id_b")
-        .withColumn("cos_sim", F.round(rescored_dot / (F.col("nrm_a") * F.col("nrm_b")), 6))
+        .withColumn("cos_sim", F.round(F.try_divide(rescored_dot, F.col("nrm_a") * F.col("nrm_b")), 6))
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
