@@ -44,14 +44,17 @@ def mixture_rates(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .withColumn("weight", w)
     )
-    total = counts.where(F.col("weight").isNotNull()).agg(
+    # weight > 0, not isNotNull: an explicit 0.0 weight means "drop this
+    # source" (rate 0) — including it in the t_max ratio would divide by
+    # zero, which ABORTS the job under Spark's ANSI mode.
+    total = counts.where(F.col("weight") > 0).agg(
         F.min(F.col("n_docs") / F.col("weight")).alias("t_max")
     )
     return counts.crossJoin(F.broadcast(total)).select(
         source_col,
         "n_docs",
         F.when(
-            F.col("weight").isNotNull(),
+            F.col("weight") > 0,
             F.floor(F.lit(1000.0) * F.col("weight") * F.col("t_max") / F.col("n_docs")),
         )
         .otherwise(F.lit(0))

@@ -59,3 +59,14 @@ def test_single_member_centroid_assignment(spark, emb):
                 for r in CL.assign_to_centroids(emb, cents, keep_cols=("label",)).collect()}
     assert assigned[4] == "c"     # its own singleton centroid wins exactly
     assert assigned[1] == "a"
+
+
+def test_mix_rebalance_zero_weight_source_drops_not_crashes(spark):
+    from datagrowth_spark.operators.mixing import mixture_rates
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)], "doc_id long, source string")
+    rates = {r["source"]: r["rate_permille"]
+             for r in mixture_rates(df, {"a": 1.0, "b": 0.0}, source_col="source").collect()}
+    assert rates["b"] == 0          # zero weight = dropped, not DIVIDE_BY_ZERO
+    assert rates["a"] == 1000
