@@ -788,26 +788,30 @@ FROM r GROUP BY user_id
 
 
 def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation: recency/frequency/monetary quartiles via ntile
-    with full (metric, custkey) tiebreaks, rolled up to segment counts.
-    ntile is a global sort — exact and oracle-replayable, the right call
-    for a customer dimension (small relative to facts). For fact-scale
-    segmentation swap in approx-quantile cut points; the segment
-    semantics stay identical.
+    """RFM segmentation: recency/frequency/monetary quartiles with full
+    (metric, custkey) tiebreaks, rolled up to segment counts.
+
+    The quartiles are EXACT ntile(4) — identical to a global-window
+    ``NTILE`` and to the oracle's — but computed by the sharded
+    distributed rank (operators/ranking.py): quantile cuts shard each
+    metric, ranks are per-shard windows plus a shard-count prefix sum.
+    No corpus-sized frame ever passes through one task; the customer
+    dimension at 100 TB TPC-H is ~1.5e9 rows, which a bare
+    ``Window.orderBy`` (three of them, as this query was first written)
+    would funnel through a single partition.
     """
+    from datagrowth_spark.operators.ranking import add_ntile
+
     orders = _t(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("freq"),
         _dec_sum("o_totalprice").alias("monetary"),
     )
-    tiles = per.select(
-        "o_custkey",
-        "monetary",
-        F.ntile(4).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))).alias("r_q"),
-        F.ntile(4).over(Window.orderBy(F.desc("freq"), F.asc("o_custkey"))).alias("f_q"),
-        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))).alias("m_q"),
-    )
+    tiles = add_ntile(per, 4, "last_order", ("o_custkey",), descending=True, out="r_q")
+    tiles = add_ntile(tiles, 4, "freq", ("o_custkey",), descending=True, out="f_q")
+    tiles = add_ntile(tiles, 4, "monetary", ("o_custkey",), descending=True, out="m_q")
+    tiles = tiles.select("o_custkey", "monetary", "r_q", "f_q", "m_q")
     return tiles.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double").alias("segment_value"),

@@ -51,7 +51,12 @@ def audit(name: str, df) -> dict:
         # full stage through ONE task (global windows/sorts/limits).
         # Only acceptable on provably tiny frames (per-shard totals,
         # final top-k). Anything corpus-sized here fails a 100× scale-up.
-        "single_part": len(re.findall(r"Exchange SinglePartition", formatted)),
+        # NOTE: explain("formatted") prints the node as "(5) Exchange"
+        # with "Arguments: SinglePartition, ..." on its own line, so the
+        # match must be on the bare keyword, not "Exchange SinglePartition"
+        # (which literally never appears in formatted output and silently
+        # reported zero for rounds 1-3).
+        "single_part": len(re.findall(r"\bSinglePartition\b", formatted)),
     }
 
 

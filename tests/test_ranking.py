@@ -1,0 +1,102 @@
+"""Distributed exact ranking (operators/ranking.py): agreement with the
+global-window reference on every shape that exercises the sharding —
+ties on the primary key, NULL keys, N < n, descending order — plus the
+plan assertion that no corpus-sized frame crosses a SinglePartition
+exchange."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datagrowth_spark.operators.ranking import add_global_rank, add_ntile
+
+
+def _frame(spark, n_rows, seed, with_nulls=False, tie_every=None):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_rows):
+        v = float(rng.randint(0, n_rows // (tie_every or 1) or 1))
+        if with_nulls and rng.random() < 0.15:
+            v = None
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "id long, v double")
+
+
+def _reference_ntile(df, n, descending):
+    order = [F.col("v").desc() if descending else F.col("v").asc(), F.col("id").asc()]
+    return df.withColumn("expect", F.ntile(n).over(Window.orderBy(*order)))
+
+
+@pytest.mark.parametrize("n_rows,n,descending,with_nulls", [
+    (200, 4, False, False),
+    (200, 4, True, False),
+    (173, 7, True, True),   # N % n != 0, nulls rank last under DESC
+    (173, 7, False, True),  # nulls rank first under ASC
+    (3, 4, False, False),   # N < n: first N tiles get one row each
+    (1, 4, True, False),
+])
+def test_ntile_matches_global_window(spark, n_rows, n, descending, with_nulls):
+    df = _frame(spark, n_rows, seed=n_rows * n, with_nulls=with_nulls)
+    got = add_ntile(df, n, "v", ("id",), descending=descending, out="tile",
+                    num_shards=8)
+    ref = _reference_ntile(df, n, descending)
+    merged = got.join(ref.select("id", "expect"), "id")
+    bad = merged.where(F.col("tile") != F.col("expect")).count()
+    assert bad == 0
+
+
+def test_ntile_ties_share_shard(spark):
+    # Heavy ties: every key value repeats ~25x. The tiebreak (id) is
+    # total, so ranks — and therefore tiles — must still be exact.
+    df = _frame(spark, 500, seed=11, tie_every=25)
+    got = add_ntile(df, 4, "v", ("id",), descending=True, out="tile", num_shards=16)
+    ref = _reference_ntile(df, 4, True)
+    merged = got.join(ref.select("id", "expect"), "id")
+    assert merged.where(F.col("tile") != F.col("expect")).count() == 0
+
+
+def test_global_rank_exact(spark):
+    df = _frame(spark, 300, seed=3, with_nulls=True)
+    got = add_global_rank(df, "v", ("id",), descending=False, out="r", num_shards=8)
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    ref = df.withColumn("expect", F.row_number().over(w))
+    merged = got.join(ref.select("id", "expect"), "id")
+    assert merged.where(F.col("r") != F.col("expect")).count() == 0
+
+
+def test_rank_preserves_rows_and_columns(spark):
+    df = _frame(spark, 50, seed=5, with_nulls=True)
+    out = add_ntile(df, 4, "v", ("id",), out="tile", num_shards=4)
+    assert out.count() == 50
+    assert set(out.columns) == {"id", "v", "tile"}
+
+
+def test_non_shardable_key_raises(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    with pytest.raises(TypeError):
+        add_global_rank(df, "s")
+
+
+def test_plan_has_no_corpus_single_partition(spark):
+    """Every SinglePartition exchange in the plan is a bounded frame:
+    the 1-row percentile_approx cuts aggregate and the per-shard count
+    prefix sum (num_shards rows). The data path itself stays
+    partitioned — the original global-window formulation had the FULL
+    frame behind a SinglePartition exchange feeding Sort+Window."""
+    df = _frame(spark, 1000, seed=7)
+    out = add_ntile(df, 4, "v", ("id",), descending=True, out="tile", num_shards=8)
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    hits = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    # Cuts sketch (may appear in both the rank and offsets branches)
+    # plus the shard-count prefix — all carry partial-agg rows only.
+    assert 1 <= len(hits) <= 3
+    for i in hits:
+        # Each one's input must be a partial aggregate (cuts sketch or
+        # shard counts) — never the Sort/Window data path.
+        below = "\n".join(lines[i + 1:i + 3])
+        assert "Aggregate" in below, below
+        assert "Sort" not in below and "Window" not in below, below
