@@ -106,8 +106,12 @@ def add_global_rank(
         F.row_number().over(Window.partitionBy("_dg_shard").orderBy(*order)))
     # Tiny frame: one row per shard. Its cumulative window is the only
     # single-partition stage — bounded by num_shards, never the corpus.
+    # Shard counts come from the RANKED frame (max row_number == count),
+    # not from a second aggregate over the input: both consumers then
+    # share the window's shuffle exchange instead of re-reading the
+    # whole upstream lineage.
     offsets = (
-        sharded.groupBy("_dg_shard").agg(F.count(F.lit(1)).alias("_dg_cnt"))
+        local.groupBy("_dg_shard").agg(F.max("_dg_rn").alias("_dg_cnt"))
         .select(
             "_dg_shard",
             F.coalesce(

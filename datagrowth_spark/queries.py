@@ -803,15 +803,23 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datagrowth_spark.operators.ranking import add_ntile
 
     orders = _t(spark, sf_dir, "orders")
+    # Materialize the customer-dim aggregate ONCE (house pattern, like
+    # the pagerank/cluster rounds): three independent rank passes each
+    # consume it twice (cuts sketch + shard window); chaining them on a
+    # lazy lineage instead compounds those consumers exponentially.
     per = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("freq"),
         _dec_sum("o_totalprice").alias("monetary"),
+    ).localCheckpoint(eager=True)
+    r = add_ntile(per, 4, "last_order", ("o_custkey",), descending=True, out="r_q")
+    f = add_ntile(per, 4, "freq", ("o_custkey",), descending=True, out="f_q")
+    m = add_ntile(per, 4, "monetary", ("o_custkey",), descending=True, out="m_q")
+    tiles = (
+        r.select("o_custkey", "monetary", "r_q")
+        .join(f.select("o_custkey", "f_q"), "o_custkey")
+        .join(m.select("o_custkey", "m_q"), "o_custkey")
     )
-    tiles = add_ntile(per, 4, "last_order", ("o_custkey",), descending=True, out="r_q")
-    tiles = add_ntile(tiles, 4, "freq", ("o_custkey",), descending=True, out="f_q")
-    tiles = add_ntile(tiles, 4, "monetary", ("o_custkey",), descending=True, out="m_q")
-    tiles = tiles.select("o_custkey", "monetary", "r_q", "f_q", "m_q")
     return tiles.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double").alias("segment_value"),

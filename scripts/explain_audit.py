@@ -38,7 +38,26 @@ def audit(name: str, df) -> dict:
     with redirect_stdout(buf):
         df.explain("formatted")
     formatted = buf.getvalue()
+
+    # Tree form preserves parent/child adjacency: classify each
+    # SinglePartition exchange by what feeds it. An (Object)HashAggregate
+    # child means the exchange carries one partial-agg row per upstream
+    # partition (scalar totals, percentile sketches, per-shard counts) —
+    # bounded at any corpus size. A Sort/Window/Project/Scan child means
+    # the DATA PATH crosses one task: the true global-sort scale-killer.
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    tree_lines = tree.splitlines()
+    single, single_bad = 0, 0
+    for i, line in enumerate(tree_lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        single += 1
+        child = tree_lines[i + 1] if i + 1 < len(tree_lines) else ""
+        if "Aggregate" not in child:
+            single_bad += 1
     return {
+        "single_part": single,
+        "single_part_bad": single_bad,
         "exchanges": len(re.findall(r"\(\d+\) Exchange\b", formatted)),
         "broadcasts": len(re.findall(r"\(\d+\) BroadcastExchange", formatted)),
         "scans": len(re.findall(r"\(\d+\) Scan parquet", formatted)),
@@ -47,16 +66,6 @@ def audit(name: str, df) -> dict:
             r"\(\d+\) (?:ArrowEvalPython|MapInPandas|BatchEvalPython|"
             r"FlatMapGroupsInPandas\w*)", formatted)),
         "codegen": len(set(re.findall(r"\[codegen id : (\d+)\]", formatted))),
-        # Scale-killer flag: every SinglePartition exchange funnels the
-        # full stage through ONE task (global windows/sorts/limits).
-        # Only acceptable on provably tiny frames (per-shard totals,
-        # final top-k). Anything corpus-sized here fails a 100× scale-up.
-        # NOTE: explain("formatted") prints the node as "(5) Exchange"
-        # with "Arguments: SinglePartition, ..." on its own line, so the
-        # match must be on the bare keyword, not "Exchange SinglePartition"
-        # (which literally never appears in formatted output and silently
-        # reported zero for rounds 1-3).
-        "single_part": len(re.findall(r"\bSinglePartition\b", formatted)),
     }
 
 
@@ -66,7 +75,7 @@ def main() -> None:
     spark = get_spark(app_name="explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
     header = (f"{'query':28s} {'xchg':>4} {'bcast':>5} {'scans':>5} "
-              f"{'pushed':>6} {'py':>3} {'wscg':>4} {'1part':>5}")
+              f"{'pushed':>6} {'py':>3} {'wscg':>4} {'1part':>5} {'1part!':>6}")
     print(header)
     print("-" * len(header))
     for name, fn in Q.queries().items():
@@ -76,7 +85,8 @@ def main() -> None:
             info = audit(name, fn(spark, sf_dir))
             print(f"{name:28s} {info['exchanges']:>4} {info['broadcasts']:>5} "
                   f"{info['scans']:>5} {info['pushed']:>6} {info['python']:>3} "
-                  f"{info['codegen']:>4} {info['single_part']:>5}")
+                  f"{info['codegen']:>4} {info['single_part']:>5} "
+                  f"{info['single_part_bad']:>6}")
         except Exception as exc:  # noqa: BLE001
             print(f"{name:28s} ERROR {type(exc).__name__}: {exc}")
     spark.stop()
