@@ -905,6 +905,25 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.quality_score("text").alias("quality"))
 
 
+def q_docs_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global rank of every document by quality score — the
+    sharded distributed rank (operators/ranking.py) instead of a
+    single-partition ``ROW_NUMBER`` window. (quality DESC, doc_id) is a
+    total order, so the rank is unique and the oracle's global window
+    reproduces it bit-for-bit; the plan never funnels the corpus
+    through one task (cuts sketch + per-shard windows + shard-count
+    prefix, each SinglePartition stage carrying partial-agg rows only).
+    """
+    from datagrowth_spark.operators.ranking import add_global_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", TX.quality_score("text").alias("quality"))
+    ranked = add_global_rank(scored, "quality", ("doc_id",), descending=True,
+                             out="rank")
+    return ranked.select("doc_id", "quality",
+                         F.col("rank").cast("long").alias("rank"))
+
+
 SQL_TEXT_QUALITY = f"""
 WITH t AS (
   SELECT doc_id, text,
@@ -926,6 +945,13 @@ SELECT doc_id,
        round(length_score * 0.3 + stop_score * 0.3 + punct_penalty * 0.2
              + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
 FROM m
+"""
+
+
+SQL_DOCS_QUALITY_RANK = f"""
+SELECT doc_id, quality,
+       ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id ASC) AS rank
+FROM ({SQL_TEXT_QUALITY}) q
 """
 
 
@@ -4428,6 +4454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_by_lang": q_docs_by_lang,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
+        "docs_quality_rank": q_docs_quality_rank,
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
@@ -4492,6 +4519,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_by_lang": SQL_DOCS_BY_LANG,
         "text_stats": SQL_TEXT_STATS,
         "text_quality": SQL_TEXT_QUALITY,
+        "docs_quality_rank": SQL_DOCS_QUALITY_RANK,
         "text_language_id": _langid_sql(),
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "text_repetition": SQL_TEXT_REPETITION,
