@@ -204,6 +204,19 @@ def main() -> None:
         pairs.groupBy("p.a", "p.b").count().orderBy(F.desc("count")).limit(25) \
             .write.format("noop").mode("overwrite").save()
 
+    @bench("global_ntile_sharded")
+    def _():
+        # exact global quartiles over n rows through the sharded rank
+        # (cuts sketch + per-shard windows + shard-count prefix) — the
+        # op that replaced the single-partition ntile window; also
+        # sanity-checks tile balance (no tile may hold more than
+        # ceil(n/4) rows).
+        from datagrowth_spark.operators.ranking import add_ntile
+        tiles = add_ntile(docs, 4, "score", ("doc_id",), descending=True,
+                          out="tile", num_shards=64)
+        sizes = tiles.groupBy("tile").count().collect()
+        assert len(sizes) == 4 and max(r["count"] for r in sizes) <= (n + 3) // 4
+
     @bench("version_diff_full_outer")
     def _():
         from datagrowth_spark.plans.dataset import version_diff
