@@ -53,6 +53,7 @@ HEADLINE = [
     "docs_by_lang",
     "text_stats",
     "text_quality",
+    "docs_quality_rank",
     "text_language_id",
     "text_fingerprint",
     "text_repetition",
