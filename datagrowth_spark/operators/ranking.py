@@ -81,8 +81,10 @@ def add_global_rank(
     probs = [i / num_shards for i in range(1, num_shards)]
     if probs:
         cuts_df = with_q.agg(
-            F.array_sort(F.array_distinct(F.percentile_approx(
-                "_dg_qkey", F.array(*[F.lit(p) for p in probs]), F.lit(10000)
+            F.array_sort(F.array_distinct(F.filter(
+                F.percentile_approx(
+                    "_dg_qkey", F.array(*[F.lit(p) for p in probs]), F.lit(10000)),
+                lambda c: ~F.isnan(c),
             ))).alias("_dg_cuts"))
         with_q = with_q.crossJoin(F.broadcast(cuts_df))
     else:
@@ -91,14 +93,25 @@ def add_global_rank(
 
     # Shard = number of cuts strictly below the shadow key — monotone in
     # the requested order, equal keys share a shard. NULL keys: FIRST
-    # for ascending (shard -1), LAST for descending (shard num_shards,
+    # for ascending (shard -1), LAST for descending (shard num_shards + 1,
     # past every cut-derived shard), matching Spark's default window
-    # null ordering.
-    null_shard = num_shards if descending else -1
-    shard = F.when(F.col("_dg_qkey").isNull(), F.lit(null_shard)).otherwise(
-        F.aggregate(F.coalesce(F.col("_dg_cuts"), F.array().cast("array<double>")),
-                    F.lit(0),
-                    lambda acc, c: acc + (F.col("_dg_qkey") > c).cast("int")))
+    # null ordering. NaN keys need their own branch: Spark orders NaN
+    # as the LARGEST value, but the descending trick (negated shadow
+    # key) cannot express that — -NaN is still NaN, which would land
+    # "largest first" rows in the LAST shard. So: descending → NaN
+    # shard -1 (before every real value, ahead of nothing else since
+    # NULLs go last), ascending → shard num_shards (after every real
+    # value, before the nothing that follows; NULLs went first).
+    null_shard = num_shards + 1 if descending else -1
+    nan_shard = -1 if descending else num_shards
+    from_cuts = F.aggregate(
+        F.coalesce(F.col("_dg_cuts"), F.array().cast("array<double>")),
+        F.lit(0),
+        lambda acc, c: acc + (F.col("_dg_qkey") > c).cast("int"))
+    shard = F.when(F.col("_dg_qkey").isNull(), F.lit(null_shard))
+    if key_type in ("float", "double"):
+        shard = shard.when(F.isnan(F.col("_dg_qkey")), F.lit(nan_shard))
+    shard = shard.otherwise(from_cuts)
     sharded = with_q.withColumn("_dg_shard", shard).drop("_dg_qkey", "_dg_cuts")
 
     local = sharded.withColumn(

@@ -57,6 +57,36 @@ def test_ntile_ties_share_shard(spark):
     assert merged.where(F.col("tile") != F.col("expect")).count() == 0
 
 
+@pytest.mark.parametrize("descending", [True, False])
+def test_ntile_nan_inf_null_keys(spark, descending):
+    """Spark orders NaN as the LARGEST value (after +Inf), with NULLs
+    first (asc) / last (desc). The negated-shadow-key descending trick
+    can't express NaN's position (-NaN is still NaN), so the operator
+    routes NaN through an explicit shard — this pins agreement with the
+    global window across NaN, ±Inf, and NULL all present at once."""
+    rng = random.Random(42)
+    rows = []
+    for i in range(120):
+        r = rng.random()
+        if r < 0.1:
+            v = float("nan")
+        elif r < 0.15:
+            v = float("inf")
+        elif r < 0.2:
+            v = float("-inf")
+        elif r < 0.3:
+            v = None
+        else:
+            v = float(rng.randint(0, 40))
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = add_ntile(df, 5, "v", ("id",), descending=descending, out="tile",
+                    num_shards=6)
+    ref = _reference_ntile(df, 5, descending).withColumnRenamed("expect", "e5")
+    merged = got.join(ref.select("id", "e5"), "id")
+    assert merged.where(F.col("tile") != F.col("e5")).count() == 0
+
+
 def test_global_rank_exact(spark):
     df = _frame(spark, 300, seed=3, with_nulls=True)
     got = add_global_rank(df, "v", ("id",), descending=False, out="r", num_shards=8)
