@@ -103,6 +103,23 @@ def test_rank_preserves_rows_and_columns(spark):
     assert set(out.columns) == {"id", "v", "tile"}
 
 
+@pytest.mark.parametrize("descending", [True, False])
+def test_ntile_temporal_key(spark, descending):
+    """Date keys go through the epoch shadow (the packing ADVICE-item
+    bug class: approxQuantile/percentile_approx reject temporal
+    columns) — quartiles must still match the global window."""
+    import datetime
+
+    rows = [(i, datetime.date(2024, 1, 1) + datetime.timedelta(days=i % 37))
+            for i in range(150)]
+    df = spark.createDataFrame(rows, "id long, v date")
+    got = add_ntile(df, 4, "v", ("id",), descending=descending, out="tile",
+                    num_shards=8)
+    ref = _reference_ntile(df, 4, descending)
+    merged = got.join(ref.select("id", "expect"), "id")
+    assert merged.where(F.col("tile") != F.col("expect")).count() == 0
+
+
 def test_non_shardable_key_raises(spark):
     df = spark.createDataFrame([(1, "a")], "id long, s string")
     with pytest.raises(TypeError):
