@@ -54,6 +54,7 @@ HEADLINE = [
     "text_stats",
     "text_quality",
     "docs_quality_rank",
+    "docs_length_percentile",
     "text_language_id",
     "text_fingerprint",
     "text_repetition",

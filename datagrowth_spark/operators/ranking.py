@@ -148,6 +148,32 @@ def add_global_rank(
     return ranked.drop("_dg_shard", "_dg_rn", "_dg_off", "_dg_total")
 
 
+def add_percent_rank(
+    df: DataFrame,
+    key: str,
+    tiebreaks: tuple[str, ...] = (),
+    descending: bool = False,
+    out: str = "percent_rank",
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Exact ``PERCENT_RANK() OVER (ORDER BY key [DESC], tiebreaks...)``
+    without a single-partition window: ``(rank - 1) / (N - 1)``, 0.0
+    for a single-row frame (the SQL contract).
+
+    Built on the row_number-based sharded rank, so it equals SQL
+    PERCENT_RANK exactly when the ordering is total (the operator's
+    standing contract); under ties SQL's rank()-based version would
+    assign tied rows equal values, this one breaks them arbitrarily.
+    """
+    ranked = add_global_rank(
+        df, key, tiebreaks, descending=descending,
+        out="_dg_rank", total_out="_dg_n", num_shards=num_shards)
+    pr = F.when(F.col("_dg_n") > 1,
+                (F.col("_dg_rank") - 1).cast("double") / (F.col("_dg_n") - 1)
+                ).otherwise(F.lit(0.0))
+    return ranked.withColumn(out, pr).drop("_dg_rank", "_dg_n")
+
+
 def add_ntile(
     df: DataFrame,
     n: int,

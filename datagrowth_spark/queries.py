@@ -955,6 +955,25 @@ FROM ({SQL_TEXT_QUALITY}) q
 """
 
 
+def q_docs_length_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percent-rank of every document by length — the sharded
+    distributed rank's PERCENT_RANK form (operators/ranking.py). With
+    the (n_chars, doc_id) total order this equals SQL PERCENT_RANK
+    bit-for-bit: both engines compute (rank-1)/(N-1) on integer ranks,
+    an IEEE-exact division."""
+    from datagrowth_spark.operators.ranking import add_percent_rank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return add_percent_rank(docs, "n_chars", ("doc_id",), out="len_pr")
+
+
+SQL_DOCS_LENGTH_PERCENTILE = """
+SELECT doc_id, n_chars,
+       PERCENT_RANK() OVER (ORDER BY n_chars ASC, doc_id ASC) AS len_pr
+FROM documents
+"""
+
+
 def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.language_id("text").alias("pred_lang"))
@@ -4455,6 +4474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "docs_quality_rank": q_docs_quality_rank,
+        "docs_length_percentile": q_docs_length_percentile,
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
@@ -4520,6 +4540,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": SQL_TEXT_STATS,
         "text_quality": SQL_TEXT_QUALITY,
         "docs_quality_rank": SQL_DOCS_QUALITY_RANK,
+        "docs_length_percentile": SQL_DOCS_LENGTH_PERCENTILE,
         "text_language_id": _langid_sql(),
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "text_repetition": SQL_TEXT_REPETITION,

@@ -10,7 +10,11 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from datagrowth_spark.operators.ranking import add_global_rank, add_ntile
+from datagrowth_spark.operators.ranking import (
+    add_global_rank,
+    add_ntile,
+    add_percent_rank,
+)
 
 
 def _frame(spark, n_rows, seed, with_nulls=False, tie_every=None):
@@ -94,6 +98,18 @@ def test_global_rank_exact(spark):
     ref = df.withColumn("expect", F.row_number().over(w))
     merged = got.join(ref.select("id", "expect"), "id")
     assert merged.where(F.col("r") != F.col("expect")).count() == 0
+
+
+@pytest.mark.parametrize("n_rows", [1, 2, 150])
+def test_percent_rank_matches_global_window(spark, n_rows):
+    df = _frame(spark, n_rows, seed=n_rows + 1, with_nulls=(n_rows > 2))
+    got = add_percent_rank(df, "v", ("id",), out="pr", num_shards=8)
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    ref = df.withColumn("expect", F.percent_rank().over(w))
+    merged = got.join(ref.select("id", "expect"), "id")
+    # Total order (id tiebreak) → row_number == rank → exact equality,
+    # including the single-row 0.0 contract.
+    assert merged.where(F.col("pr") != F.col("expect")).count() == 0
 
 
 def test_rank_preserves_rows_and_columns(spark):
