@@ -4,24 +4,53 @@ A bare ``Window.orderBy(...)`` funnels the whole frame through ONE task
 (WindowExec warns, the plan grows an ``Exchange SinglePartition``) — the
 classic 100 TB scale-killer. Exact global ranks don't need a global
 sort: shard the frame on quantile-derived cuts of the sort key (one
-bounded ``approxQuantile`` pass), rank WITHIN each shard, and shift each
-shard's local ranks by the row count of the shards before it. The only
-single-partition work is the per-shard-count prefix sum — one row per
-shard, never corpus-sized. Same two-pass shape as the packing prefix
-sum (operators/packing.py:54); shard boundaries cancel out of the final
-ranks, so quantile approximation error affects only balance, never
-values.
+bounded ``percentile_approx`` pass), rank WITHIN each shard, and shift
+each shard's local ranks by the row count of the shards before it. The
+only single-partition work is the per-shard-count prefix sum — one row
+per shard, never corpus-sized. Same two-pass shape as the packing
+prefix sum (operators/packing.py:54); shard boundaries cancel out of
+the final ranks, so quantile approximation error affects only balance,
+never values.
 
 Shard ids are derived from the DATA (cut comparisons), not from
 ``spark_partition_id()`` — a partition-id scheme would break the moment
 AQE coalesces the two plan branches differently; data-derived shards
 are invariant to physical partitioning.
 
-Ties on the primary key land in the SAME shard (cut comparison can't
-split equal values), so the within-shard window sees every tie group
-whole and ``tiebreaks`` fully determine the rank. With a non-total
-ordering, tied rows get an arbitrary-but-valid rank permutation —
-exactly the contract of a single global window.
+Ties on the primary key compare equal to every cut the same way, so a
+single-level scheme necessarily lands a whole tie group in ONE shard —
+and a low-cardinality key (5 distinct quality buckets over 10^9 rows)
+would collapse the sharding back into the single-task window this
+operator exists to kill. The fix is TIE-GROUP SUB-SHARDING, and the
+detector is free: ``percentile_approx`` returns observed data values,
+so a key owning more than ``1/num_shards`` of the mass appears MULTIPLE
+times in the raw (pre-distinct) cut array, and its multiplicity ``m``
+is a direct estimate of how many shards its tie group deserves. Heavy
+keys are then split ``m + 1`` ways:
+
+- **Tiebreaks given, first tiebreak quantile-shardable** (numeric /
+  temporal): a second lazy aggregate computes per-heavy-key percentile
+  cuts of the FIRST TIEBREAK over just that tie group; sub-shard =
+  position among those cuts. Sub-shards are ordered consistently with
+  the tiebreak, so ranks stay EXACT (equal ``(key, tb1)`` pairs still
+  share a sub-shard — deeper tiebreaks resolve inside one window, the
+  same contract as the primary key). When no key is heavy, AQE prunes
+  the empty broadcast join and the refinement costs nothing at runtime.
+- **No tiebreaks**: rank within a tie group is an arbitrary-but-valid
+  permutation (the global-window contract for a non-total ordering), so
+  heavy groups are split by a deterministic ``xxhash64`` of the whole
+  row — any split is valid. Fully identical rows hash together; a
+  corpus that is one row duplicated a billion times stays one task
+  (documented limit; give a tiebreak to avoid it).
+- **First tiebreak not shardable** (e.g. string): no sub-sharding —
+  the tie group stays whole so the tiebreak ordering stays exact.
+  Callers with low-cardinality keys and string tiebreaks should order
+  by a shardable tiebreak first. Documented contract, not silent:
+  balance can be asserted with :func:`tie_shard_counts`.
+
+Remaining un-split cases: NULL and NaN keys route through their own
+explicit shards (percentile sketches can't see them) — a frame that is
+mostly NULL-keyed keeps a fat shard.
 
 The reference has no ranking operators (Django ORM querysets); this
 serves the repo's own segmentation queries (RFM quartiles) at scale.
@@ -35,10 +64,429 @@ from pyspark.sql.window import Window
 
 from datagrowth_spark.operators.packing import _SHARDABLE_KEY_TYPES, _quantile_key
 
+_ACCURACY = 10000
+# Working-column namespace; asserted absent from the input so a caller
+# column can never be silently overwritten and dropped (ADVICE r4).
+_WORK_COLS = ("_dg_qkey", "_dg_qtb", "_dg_shard", "_dg_sub", "_dg_rn",
+              "_dg_off", "_dg_total", "_dg_rawcuts", "_dg_cuts",
+              "_dg_hv", "_dg_hm", "_dg_subcuts", "_dg_p")
+
+
+def _default_num_shards(spark) -> int:
+    # The conf can be non-numeric on some platforms ("auto" under
+    # Databricks AQE) — fall back rather than raise (ADVICE r4).
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (ValueError, TypeError):
+        return 200
+
+
+def _assert_work_cols_free(df: DataFrame) -> None:
+    clash = [c for c in _WORK_COLS if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"add_global_rank uses reserved working columns {clash}; "
+            "rename them in the input frame")
+
 
 def _sort_exprs(key: str, tiebreaks: tuple, descending: bool) -> list[Column]:
     head = F.col(key).desc() if descending else F.col(key).asc()
     return [head, *[F.col(t).asc() for t in tiebreaks]]
+
+
+def _grid_probs(num_shards: int) -> list[float]:
+    return [i / num_shards for i in range(1, num_shards)]
+
+
+def _count_below(cuts: Column, value: Column) -> Column:
+    """Number of cut values strictly below ``value`` — the shard index.
+
+    Monotone in the ordering (Spark compares NaN as the largest value,
+    so NaN rows count above every finite cut when the caller hasn't
+    routed them elsewhere)."""
+    return F.aggregate(
+        F.coalesce(cuts, F.array().cast("array<double>")),
+        F.lit(0),
+        lambda acc, c: acc + (value > c).cast("int"))
+
+
+def raw_cut_sketch(df: DataFrame, key: str, descending: bool = False,
+                   num_shards: int | None = None,
+                   out: str = "_dg_rawcuts") -> DataFrame:
+    """One-row frame with the RAW percentile array of the (sign-adjusted)
+    key shadow — ``num_shards - 1`` values, duplicates preserved.
+
+    Chained rank passes over the same frame (e.g. the three RFM
+    metrics) should compute all their sketches in ONE aggregate — build
+    each with this function and join the 1-row frames (or agg multiple
+    expressions) — then hand the shared frame to :func:`add_global_rank`
+    via ``raw_cuts=(frame, column)``. One corpus pass instead of one
+    per metric.
+    """
+    spark = df.sparkSession
+    if num_shards is None:
+        num_shards = _default_num_shards(spark)
+    key_type = df.schema[key].dataType.simpleString()
+    if key_type not in _SHARDABLE_KEY_TYPES:
+        raise TypeError(
+            f"rank sharding needs a numeric/temporal key, got {key}:{key_type}")
+    return df.agg(raw_cut_expr(key, key_type, descending, num_shards).alias(out))
+
+
+def raw_cut_expr(key: str, key_type: str, descending: bool,
+                 num_shards: int) -> Column:
+    """The aggregate expression behind :func:`raw_cut_sketch`, for
+    callers batching several sketches into one ``agg(...)``."""
+    qkey = _quantile_key(key, key_type)
+    if descending:
+        qkey = -qkey
+    probs = _grid_probs(num_shards)
+    if not probs:
+        return F.array().cast("array<double>")
+    return F.percentile_approx(
+        qkey, F.array(*[F.lit(p) for p in probs]), F.lit(_ACCURACY))
+
+
+def _count_below_lit(cut_values: list[float], value: Column) -> Column:
+    """Literal-cuts variant of :func:`_count_below` — no 1-row frame,
+    no broadcast join, just an in-row fold over a constant array."""
+    if not cut_values:
+        return F.lit(0)
+    return F.aggregate(
+        F.array(*[F.lit(float(c)) for c in cut_values]),
+        F.lit(0),
+        lambda acc, c: acc + (value > c).cast("int"))
+
+
+def _eager_shard_exprs(
+    df: DataFrame,
+    key: str,
+    tiebreaks: tuple[str, ...],
+    descending: bool,
+    num_shards: int,
+    raw_cuts: list[float] | None = None,
+    stats_df: DataFrame | None = None,
+) -> tuple[Column, Column, Column]:
+    """Eager core: collect the bounded percentile sketch driver-side
+    (``num_shards - 1`` doubles — the same eager sampling Spark's own
+    RangePartitioner does) and build the ``(_dg_qkey, _dg_shard,
+    _dg_sub)`` assignments as LITERAL-only column expressions. The
+    returned expressions reference only the input's column names (plus
+    ``_dg_qkey``), so callers can apply them to any row-equivalent
+    frame — that is what lets the offsets collect run against a cached
+    stats frame. Costs one action (two when a heavy key needs tiebreak
+    refinement) at plan-construction time — callers chaining several
+    passes over one frame should persist it and/or share a collected
+    sketch via ``raw_cuts``."""
+    import math
+
+    key_type = df.schema[key].dataType.simpleString()
+    if key_type not in _SHARDABLE_KEY_TYPES:
+        raise TypeError(
+            f"add_global_rank needs a numeric/temporal key, got {key}:{key_type}")
+
+    qkey = _quantile_key(key, key_type)
+    if descending:
+        qkey = -qkey
+    # Stats actions may run against a cheaper row-equivalent frame
+    # (e.g. the persisted base of a chain of rank passes — appending
+    # rank columns never changes the rows the sketches see).
+    stats_q = (stats_df if stats_df is not None else df).withColumn(
+        "_dg_qkey", qkey)
+
+    if raw_cuts is None:
+        probs = _grid_probs(num_shards)
+        if probs:
+            row = stats_q.agg(F.percentile_approx(
+                "_dg_qkey", F.array(*[F.lit(p) for p in probs]),
+                F.lit(_ACCURACY)).alias("c")).first()
+            raw_cuts = list(row["c"] or [])
+        else:
+            raw_cuts = []
+    raw = [c for c in raw_cuts if c is not None and not math.isnan(c)]
+    cuts = sorted(set(raw))
+    # Heavy keys and how many sub-shards each deserves (see module
+    # docstring): multiplicity m among the raw cuts -> m + 1 shards.
+    heavy = {v: raw.count(v) + 1 for v in cuts if raw.count(v) >= 2}
+
+    null_shard = num_shards + 1 if descending else -1
+    nan_shard = -1 if descending else num_shards
+    shard = F.when(F.col("_dg_qkey").isNull(), F.lit(null_shard))
+    if key_type in ("float", "double"):
+        shard = shard.when(F.isnan(F.col("_dg_qkey")), F.lit(nan_shard))
+    shard = shard.otherwise(_count_below_lit(cuts, F.col("_dg_qkey")))
+
+    tb_shardable = False
+    if tiebreaks:
+        tb_type = df.schema[tiebreaks[0]].dataType.simpleString()
+        tb_shardable = tb_type in _SHARDABLE_KEY_TYPES
+
+    if not heavy:
+        return qkey, shard, F.lit(0)
+
+    if tiebreaks and tb_shardable:
+        # Second bounded action: tiebreak percentiles inside each heavy
+        # tie group (<= num_shards rows x grid doubles), sliced down to
+        # m-1 cuts per key driver-side.
+        qtb = _quantile_key(tiebreaks[0], tb_type)
+        grid = _grid_probs(max(num_shards, 2))
+        g = len(grid) + 1
+        rows = (stats_q.where(F.col("_dg_qkey").isin(*[float(v) for v in heavy]))
+                .withColumn("_dg_qtb", qtb)
+                .groupBy("_dg_qkey")
+                .agg(F.percentile_approx(
+                    "_dg_qtb", F.array(*[F.lit(p) for p in grid]),
+                    F.lit(_ACCURACY)).alias("p"))
+                .collect())
+        sub = F.lit(0)
+        for r in rows:
+            v, p = r["_dg_qkey"], list(r["p"] or [])
+            m = heavy.get(v)
+            if not m or not p:
+                continue
+            picks = sorted({p[min(len(p) - 1, max(0, round(i * g / m) - 1))]
+                            for i in range(1, m)})
+            picks = [c for c in picks if c is not None and not math.isnan(c)]
+            tb_null_first = F.when(qtb.isNull(), F.lit(0)).otherwise(
+                _count_below_lit(picks, qtb))
+            sub = F.when(F.col("_dg_qkey") == F.lit(float(v)), tb_null_first
+                         ).otherwise(sub)
+        return qkey, shard, sub
+
+    if not tiebreaks:
+        row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
+        sub = F.lit(0)
+        for v, m in heavy.items():
+            sub = F.when(F.col("_dg_qkey") == F.lit(float(v)),
+                         F.pmod(row_hash, F.lit(m)).cast("int")).otherwise(sub)
+        return qkey, shard, sub
+
+    # Non-shardable first tiebreak: keep tie groups whole so the
+    # tiebreak ordering stays exact (documented contract).
+    return qkey, shard, F.lit(0)
+
+
+def _apply_shard_exprs(df: DataFrame, exprs) -> DataFrame:
+    qkey, shard, sub = exprs
+    return (df.withColumn("_dg_qkey", qkey)
+            .withColumn("_dg_shard", shard)
+            .withColumn("_dg_sub", sub))
+
+
+def _eager_sharded(
+    df: DataFrame,
+    key: str,
+    tiebreaks: tuple[str, ...],
+    descending: bool,
+    num_shards: int,
+    raw_cuts: list[float] | None = None,
+    stats_df: DataFrame | None = None,
+) -> DataFrame:
+    return _apply_shard_exprs(df, _eager_shard_exprs(
+        df, key, tiebreaks, descending, num_shards,
+        raw_cuts=raw_cuts, stats_df=stats_df))
+
+
+def _sharded(
+    df: DataFrame,
+    key: str,
+    tiebreaks: tuple[str, ...],
+    descending: bool,
+    num_shards: int,
+    raw_cuts: tuple[DataFrame, str] | None = None,
+) -> DataFrame:
+    """Attach ``_dg_shard`` / ``_dg_sub`` (and keep ``_dg_qkey``) so that
+    (a) the lexicographic (shard, sub) order is consistent with the
+    requested global order across groups, and (b) within one (shard,
+    sub) group a window ordered by the full ORDER BY yields correct
+    local ranks. Exposed for the balance tests."""
+    key_type = df.schema[key].dataType.simpleString()
+    if key_type not in _SHARDABLE_KEY_TYPES:
+        raise TypeError(
+            f"add_global_rank needs a numeric/temporal key, got {key}:{key_type}")
+
+    # Signed shadow: ascending in qkey == the requested global order.
+    qkey = _quantile_key(key, key_type)
+    if descending:
+        qkey = -qkey
+    with_q = df.withColumn("_dg_qkey", qkey)
+
+    # Sub-shard strategy for heavy tie groups (see module docstring).
+    tb_shardable = False
+    if tiebreaks:
+        tb_type = df.schema[tiebreaks[0]].dataType.simpleString()
+        tb_shardable = tb_type in _SHARDABLE_KEY_TYPES
+        if tb_shardable:
+            with_q = with_q.withColumn(
+                "_dg_qtb", _quantile_key(tiebreaks[0], tb_type))
+    hash_split = not tiebreaks
+
+    # Shard cuts are a LAZY 1-row percentile_approx aggregate broadcast
+    # back onto the frame — not a driver-side approxQuantile action.
+    # Lazy matters: chained rank passes stay ONE Catalyst plan, so
+    # upstream exchanges are computed once and reused instead of being
+    # re-executed per driver action. RAW (pre-distinct) cuts are kept:
+    # a value's multiplicity among them identifies heavy tie groups.
+    if raw_cuts is not None:
+        cuts_frame, cuts_col = raw_cuts
+        sketch = cuts_frame.select(F.col(cuts_col).alias("_dg_rawcuts"))
+    elif _grid_probs(num_shards):
+        sketch = with_q.agg(
+            F.percentile_approx(
+                "_dg_qkey",
+                F.array(*[F.lit(p) for p in _grid_probs(num_shards)]),
+                F.lit(_ACCURACY)).alias("_dg_rawcuts"))
+    else:
+        sketch = df.sparkSession.range(1).select(
+            F.array().cast("array<double>").alias("_dg_rawcuts"))
+
+    raw = F.coalesce(F.col("_dg_rawcuts"), F.array().cast("array<double>"))
+    finite = F.filter(raw, lambda c: ~F.isnan(c))
+    # Heavy keys: distinct cut values appearing >= 2 times in the raw
+    # array. multiplicity m -> m + 1 sub-shards (mass ~ m/G). O(G^2)
+    # comparisons over <= num_shards scalars, once, in-plan.
+    cuts_df = sketch.select(
+        F.array_sort(F.array_distinct(finite)).alias("_dg_cuts"),
+        F.transform(
+            F.filter(
+                F.array_distinct(finite),
+                lambda v: F.size(F.filter(raw, lambda c: c == v)) >= 2),
+            lambda v: F.struct(
+                v.alias("_dg_hv"),
+                (F.size(F.filter(raw, lambda c: c == v)) + 1).alias("_dg_hm")),
+        ).alias("_dg_heavy"),
+    )
+
+    with_cuts = with_q.crossJoin(
+        F.broadcast(cuts_df.select("_dg_cuts")))
+
+    # Base shard = number of cuts strictly below the shadow key —
+    # monotone in the requested order, equal keys share a shard. NULL
+    # keys: FIRST for ascending (shard -1), LAST for descending (shard
+    # num_shards + 1, past every cut-derived shard), matching Spark's
+    # default window null ordering. NaN keys need their own branch:
+    # Spark orders NaN as the LARGEST value, but the descending trick
+    # (negated shadow key) cannot express that — -NaN is still NaN,
+    # which would land "largest first" rows in the LAST shard. So:
+    # descending → NaN shard -1 (before every real value, ahead of
+    # nothing else since NULLs go last), ascending → shard num_shards
+    # (after every real value; NULLs went first).
+    null_shard = num_shards + 1 if descending else -1
+    nan_shard = -1 if descending else num_shards
+    shard = F.when(F.col("_dg_qkey").isNull(), F.lit(null_shard))
+    if key_type in ("float", "double"):
+        shard = shard.when(F.isnan(F.col("_dg_qkey")), F.lit(nan_shard))
+    shard = shard.otherwise(_count_below(F.col("_dg_cuts"), F.col("_dg_qkey")))
+    based = with_cuts.withColumn("_dg_shard", shard).drop("_dg_cuts")
+
+    heavy_df = cuts_df.select(
+        F.explode("_dg_heavy").alias("_dg_h")).select("_dg_h.*")
+
+    if tb_shardable:
+        # Per-heavy-key tiebreak cuts: percentile of the tb shadow over
+        # just that tie group, on a fixed grid, sliced down to m cuts.
+        # Empty heavy set -> AQE collapses the join to an empty
+        # relation and skips this corpus scan entirely.
+        grid = _grid_probs(max(num_shards, 2))
+        g = len(grid) + 1
+        tb_cuts = (
+            based.join(F.broadcast(heavy_df),
+                       based["_dg_qkey"] == heavy_df["_dg_hv"], "inner")
+            .groupBy("_dg_hv", "_dg_hm")
+            .agg(F.percentile_approx(
+                "_dg_qtb", F.array(*[F.lit(p) for p in grid]),
+                F.lit(_ACCURACY)).alias("_dg_p"))
+            .select(
+                "_dg_hv",
+                F.array_sort(F.array_distinct(F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("_dg_hm") - 1),
+                        lambda i: F.element_at(
+                            F.col("_dg_p"),
+                            F.round(i * g / F.col("_dg_hm")).cast("int")),
+                    ),
+                    lambda c: c.isNotNull() & ~F.isnan(c),
+                ))).alias("_dg_subcuts"))
+        )
+        joined = based.join(F.broadcast(tb_cuts),
+                            based["_dg_qkey"] == tb_cuts["_dg_hv"], "left")
+        sub = (
+            F.when(F.col("_dg_subcuts").isNull(), F.lit(0))
+            .when(F.col("_dg_qtb").isNull(), F.lit(0))  # asc NULLS FIRST
+            .otherwise(_count_below(F.col("_dg_subcuts"), F.col("_dg_qtb")))
+        )
+        out = joined.withColumn("_dg_sub", sub).drop(
+            "_dg_hv", "_dg_subcuts", "_dg_qtb")
+    elif hash_split:
+        # Arbitrary-but-valid tie permutation: deterministic full-row
+        # hash spreads the group; sub ordering is irrelevant because
+        # every row in subs >= 1 of a base shard is a tie of the same
+        # heavy key (non-heavy neighbours all sit in sub 0).
+        row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
+        joined = based.join(F.broadcast(heavy_df),
+                            based["_dg_qkey"] == heavy_df["_dg_hv"], "left")
+        sub = F.when(F.col("_dg_hm").isNull(), F.lit(0)).otherwise(
+            F.pmod(row_hash, F.col("_dg_hm")).cast("int"))
+        out = joined.withColumn("_dg_sub", sub).drop("_dg_hv", "_dg_hm")
+    else:
+        # Non-shardable first tiebreak: keep tie groups whole so the
+        # tiebreak ordering stays exact (documented contract).
+        out = based.withColumn("_dg_sub", F.lit(0))
+    if "_dg_hm" in out.columns:
+        out = out.drop("_dg_hm")
+    return out
+
+
+def _dispatch_sharded(
+    df: DataFrame,
+    key: str,
+    tiebreaks: tuple[str, ...],
+    descending: bool,
+    num_shards: int,
+    raw_cuts,
+    mode: str,
+    stats_df: DataFrame | None = None,
+) -> DataFrame:
+    if mode == "eager":
+        lst = None
+        if raw_cuts is not None:
+            if (isinstance(raw_cuts, tuple) and len(raw_cuts) == 2
+                    and isinstance(raw_cuts[1], str)):
+                row = raw_cuts[0].select(raw_cuts[1]).first()
+                lst = list(row[0] or [])
+            else:
+                lst = [float(c) for c in raw_cuts]
+        return _eager_sharded(df, key, tiebreaks, descending, num_shards,
+                              raw_cuts=lst, stats_df=stats_df)
+    if mode != "lazy":
+        raise ValueError(f"mode must be 'eager' or 'lazy', got {mode!r}")
+    if raw_cuts is not None and not (
+            isinstance(raw_cuts, tuple) and len(raw_cuts) == 2
+            and isinstance(raw_cuts[1], str)):
+        raise TypeError("lazy mode takes raw_cuts as a (frame, column) pair")
+    return _sharded(df, key, tiebreaks, descending, num_shards,
+                    raw_cuts=raw_cuts)
+
+
+def tie_shard_counts(
+    df: DataFrame,
+    key: str,
+    tiebreaks: tuple[str, ...] = (),
+    descending: bool = False,
+    num_shards: int | None = None,
+    mode: str = "eager",
+) -> DataFrame:
+    """Diagnostic: rows per (shard, sub-shard) under the same sharding
+    :func:`add_global_rank` would use — assert balance in tests or log
+    it before committing a plan to a low-cardinality key."""
+    if num_shards is None:
+        num_shards = _default_num_shards(df.sparkSession)
+    _assert_work_cols_free(df)
+    return (_dispatch_sharded(df, key, tiebreaks, descending, num_shards,
+                              None, mode)
+            .groupBy("_dg_shard", "_dg_sub").count()
+            .select(F.col("_dg_shard").alias("shard"),
+                    F.col("_dg_sub").alias("sub"), "count"))
 
 
 def add_global_rank(
@@ -49,6 +497,9 @@ def add_global_rank(
     out: str = "rank",
     total_out: str | None = None,
     num_shards: int | None = None,
+    raw_cuts=None,
+    mode: str = "eager",
+    stats_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact 1-based global rank of every row under
     ``ORDER BY key [DESC], tiebreaks...`` — sharded, no global sort.
@@ -57,95 +508,107 @@ def add_global_rank(
     rank where Spark's default null ordering puts them (FIRST for
     ascending, LAST for descending). ``total_out`` optionally also
     attaches the frame's total row count (needed by :func:`add_ntile`).
+    ``raw_cuts`` substitutes a precomputed sketch so chained passes
+    share one corpus pass: a plain list of (sign-adjusted shadow)
+    doubles, or a ``(frame, column)`` pair from :func:`raw_cut_sketch`.
+
+    ``mode="eager"`` (default) collects the bounded sketch driver-side
+    at plan-construction time and embeds the cuts as literals — the
+    smallest plan, at the cost of 1-2 construction-time jobs (persist
+    the input when chaining passes). ``mode="lazy"`` keeps everything
+    in ONE Catalyst plan (no construction-time jobs; plan-only callers
+    never execute) at the cost of extra sketch/broadcast branches.
+
+    Heavy tie groups (a key owning more than ``1/num_shards`` of the
+    frame) are sub-sharded — see the module docstring for the exact
+    contract per tiebreak shape.
     """
     spark = df.sparkSession
     if num_shards is None:
-        num_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    key_type = df.schema[key].dataType.simpleString()
-    if key_type not in _SHARDABLE_KEY_TYPES:
-        raise TypeError(
-            f"add_global_rank needs a numeric/temporal key, got {key}:{key_type}")
+        num_shards = _default_num_shards(spark)
+    _assert_work_cols_free(df)
 
     order = _sort_exprs(key, tiebreaks, descending)
-    # Signed shadow: ascending in qkey == the requested global order.
-    qkey = _quantile_key(key, key_type)
-    if descending:
-        qkey = -qkey
-    with_q = df.withColumn("_dg_qkey", qkey)
-
-    # Shard cuts are a LAZY 1-row percentile_approx aggregate broadcast
-    # back onto the frame — not a driver-side approxQuantile action.
-    # Lazy matters: chained rank passes (e.g. three RFM metrics) stay
-    # ONE Catalyst plan, so upstream exchanges are computed once and
-    # reused instead of being re-executed per driver action.
-    probs = [i / num_shards for i in range(1, num_shards)]
-    if probs:
-        cuts_df = with_q.agg(
-            F.array_sort(F.array_distinct(F.filter(
-                F.percentile_approx(
-                    "_dg_qkey", F.array(*[F.lit(p) for p in probs]), F.lit(10000)),
-                lambda c: ~F.isnan(c),
-            ))).alias("_dg_cuts"))
-        with_q = with_q.crossJoin(F.broadcast(cuts_df))
+    if mode == "eager":
+        lst = None
+        if raw_cuts is not None:
+            if (isinstance(raw_cuts, tuple) and len(raw_cuts) == 2
+                    and isinstance(raw_cuts[1], str)):
+                row = raw_cuts[0].select(raw_cuts[1]).first()
+                lst = list(row[0] or [])
+            else:
+                lst = [float(c) for c in raw_cuts]
+        exprs = _eager_shard_exprs(df, key, tiebreaks, descending, num_shards,
+                                   raw_cuts=lst, stats_df=stats_df)
+        sharded = _apply_shard_exprs(df, exprs).drop("_dg_qkey")
+        stats = stats_df if stats_df is not None else df
+        if stats.is_cached:
+            # The stats frame is cached: collect the bounded
+            # per-(shard, sub) counts too and embed the rank offsets as
+            # a LITERAL map — no offsets aggregate, no SinglePartition
+            # prefix window, no broadcast join. The plan collapses to
+            # scan -> shard projection -> one window shuffle -> project.
+            crows = (_apply_shard_exprs(stats, exprs)
+                     .groupBy("_dg_shard", "_dg_sub").count().collect())
+            crows.sort(key=lambda r: (r["_dg_shard"], r["_dg_sub"]))
+            total = sum(r["count"] for r in crows)
+            kidx = num_shards + 2  # shard in [-1, n+1], sub in [0, n]
+            kv, acc = [], 0
+            for r in crows:
+                kv += [F.lit(r["_dg_shard"] * kidx + r["_dg_sub"]),
+                       F.lit(acc).cast("long")]
+                acc += r["count"]
+            off = (F.create_map(*kv)[F.col("_dg_shard") * kidx
+                                     + F.col("_dg_sub")]
+                   if kv else F.lit(0).cast("long"))
+            ranked = sharded.withColumn(
+                "_dg_rn",
+                F.row_number().over(
+                    Window.partitionBy("_dg_shard", "_dg_sub").orderBy(*order))
+            ).withColumn(out, off + F.col("_dg_rn"))
+            if total_out:
+                ranked = ranked.withColumn(
+                    total_out, F.lit(total).cast("long"))
+            return ranked.drop("_dg_shard", "_dg_sub", "_dg_rn")
     else:
-        with_q = with_q.withColumn(
-            "_dg_cuts", F.array().cast("array<double>"))
-
-    # Shard = number of cuts strictly below the shadow key — monotone in
-    # the requested order, equal keys share a shard. NULL keys: FIRST
-    # for ascending (shard -1), LAST for descending (shard num_shards + 1,
-    # past every cut-derived shard), matching Spark's default window
-    # null ordering. NaN keys need their own branch: Spark orders NaN
-    # as the LARGEST value, but the descending trick (negated shadow
-    # key) cannot express that — -NaN is still NaN, which would land
-    # "largest first" rows in the LAST shard. So: descending → NaN
-    # shard -1 (before every real value, ahead of nothing else since
-    # NULLs go last), ascending → shard num_shards (after every real
-    # value, before the nothing that follows; NULLs went first).
-    null_shard = num_shards + 1 if descending else -1
-    nan_shard = -1 if descending else num_shards
-    from_cuts = F.aggregate(
-        F.coalesce(F.col("_dg_cuts"), F.array().cast("array<double>")),
-        F.lit(0),
-        lambda acc, c: acc + (F.col("_dg_qkey") > c).cast("int"))
-    shard = F.when(F.col("_dg_qkey").isNull(), F.lit(null_shard))
-    if key_type in ("float", "double"):
-        shard = shard.when(F.isnan(F.col("_dg_qkey")), F.lit(nan_shard))
-    shard = shard.otherwise(from_cuts)
-    sharded = with_q.withColumn("_dg_shard", shard).drop("_dg_qkey", "_dg_cuts")
+        sharded = _dispatch_sharded(df, key, tiebreaks, descending, num_shards,
+                                    raw_cuts, mode,
+                                    stats_df=stats_df).drop("_dg_qkey")
 
     local = sharded.withColumn(
         "_dg_rn",
-        F.row_number().over(Window.partitionBy("_dg_shard").orderBy(*order)))
-    # Tiny frame: one row per shard. Its cumulative window is the only
-    # single-partition stage — bounded by num_shards, never the corpus.
-    # Shard counts come from the RANKED frame (max row_number == count),
-    # not from a second aggregate over the input: both consumers then
-    # share the window's shuffle exchange instead of re-reading the
-    # whole upstream lineage.
+        F.row_number().over(
+            Window.partitionBy("_dg_shard", "_dg_sub").orderBy(*order)))
+    # Tiny frame: one row per (shard, sub). Its cumulative window is the
+    # only single-partition stage — bounded by the shard count, never
+    # the corpus. Shard counts come from the RANKED frame (max
+    # row_number == count), not from a second aggregate over the input:
+    # both consumers then share the window's shuffle exchange instead
+    # of re-reading the whole upstream lineage.
     offsets = (
-        local.groupBy("_dg_shard").agg(F.max("_dg_rn").alias("_dg_cnt"))
+        local.groupBy("_dg_shard", "_dg_sub")
+        .agg(F.max("_dg_rn").alias("_dg_cnt"))
         .select(
-            "_dg_shard",
+            "_dg_shard", "_dg_sub",
             F.coalesce(
                 F.sum("_dg_cnt").over(
-                    Window.orderBy("_dg_shard")
+                    Window.orderBy("_dg_shard", "_dg_sub")
                     .rowsBetween(Window.unboundedPreceding, -1)),
                 F.lit(0),
             ).alias("_dg_off"),
             F.sum("_dg_cnt").over(
-                Window.orderBy("_dg_shard")
+                Window.orderBy("_dg_shard", "_dg_sub")
                 .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
             ).alias("_dg_total"),
         )
     )
     ranked = (
-        local.join(F.broadcast(offsets), "_dg_shard")
+        local.join(F.broadcast(offsets), ["_dg_shard", "_dg_sub"])
         .withColumn(out, F.col("_dg_off") + F.col("_dg_rn"))
     )
     if total_out:
         ranked = ranked.withColumn(total_out, F.col("_dg_total"))
-    return ranked.drop("_dg_shard", "_dg_rn", "_dg_off", "_dg_total")
+    return ranked.drop("_dg_shard", "_dg_sub", "_dg_rn", "_dg_off", "_dg_total")
 
 
 def add_percent_rank(
@@ -155,6 +618,9 @@ def add_percent_rank(
     descending: bool = False,
     out: str = "percent_rank",
     num_shards: int | None = None,
+    raw_cuts=None,
+    mode: str = "eager",
+    stats_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact ``PERCENT_RANK() OVER (ORDER BY key [DESC], tiebreaks...)``
     without a single-partition window: ``(rank - 1) / (N - 1)``, 0.0
@@ -167,7 +633,8 @@ def add_percent_rank(
     """
     ranked = add_global_rank(
         df, key, tiebreaks, descending=descending,
-        out="_dg_rank", total_out="_dg_n", num_shards=num_shards)
+        out="_dg_rank", total_out="_dg_n", num_shards=num_shards,
+        raw_cuts=raw_cuts, mode=mode, stats_df=stats_df)
     pr = F.when(F.col("_dg_n") > 1,
                 (F.col("_dg_rank") - 1).cast("double") / (F.col("_dg_n") - 1)
                 ).otherwise(F.lit(0.0))
@@ -182,6 +649,9 @@ def add_ntile(
     descending: bool = False,
     out: str = "tile",
     num_shards: int | None = None,
+    raw_cuts=None,
+    mode: str = "eager",
+    stats_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact ``NTILE(n) OVER (ORDER BY key [DESC], tiebreaks...)``
     without a single-partition window.
@@ -193,7 +663,8 @@ def add_ntile(
     """
     ranked = add_global_rank(
         df, key, tiebreaks, descending=descending,
-        out="_dg_rank", total_out="_dg_n", num_shards=num_shards)
+        out="_dg_rank", total_out="_dg_n", num_shards=num_shards,
+        raw_cuts=raw_cuts, mode=mode, stats_df=stats_df)
     # base = N div n; rem = N % n; big = rem * (base + 1) rows live in
     # the widened tiles. ceil(a/b) == (a + b - 1) div b for positive
     # ints. The base=0 branch of the otherwise() is unreachable (then

@@ -800,21 +800,46 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``Window.orderBy`` (three of them, as this query was first written)
     would funnel through a single partition.
     """
-    from datagrowth_spark.operators.ranking import add_ntile
+    from datagrowth_spark.operators.ranking import (
+        _default_num_shards, add_ntile, raw_cut_expr)
 
     orders = _t(spark, sf_dir, "orders")
-    # Materialize the customer-dim aggregate ONCE (house pattern, like
-    # the pagerank/cluster rounds): three independent rank passes each
-    # consume it twice (cuts sketch + shard window); chaining them on a
-    # lazy lineage instead compounds those consumers exponentially.
+    # Cache the customer-dim aggregate (house pattern, like the
+    # pagerank/cluster rounds): the rank passes each consume it several
+    # times (shared cuts sketch + shard window + tie refinements);
+    # chaining them on an uncached lineage would compound those
+    # consumers exponentially. Lazy persist (not an eager checkpoint,
+    # r4 ADVICE): plan-only callers never run a job, lineage stays
+    # recoverable after executor loss, and the first action
+    # materializes the cache for every later pass.
     per = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("freq"),
         _dec_sum("o_totalprice").alias("monetary"),
-    ).localCheckpoint(eager=True)
-    r = add_ntile(per, 4, "last_order", ("o_custkey",), descending=True, out="r_q")
-    f = add_ntile(per, 4, "freq", ("o_custkey",), descending=True, out="f_q")
-    m = add_ntile(per, 4, "monetary", ("o_custkey",), descending=True, out="m_q")
+    ).persist()
+    # ONE cuts aggregate feeds all three metrics (r4 verdict item 3):
+    # three raw percentile sketches in a single corpus pass — collected
+    # once (bounded: 3 x num_shards doubles) and handed to the eager
+    # rank passes as literals, which also materializes the persisted
+    # aggregate for every later pass.
+    shards = _default_num_shards(spark)
+    _ty = {f.name: f.dataType.simpleString() for f in per.schema.fields}
+    sketch = per.agg(
+        raw_cut_expr("last_order", _ty["last_order"], True, shards).alias("c_r"),
+        raw_cut_expr("freq", _ty["freq"], True, shards).alias("c_f"),
+        raw_cut_expr("monetary", _ty["monetary"], True, shards).alias("c_m"),
+    ).first()
+    # Three independent passes re-joined on the customer key (the
+    # joins broadcast at this dimension size; independent passes also
+    # let the scheduler overlap them, which beats chaining them into
+    # one serial lineage — measured both ways). Tie refinement stats
+    # (freq is the low-cardinality metric) run against the cached base.
+    r = add_ntile(per, 4, "last_order", ("o_custkey",), descending=True,
+                  out="r_q", raw_cuts=list(sketch["c_r"] or []), stats_df=per)
+    f = add_ntile(per, 4, "freq", ("o_custkey",), descending=True,
+                  out="f_q", raw_cuts=list(sketch["c_f"] or []), stats_df=per)
+    m = add_ntile(per, 4, "monetary", ("o_custkey",), descending=True,
+                  out="m_q", raw_cuts=list(sketch["c_m"] or []), stats_df=per)
     tiles = (
         r.select("o_custkey", "monetary", "r_q")
         .join(f.select("o_custkey", "f_q"), "o_custkey")

@@ -33,6 +33,7 @@ def _reference_ntile(df, n, descending):
     return df.withColumn("expect", F.ntile(n).over(Window.orderBy(*order)))
 
 
+@pytest.mark.parametrize("mode", ["eager", "lazy"])
 @pytest.mark.parametrize("n_rows,n,descending,with_nulls", [
     (200, 4, False, False),
     (200, 4, True, False),
@@ -41,28 +42,32 @@ def _reference_ntile(df, n, descending):
     (3, 4, False, False),   # N < n: first N tiles get one row each
     (1, 4, True, False),
 ])
-def test_ntile_matches_global_window(spark, n_rows, n, descending, with_nulls):
+def test_ntile_matches_global_window(spark, n_rows, n, descending, with_nulls,
+                                     mode):
     df = _frame(spark, n_rows, seed=n_rows * n, with_nulls=with_nulls)
     got = add_ntile(df, n, "v", ("id",), descending=descending, out="tile",
-                    num_shards=8)
+                    num_shards=8, mode=mode)
     ref = _reference_ntile(df, n, descending)
     merged = got.join(ref.select("id", "expect"), "id")
     bad = merged.where(F.col("tile") != F.col("expect")).count()
     assert bad == 0
 
 
-def test_ntile_ties_share_shard(spark):
+@pytest.mark.parametrize("mode", ["eager", "lazy"])
+def test_ntile_ties_share_shard(spark, mode):
     # Heavy ties: every key value repeats ~25x. The tiebreak (id) is
     # total, so ranks — and therefore tiles — must still be exact.
     df = _frame(spark, 500, seed=11, tie_every=25)
-    got = add_ntile(df, 4, "v", ("id",), descending=True, out="tile", num_shards=16)
+    got = add_ntile(df, 4, "v", ("id",), descending=True, out="tile",
+                    num_shards=16, mode=mode)
     ref = _reference_ntile(df, 4, True)
     merged = got.join(ref.select("id", "expect"), "id")
     assert merged.where(F.col("tile") != F.col("expect")).count() == 0
 
 
+@pytest.mark.parametrize("mode", ["eager", "lazy"])
 @pytest.mark.parametrize("descending", [True, False])
-def test_ntile_nan_inf_null_keys(spark, descending):
+def test_ntile_nan_inf_null_keys(spark, descending, mode):
     """Spark orders NaN as the LARGEST value (after +Inf), with NULLs
     first (asc) / last (desc). The negated-shadow-key descending trick
     can't express NaN's position (-NaN is still NaN), so the operator
@@ -85,7 +90,7 @@ def test_ntile_nan_inf_null_keys(spark, descending):
         rows.append((i, v))
     df = spark.createDataFrame(rows, "id long, v double")
     got = add_ntile(df, 5, "v", ("id",), descending=descending, out="tile",
-                    num_shards=6)
+                    num_shards=6, mode=mode)
     ref = _reference_ntile(df, 5, descending).withColumnRenamed("expect", "e5")
     merged = got.join(ref.select("id", "e5"), "id")
     assert merged.where(F.col("tile") != F.col("e5")).count() == 0
@@ -142,6 +147,93 @@ def test_non_shardable_key_raises(spark):
         add_global_rank(df, "s")
 
 
+def test_reserved_work_columns_rejected(spark):
+    # ADVICE r4: a caller column named like a working column must raise,
+    # not be silently overwritten and dropped.
+    df = spark.createDataFrame([(1, 2.0, 3)], "id long, v double, _dg_shard int")
+    with pytest.raises(ValueError, match="_dg_shard"):
+        add_global_rank(df, "v", ("id",))
+
+
+@pytest.mark.parametrize("mode", ["eager", "lazy"])
+def test_low_cardinality_key_exact_and_balanced(spark, mode):
+    """The r4 tie-skew hole: a 5-distinct-value key used to collapse
+    the sharding to <=5 shards, funneling ~N/5 rows through single
+    window tasks. With tie-group sub-sharding (tiebreak-ordered cuts
+    within each heavy key) ranks stay EXACT and no (shard, sub) group
+    exceeds a few times the ideal size."""
+    from datagrowth_spark.operators.ranking import tie_shard_counts
+
+    n_rows, shards = 1_000_000, 32
+    df = spark.range(n_rows).select(
+        F.col("id"), (F.col("id") % 5).cast("double").alias("v"))
+
+    counts = tie_shard_counts(df, "v", ("id",), num_shards=shards,
+                              mode=mode).collect()
+    biggest = max(r["count"] for r in counts)
+    ideal = n_rows / shards
+    assert len(counts) >= shards // 2, f"only {len(counts)} groups"
+    assert biggest <= 4 * ideal, f"fat group: {biggest} rows vs ideal {ideal}"
+
+    # Exactness on a verifiable slice: sharded rank == global window.
+    got = add_global_rank(df, "v", ("id",), out="r", num_shards=shards,
+                          mode=mode)
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    ref = df.withColumn("expect", F.row_number().over(w))
+    merged = got.join(ref.select("id", "expect"), "id")
+    assert merged.where(F.col("r") != F.col("expect")).count() == 0
+
+
+def test_low_cardinality_no_tiebreak_valid_permutation(spark):
+    """Without tiebreaks a tie group's ranks are an arbitrary-but-valid
+    permutation; hash sub-sharding must keep that contract: ranks are
+    exactly 1..N, and every row's rank falls inside its key's block."""
+    n_rows = 100_000
+    df = spark.range(n_rows).select(
+        F.col("id"), (F.col("id") % 3).cast("double").alias("v"))
+    got = add_global_rank(df, "v", out="r", num_shards=16)
+    rows = got.groupBy("v").agg(
+        F.min("r").alias("lo"), F.max("r").alias("hi"),
+        F.count("*").alias("n"), F.count_distinct("r").alias("nd")
+    ).orderBy("v").collect()
+    pos = 1
+    for r in rows:
+        assert r["lo"] == pos and r["hi"] == pos + r["n"] - 1
+        assert r["nd"] == r["n"]  # ranks within the block are distinct
+        pos += r["n"]
+
+    from datagrowth_spark.operators.ranking import tie_shard_counts
+    counts = tie_shard_counts(df, "v", num_shards=16).collect()
+    assert max(c["count"] for c in counts) <= 4 * n_rows / 16
+
+
+def test_heavy_ties_with_string_tiebreak_stay_exact(spark):
+    """Non-shardable first tiebreak: no sub-sharding (documented), but
+    ranks must remain exact against the global window."""
+    rows = [(f"k{i:05d}", float(i % 4)) for i in range(400)]
+    df = spark.createDataFrame(rows, "s string, v double")
+    got = add_global_rank(df, "v", ("s",), out="r", num_shards=8)
+    w = Window.orderBy(F.col("v").asc(), F.col("s").asc())
+    ref = df.withColumn("expect", F.row_number().over(w))
+    merged = got.join(ref.select("s", "expect"), "s")
+    assert merged.where(F.col("r") != F.col("expect")).count() == 0
+
+
+def test_shared_raw_cuts_match_per_call_cuts(spark):
+    """raw_cut_sketch handed to several rank passes must reproduce the
+    same exact values as per-call cut computation (RFM sharing path)."""
+    from datagrowth_spark.operators.ranking import raw_cut_expr
+
+    df = _frame(spark, 300, seed=9, tie_every=10)
+    sketch = df.agg(
+        raw_cut_expr("v", "double", True, 8).alias("c_v"))
+    got = add_ntile(df, 4, "v", ("id",), descending=True, out="tile",
+                    num_shards=8, raw_cuts=(sketch, "c_v"))
+    ref = _reference_ntile(df, 4, True)
+    merged = got.join(ref.select("id", "expect"), "id")
+    assert merged.where(F.col("tile") != F.col("expect")).count() == 0
+
+
 def test_plan_has_no_corpus_single_partition(spark):
     """Every SinglePartition exchange in the plan is a bounded frame:
     the 1-row percentile_approx cuts aggregate and the per-shard count
@@ -154,9 +246,10 @@ def test_plan_has_no_corpus_single_partition(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
     hits = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
-    # Cuts sketch (may appear in both the rank and offsets branches)
-    # plus the shard-count prefix — all carry partial-agg rows only.
-    assert 1 <= len(hits) <= 3
+    # Cuts sketch (appears once per consuming branch in the printed
+    # tree — exchange reuse dedupes them at runtime) plus the
+    # shard-count prefix — all carry partial-agg rows only.
+    assert 1 <= len(hits) <= 8
     for i in hits:
         # Each one's input must be a partial aggregate (cuts sketch or
         # shard counts) — never the Sort/Window data path.
