@@ -14,6 +14,18 @@ Growth strategies (reference dataset.py:302-332, constants.py:11-15):
 * STACK  — new version per grow; all versions stay queryable, no
   ``is_current`` flip.
 
+Concurrency: meta.json commits are optimistic — every commit CASes on a
+``generation`` counter (re-read + compare under a short O_EXCL lockfile,
+then atomic ``os.replace``), and writers that lose re-read and merge
+(``commit_entry``) or re-claim the next version slot (``grow``). Two
+simultaneous ``grow()`` drivers therefore serialize their claims instead
+of silently dropping each other's versions — the filesystem analogue of
+the reference's ``select_for_update`` row locks
+(resources/growth.py:154-170). POSIX-filesystem assumptions (O_EXCL,
+atomic replace) are isolated to ``_commit_lock``/``write_meta``; an
+object-store backend swaps them for a conditional put keyed on the same
+generation token.
+
 The task DAG: each collection declares named tasks with ``depends_on``
 and ``checks``; the driver scheduler loops (depth-bounded) running every
 task whose dependencies succeeded and which hasn't succeeded itself,
@@ -55,6 +67,10 @@ class GrowthState(str, Enum):
 
 class DGGrowthFrozen(Exception):
     pass
+
+
+class DGConcurrentWrite(Exception):
+    """meta.json changed between read and commit (lost-update guard)."""
 
 
 class Dataset:
@@ -115,13 +131,102 @@ class DatasetWarehouse:
         with open(path) as fh:
             return json.load(fh)
 
-    def write_meta(self, dataset: Dataset, meta: dict) -> None:
+    # Commit-lock bounds: a meta.json write is milliseconds, so a lock
+    # older than this is a crashed writer and gets broken.
+    _LOCK_STALE_S = 10.0
+    _LOCK_WAIT_S = 5.0
+
+    def _commit_lock(self, path: str):
+        """O_CREAT|O_EXCL lockfile serializing the compare-and-replace
+        window. POSIX-filesystem assumption (like os.replace below);
+        an object-store deployment replaces this whole commit path with
+        a manifest-commit / conditional-put (S3 If-None-Match, GCS
+        generation preconditions) — the generation counter in meta.json
+        is exactly the precondition token such a backend needs."""
+        import time
+
+        lock = path + ".lock"
+        deadline = time.monotonic() + self._LOCK_WAIT_S
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > self._LOCK_STALE_S:
+                        os.unlink(lock)  # crashed writer
+                        continue
+                except OSError:
+                    continue  # lock vanished between check and stat
+                if time.monotonic() > deadline:
+                    raise DGConcurrentWrite(
+                        f"could not acquire commit lock {lock}") from None
+                time.sleep(0.02)
+
+    def write_meta(self, dataset: Dataset, meta: dict,
+                   expected_generation: int | None = None) -> None:
+        """Commit ``meta`` atomically. With ``expected_generation`` this
+        is a compare-and-swap: if another writer bumped the generation
+        since the caller's :meth:`read_meta`, raise
+        :class:`DGConcurrentWrite` instead of silently dropping that
+        writer's versions (the reference serializes growers with DB row
+        locks, resources/growth.py:154-170; a filesystem warehouse gets
+        the same guarantee from this generation check)."""
         path = self._meta_path(dataset)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh, indent=2)
-        os.replace(tmp, path)  # atomic is_current flip
+        lock = self._commit_lock(path)
+        try:
+            if expected_generation is not None:
+                on_disk = self.read_meta(dataset).get("generation", 0)
+                if on_disk != expected_generation:
+                    raise DGConcurrentWrite(
+                        f"meta generation moved {expected_generation} -> "
+                        f"{on_disk} for {dataset.signature}")
+                meta["generation"] = expected_generation + 1
+            else:
+                meta["generation"] = self.read_meta(dataset).get(
+                    "generation", 0) + 1
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(meta, fh, indent=2)
+            os.replace(tmp, path)  # atomic is_current flip
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+
+    def commit_entry(self, dataset: Dataset, entry: dict,
+                     flip_current: bool = False, retries: int = 5) -> None:
+        """Merge ONE version entry into fresh meta under CAS + retry —
+        the write path for everything after the initial version claim,
+        so a concurrent grower's claims are never clobbered by our
+        stale snapshot (the r4-flagged lost-update)."""
+        for _ in range(retries):
+            meta = self.read_meta(dataset)
+            gen = meta.get("generation", 0)
+            versions = meta["versions"]
+            for i, v in enumerate(versions):
+                if v["version"] == entry["version"]:
+                    versions[i] = entry
+                    break
+            else:
+                versions.append(entry)
+                versions.sort(key=lambda v: v["version"])
+            if flip_current:
+                for v in versions:
+                    v["is_current"] = False
+                entry["is_current"] = True
+            try:
+                self.write_meta(dataset, meta, expected_generation=gen)
+                return
+            except DGConcurrentWrite:
+                continue
+        raise DGConcurrentWrite(
+            f"could not commit version {entry['version']} of "
+            f"{dataset.signature} after {retries} attempts")
 
     def current_version(self, dataset: Dataset) -> dict | None:
         versions = self.read_meta(dataset)["versions"]
@@ -170,27 +275,47 @@ class DatasetWarehouse:
         pipeline's internals.
         """
         strategy = strategy or dataset.GROWTH_STRATEGY
-        meta = self.read_meta(dataset)
-        current = self.current_version(dataset)
+        # Claim a version slot under CAS: a concurrent grow() reading
+        # the same meta loses the race, re-reads, and claims the next
+        # slot — no read-modify-write can drop its versions anymore.
+        clone_from = None
+        for _ in range(5):
+            meta = self.read_meta(dataset)
+            gen = meta.get("generation", 0)
+            versions = meta["versions"]
+            currents = [v for v in versions if v.get("is_current")]
+            current = currents[-1] if currents else (
+                versions[-1] if versions else None)
 
-        if strategy == GrowthStrategy.FREEZE and current and not retry:
-            if current.get("state") == GrowthState.COMPLETE:
-                raise DGGrowthFrozen(
-                    f"dataset {dataset.signature} is frozen (version {current['version']} complete)"
-                )
+            if strategy == GrowthStrategy.FREEZE and current and not retry:
+                if current.get("state") == GrowthState.COMPLETE:
+                    raise DGGrowthFrozen(
+                        f"dataset {dataset.signature} is frozen "
+                        f"(version {current['version']} complete)"
+                    )
 
-        if retry and current:
-            version = current["version"]
-            entry = current
+            if retry and current:
+                version = current["version"]
+                entry = current
+            else:
+                version = (current["version"] + 1) if current else 1
+                entry = {"version": version, "state": GrowthState.GROWING,
+                         "is_current": False, "task_results": {}, "errors": {}}
+                meta["versions"].append(entry)
+                clone_from = (current["version"]
+                              if strategy == GrowthStrategy.REVISE and current
+                              else None)
+            entry["state"] = GrowthState.GROWING
+            try:
+                self.write_meta(dataset, meta, expected_generation=gen)
+                break
+            except DGConcurrentWrite:
+                continue
         else:
-            version = (current["version"] + 1) if current else 1
-            entry = {"version": version, "state": GrowthState.GROWING,
-                     "is_current": False, "task_results": {}, "errors": {}}
-            meta["versions"].append(entry)
-            if strategy == GrowthStrategy.REVISE and current:
-                self._clone_version(dataset, current["version"], version)
-        entry["state"] = GrowthState.GROWING
-        self.write_meta(dataset, meta)
+            raise DGConcurrentWrite(
+                f"could not claim a version of {dataset.signature}")
+        if clone_from is not None:
+            self._clone_version(dataset, clone_from, version)
 
         collection = self.load_collection(dataset, version)
         if strategy == GrowthStrategy.REVISE:
@@ -211,14 +336,11 @@ class DatasetWarehouse:
         except Exception as exc:  # noqa: BLE001 — recorded, then re-raised
             entry["state"] = GrowthState.ERROR
             entry.setdefault("errors", {})["grow"] = f"{type(exc).__name__}: {exc}"
-            self.write_meta(dataset, meta)
+            self.commit_entry(dataset, entry)
             raise
 
-        if strategy != GrowthStrategy.STACK:
-            for v in meta["versions"]:
-                v["is_current"] = False
-            entry["is_current"] = True
-        self.write_meta(dataset, meta)
+        self.commit_entry(dataset, entry,
+                          flip_current=strategy != GrowthStrategy.STACK)
         return entry
 
     def _revise_collection(self, dataset: Dataset, collection: Collection) -> Collection:

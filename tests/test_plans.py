@@ -348,6 +348,75 @@ class TestDatasetVersioning:
         assert EntityDataset({"a": 1}).signature != EntityDataset({"a": 2}).signature
         assert EntityDataset({"a": 1}).signature == EntityDataset({"a": 1}).signature
 
+    def test_write_meta_cas_rejects_stale_generation(self, warehouse):
+        """The lost-update guard (reference: select_for_update row
+        locks, resources/growth.py:154-170): two writers read the same
+        generation; the second commit must raise, not clobber."""
+        from datagrowth_spark.plans.dataset import DGConcurrentWrite
+
+        ds = EntityDataset({"cas": 1})
+        meta_a = warehouse.read_meta(ds)
+        meta_b = warehouse.read_meta(ds)
+        gen = meta_a.get("generation", 0)
+        meta_a["versions"].append({"version": 1, "state": "growing",
+                                   "is_current": False})
+        warehouse.write_meta(ds, meta_a, expected_generation=gen)
+        meta_b["versions"].append({"version": 1, "state": "growing",
+                                   "is_current": False})
+        with pytest.raises(DGConcurrentWrite):
+            warehouse.write_meta(ds, meta_b, expected_generation=gen)
+        # The winner's claim survived; generation advanced exactly once.
+        final = warehouse.read_meta(ds)
+        assert len(final["versions"]) == 1
+        assert final["generation"] == gen + 1
+
+    def test_concurrent_grows_keep_both_versions(self, spark, tmp_path, warehouse):
+        """Two interleaved grow() drivers on one dataset: both claims
+        and both final commits must survive (the r4-flagged
+        read-modify-write dropped the loser's versions). A barrier in
+        the seed callables holds both runs mid-flight so each one's
+        final commit happens against meta the other has changed."""
+        import threading
+
+        ds = EntityDataset({"race": 1})
+        barrier = threading.Barrier(2, timeout=60)
+        errors = []
+
+        def seeder(n):
+            def run(collection):
+                barrier.wait()  # both grows claimed before either commits
+                collection.add([{"id": i, "name": f"e {i}"} for i in range(n)])
+                return collection
+            return run
+
+        def work(n):
+            try:
+                warehouse.grow(ds, seeder(n), strategy=GrowthStrategy.STACK)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        threads = [threading.Thread(target=work, args=(n,)) for n in (2, 3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        meta = warehouse.read_meta(ds)
+        assert [v["version"] for v in meta["versions"]] == [1, 2]
+        assert all(v["state"] == "complete" for v in meta["versions"])
+        sizes = sorted(len(warehouse.load_collection(ds, v)) for v in (1, 2))
+        assert sizes == [2, 3]
+
+    def test_commit_entry_merges_into_fresh_meta(self, warehouse):
+        ds = EntityDataset({"merge": 1})
+        warehouse.commit_entry(ds, {"version": 1, "state": "complete",
+                                    "is_current": False}, flip_current=True)
+        warehouse.commit_entry(ds, {"version": 2, "state": "complete",
+                                    "is_current": False}, flip_current=True)
+        meta = warehouse.read_meta(ds)
+        assert [v["version"] for v in meta["versions"]] == [1, 2]
+        assert [v["is_current"] for v in meta["versions"]] == [False, True]
+
 
 def _number_documents(df):
     """Harvest-phase example: enumerate documents (reference
