@@ -44,3 +44,37 @@ def mock_api_transport(method, url, headers, data):
             {"id": i, "detail": f"detail {i}", "score": i / 10}
         )
     return 404, {}, ""
+
+
+def counting_transport(log_dir, fail_urls=()):
+    """Transport that records every invocation as a marker file in
+    ``log_dir`` (shared filesystem — works across executor processes)
+    and raises mid-batch for urls containing any ``fail_urls`` fragment.
+    The fault-injection suite uses the markers to prove at-most-once
+    semantics per signature across replays."""
+
+    def transport(method, url, headers, data):
+        import os as _os
+        import uuid as _uuid
+
+        _os.makedirs(log_dir, exist_ok=True)
+        with open(_os.path.join(log_dir, _uuid.uuid4().hex), "w") as fh:
+            fh.write(url)
+        if any(frag in url for frag in fail_urls):
+            raise RuntimeError(f"injected transport failure for {url}")
+        return 200, {"content-type": "application/json"}, json.dumps({"ok": url})
+
+    return transport
+
+
+def transport_calls(log_dir):
+    """Urls recorded by :func:`counting_transport`, in no order."""
+    import os as _os
+
+    if not _os.path.isdir(log_dir):
+        return []
+    out = []
+    for name in _os.listdir(log_dir):
+        with open(_os.path.join(log_dir, name)) as fh:
+            out.append(fh.read())
+    return out

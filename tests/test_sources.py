@@ -610,3 +610,126 @@ class TestCorpusFiles:
         assert n == 2
         assert len(glob.glob(f"{dest}/part-*.parquet")) == 2
         assert spark.read.parquet(dest).count() == 1_000
+
+
+class TestFetchFaultInjection:
+    """Crash-consistency of the one stateful component every pipeline
+    trusts (r4 verdict item 4): the cache must never serve half-written
+    rows, replays must be idempotent, and a signature must never fire
+    the transport once a committed success exists."""
+
+    def _reqs(self, spark, urls):
+        return requests_to_df(spark, [http_request(u) for u in urls])
+
+    def test_midbatch_crash_commits_nothing_and_replay_heals(self, spark, tmp_path):
+        from mock_transports import counting_transport, transport_calls
+
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        log1 = str(tmp_path / "calls1")
+        urls = [f"http://mockapi/item/{i}" for i in range(6)] + [
+            "http://mockapi/boom"]
+
+        # Seed the cache with one good batch first so the crash case
+        # exercises "append onto a live cache", not the cold path.
+        fetch(self._reqs(spark, urls[:2]), cache,
+              transport=counting_transport(log1))
+        assert cache.read().count() == 2
+
+        # Mid-batch transport exception after some partition rows were
+        # already produced: the append job aborts, the parquet commit
+        # protocol publishes NOTHING, and the cache stays readable with
+        # exactly the previously committed rows.
+        with pytest.raises(Exception):
+            fetch(self._reqs(spark, urls), cache,
+                  transport=counting_transport(
+                      str(tmp_path / "calls2"), fail_urls=("boom",)))
+        assert cache.read().count() == 2
+        assert cache.read().where(F.col("body").isNull()).count() == 0
+
+        # Replay with a healthy transport: only the 5 uncommitted
+        # requests fire (the 2 committed ones are hits), everything
+        # lands in the cache exactly once.
+        log3 = str(tmp_path / "calls3")
+        out = fetch(self._reqs(spark, urls), cache,
+                    transport=counting_transport(log3))
+        assert out.count() == 7
+        fired = transport_calls(log3)
+        assert sorted(fired) == sorted(urls[2:])
+        per_sig = (cache.read().groupBy("signature").count()
+                   .where(F.col("count") > 1).count())
+        assert per_sig == 0
+
+        # Third pass: pure replay, zero transport invocations.
+        log4 = str(tmp_path / "calls4")
+        out2 = fetch(self._reqs(spark, urls), cache,
+                     transport=counting_transport(log4))
+        assert out2.count() == 7
+        assert transport_calls(log4) == []
+
+    def test_duplicate_signature_rows_served_once_never_refetched(self, spark, tmp_path):
+        """A retried/zombie partition can double-append the same
+        signature (at-least-once append). latest() must serve exactly
+        one row (newest fetch wins) and the signature must never hit
+        the transport again."""
+        import datetime
+
+        from mock_transports import counting_transport, transport_calls
+
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        url = "http://mockapi/item/7"
+        req = http_request(url)
+        t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+        rows = [
+            {**req, "status": 200, "head": "{}", "body": "old",
+             "fetched_at": t0, "purge_at": None, "chain": req["signature"]},
+            {**req, "status": 200, "head": "{}", "body": "new",
+             "fetched_at": t0 + datetime.timedelta(seconds=5),
+             "purge_at": None, "chain": req["signature"]},
+        ]
+        from datagrowth_spark.sources.cache import RESPONSE_SCHEMA
+        cache.append(spark.createDataFrame(rows, RESPONSE_SCHEMA))
+        assert cache.read().count() == 2
+
+        log = str(tmp_path / "calls")
+        out = fetch(self._reqs(spark, [url]), cache,
+                    transport=counting_transport(log))
+        got = out.collect()
+        assert len(got) == 1 and got[0]["body"] == "new"
+        assert transport_calls(log) == []
+
+    def test_purge_expiry_races_read_then_refetch(self, spark, tmp_path):
+        """A row whose purge_at passes between two reads must drop out
+        of the served set and be refetched — never served stale, never
+        half-removed."""
+        import time as _time
+
+        from mock_transports import counting_transport, transport_calls
+
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        url = "http://mockapi/item/9"
+        log1 = str(tmp_path / "calls1")
+        fetch(self._reqs(spark, [url]), cache,
+              transport=counting_transport(log1), purge_after_seconds=1.0)
+        assert len(transport_calls(log1)) == 1
+        assert cache.read().count() == 1  # still live
+
+        # Replay inside the TTL: served from cache, no transport.
+        log2 = str(tmp_path / "calls2")
+        fetch(self._reqs(spark, [url]), cache,
+              transport=counting_transport(log2)).collect()
+        assert transport_calls(log2) == []
+
+        _time.sleep(1.3)  # TTL passes
+        assert cache.read().count() == 0  # expired row filtered at read
+
+        log3 = str(tmp_path / "calls3")
+        out = fetch(self._reqs(spark, [url]), cache,
+                    transport=counting_transport(log3))
+        assert len(transport_calls(log3)) == 1  # refetched exactly once
+        assert out.count() == 1
+        # Raw table holds both generations; vacuum drops the corpse.
+        raw = spark.read.parquet(cache.path)
+        assert raw.count() == 2
+        cache.vacuum()
+        assert spark.read.parquet(cache.path).count() == 1
+        assert cache.read().count() == 1
