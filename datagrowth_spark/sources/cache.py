@@ -234,7 +234,8 @@ def fetch(
     purge_after_seconds: float | None = None,
     fetch_partitions: int | None = None,
     follow: tuple[Callable[[dict], dict | None], int] | None = None,
-) -> DataFrame:
+    return_responses: bool = True,
+) -> DataFrame | None:
     """The cached fetch operator: requests in, responses out.
 
     * cache hits come from the cache table join (no network);
@@ -245,6 +246,11 @@ def fetch(
 
     The returned DataFrame is read back from the cache table, so
     downstream stages re-read parquet instead of re-firing transports.
+
+    ``return_responses=False`` returns ``None`` after the cache append:
+    callers that read the cache relationally afterwards (the pagination
+    drivers) skip the followed-page signature collect entirely, so no
+    driver structure scales with the page count.
     """
     spark = requests_df.sparkSession
     req_fields = [f.name for f in REQUEST_SCHEMA.fields]
@@ -310,10 +316,14 @@ def fetch(
                                   interval_duration, purge_after_seconds, follow),
                     schema=RESPONSE_SCHEMA,
                 )
-                if follow is not None:
+                if follow is not None and return_responses:
                     # Persist BEFORE append: the followed-page signatures are
-                    # collected afterwards, and an unpersisted mapInPandas
-                    # lineage would re-fire every transport on that collect.
+                    # collected afterwards (bounded by the batch's page
+                    # count; pagination drivers that don't need the
+                    # responses frame pass return_responses=False and this
+                    # collect never happens), and an unpersisted
+                    # mapInPandas lineage would re-fire every transport on
+                    # that collect.
                     fetched = fetched.persist()
                     try:
                         cache.append(fetched)
@@ -324,6 +334,8 @@ def fetch(
                     cache.append(fetched)
         finally:
             misses.unpersist()  # append() consumed it eagerly
+        if not return_responses:
+            return None
         sigs = requests_df.select("signature").dropDuplicates(["signature"])
         if extra_sigs:
             spark_local = spark.createDataFrame([(s,) for s in set(extra_sigs)], "signature string")

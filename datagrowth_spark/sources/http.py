@@ -99,12 +99,19 @@ def _edges_of(responses: DataFrame,
     ]
 
 
+#: Above this many distinct chain heads the driver-side edge walk is
+#: replaced by the relational walker — no driver structure may scale
+#: with the crawl size.
+PAGINATION_RELATIONAL_THRESHOLD = 20_000
+
+
 def paginated_fetch(
     spark: SparkSession,
     cache: ResourceCache,
-    requests: list[dict],
+    requests: "list[dict] | DataFrame",
     next_request: Callable[[dict], dict | None] | None = None,
     continuation_limit: int = 1,
+    relational: bool | None = None,
     **fetch_kwargs,
 ) -> DataFrame:
     """Fetch a batch of requests plus their continuation pages.
@@ -137,6 +144,15 @@ def paginated_fetch(
     parquet file listing).
     """
     limit = max(continuation_limit, 1)
+    if relational is None:
+        relational = isinstance(requests, DataFrame) or (
+            len(requests) > PAGINATION_RELATIONAL_THRESHOLD)
+    if relational:
+        reqs_df = (requests if isinstance(requests, DataFrame)
+                   else requests_to_df(spark, list(requests)))
+        return _paginated_fetch_relational(
+            spark, cache, reqs_df, next_request, limit, fetch_kwargs)
+    requests = list(requests)
     if not requests:
         return cache.latest().limit(0)
 
@@ -195,7 +211,7 @@ def paginated_fetch(
             # .count() here would only re-read the cache for nothing
             # (one extra job per pagination round).
             fetch(reqs_df.join(budgets, "signature"), cache, follow=follow,
-                  **fetch_kwargs)
+                  return_responses=False, **fetch_kwargs)
             gather(list(frontier))
         # Walk every chain as far as the edge dict reaches.
         advanced: list[tuple[dict, int]] = []
@@ -224,4 +240,158 @@ def paginated_fetch(
         # beats materializing a join side (no shuffle, no broadcast).
         return cache.latest().where(F.col("signature").isin(list(result_sigs)))
     sigs = spark.createDataFrame([(s,) for s in result_sigs], "signature string")
+    return cache.latest().join(sigs, "signature", "left_semi")
+
+
+def _paginated_fetch_relational(
+    spark: SparkSession,
+    cache: ResourceCache,
+    requests_df: DataFrame,
+    next_request: Callable[[dict], dict | None] | None,
+    limit: int,
+    fetch_kwargs: dict,
+) -> DataFrame:
+    """Scale-path pagination: cursors, edges and page sets live in
+    DataFrames end-to-end — NO driver structure grows with the crawl
+    (r4 verdict item 5; the driver walker above keeps per-chain dicts,
+    bounded but batch-sized).
+
+    Round shape: anti-join the cursor frame against the cache to find
+    misses, fetch them (chains walked worker-side, ``follow=``; the
+    responses frame is never materialized — ``return_responses=False``),
+    then advance every cursor through the cached pages with ONE
+    ``applyInPandas`` walk grouped by chain head. Page signatures append
+    to a scratch parquet; surviving cursors (mid-chain misses, segments
+    cached under a foreign head) seed the next round with their
+    remaining budget. Cursor frames are checkpointed per round so no
+    lineage pins a stale cache file listing.
+
+    Caveat vs the driver walker: a chain stitching INTO a segment cached
+    under a foreign head advances one round per... fetched segment (the
+    walk joins pages by own head, by current-cursor chain AND by
+    current-cursor signature), so pathological all-foreign chains cost
+    up to ``limit`` rounds; the round guard caps at ``2 * limit + 2``.
+    ``next_request`` receives response rows JSON-decoded (timestamps as
+    ISO strings, not pandas Timestamps).
+    """
+    import shutil
+    import uuid
+
+    req_cols = [f.name for f in REQUEST_SCHEMA.fields]
+
+    if next_request is None:
+        # No pagination: one fetch, then a relational semi-join on the
+        # request signatures.
+        sigs = requests_df.select("signature").dropDuplicates(["signature"])
+        fetch(requests_df, cache, return_responses=False, **fetch_kwargs)
+        return cache.latest().join(sigs, "signature", "left_semi")
+
+    cursors = (
+        requests_df.select(req_cols).dropDuplicates(["signature"])
+        .select(F.col("signature").alias("_chain_head"),
+                F.to_json(F.struct(*req_cols)).alias("req"),
+                F.lit(1).alias("pages"))
+        .localCheckpoint(eager=True)
+    )
+    scratch = cache.path.rstrip("/") + f"_pages_{uuid.uuid4().hex}"
+    walk_cols = ["kind", "_chain_head", "signature", "req", "pages"]
+    walk_schema = ("kind string, _chain_head string, signature string, "
+                   "req string, pages int")
+
+    def walk(pdf):
+        import json as _json
+
+        import pandas as _pd
+
+        pages_rows = {}
+        for rec in pdf[pdf["kind"] == "page"].to_dict("records"):
+            pages_rows[rec["signature"]] = _json.loads(rec["row"])
+        out = []
+        for cur in pdf[pdf["kind"] == "cursor"].to_dict("records"):
+            req = _json.loads(cur["req"])
+            pages = int(cur["pages"])
+            head = cur["_chain_head"]
+            while True:
+                sig = req.get("signature")
+                row = pages_rows.get(sig)
+                if row is None:
+                    out.append(("cursor", head, None, _json.dumps(req), pages))
+                    break
+                out.append(("page", head, sig, None, None))
+                nxt = next_request(row)
+                if nxt is None or pages >= limit:
+                    break
+                req, pages = nxt, pages + 1
+        return _pd.DataFrame(out, columns=walk_cols)
+
+    wrote_pages = False
+    for _round in range(2 * limit + 2):
+        n_cursors = cursors.count()
+        if n_cursors == 0:
+            break
+        cur = cursors.withColumn(
+            "_sig", F.get_json_object(F.col("req"), "$.signature"))
+        latest = cache.latest()
+        misses = cur.join(latest.select(F.col("signature").alias("_sig")),
+                          "_sig", "left_anti")
+        parsed = misses.select(
+            F.from_json("req", REQUEST_SCHEMA).alias("r"),
+            (F.lit(limit) - F.col("pages") + 1).cast("int").alias(BUDGET_COL),
+        ).select("r.*", BUDGET_COL)
+        fetch(parsed, cache, follow=(next_request, limit),
+              return_responses=False, **fetch_kwargs)
+
+        # Candidate pages per chain head: own-head chains, the segment
+        # just fetched under the cursor's current signature, and a
+        # foreign row the cursor stitched onto.
+        latest = cache.latest()
+        heads = cur.select("_chain_head", "_sig")
+        row_json = F.to_json(F.struct(*[F.col(f.name)
+                                        for f in latest.schema.fields]))
+        cands = None
+        for key_col in ("chain", "signature"):
+            for head_col in ("_chain_head", "_sig"):
+                part = (latest.join(heads,
+                                    latest[key_col] == heads[head_col])
+                        .select("_chain_head",
+                                latest["signature"].alias("signature"),
+                                row_json.alias("row")))
+                cands = part if cands is None else cands.unionByName(part)
+        cands = cands.dropDuplicates(["_chain_head", "signature"])
+
+        walk_in = (
+            cur.select(F.lit("cursor").alias("kind"), "_chain_head",
+                       F.lit(None).cast("string").alias("signature"),
+                       "req", "pages",
+                       F.lit(None).cast("string").alias("row"))
+            .unionByName(
+                cands.select(F.lit("page").alias("kind"), "_chain_head",
+                             "signature",
+                             F.lit(None).cast("string").alias("req"),
+                             F.lit(None).cast("int").alias("pages"),
+                             "row"))
+        )
+        walked = (walk_in.groupBy("_chain_head")
+                  .applyInPandas(walk, schema=walk_schema).persist())
+        try:
+            pages_n = walked.where(F.col("kind") == "page").count()
+            if pages_n:
+                (walked.where(F.col("kind") == "page")
+                 .select("signature").dropDuplicates(["signature"])
+                 .write.mode("append").parquet(scratch))
+                wrote_pages = True
+            new_cursors = (walked.where(F.col("kind") == "cursor")
+                           .select("_chain_head", "req", "pages")
+                           .localCheckpoint(eager=True))
+        finally:
+            walked.unpersist()
+        if pages_n == 0 and new_cursors.count() >= n_cursors:
+            break  # source stopped yielding rows (defensive)
+        cursors = new_cursors
+
+    if not wrote_pages:
+        return cache.latest().limit(0)
+    sigs = (spark.read.parquet(scratch)
+            .dropDuplicates(["signature"]).localCheckpoint(eager=True))
+    shutil.rmtree(scratch, ignore_errors=True)
     return cache.latest().join(sigs, "signature", "left_semi")

@@ -78,3 +78,25 @@ def transport_calls(log_dir):
         with open(_os.path.join(log_dir, name)) as fh:
             out.append(fh.read())
     return out
+
+
+CHAIN_PAGES = 2
+
+
+def mock_chain_transport(method, url, headers, data):
+    """Synthetic many-chain API: ``http://mockchain/<cid>/<page>`` with
+    CHAIN_PAGES pages per chain — drives the relational pagination
+    scale tests (100k distinct chains)."""
+    parts = url.rsplit("/", 2)
+    cid, page = int(parts[1]), int(parts[2])
+    nxt = page + 1 if page + 1 < CHAIN_PAGES else None
+    return 200, {}, json.dumps({"cid": cid, "page": page, "next": nxt})
+
+
+def chain_next_request(row):
+    body = json.loads(row["body"])
+    if body.get("next") is None:
+        return None
+    from datagrowth_spark.sources.http import http_request
+
+    return http_request(f"http://mockchain/{body['cid']}/{body['next']}")

@@ -733,3 +733,123 @@ class TestFetchFaultInjection:
         cache.vacuum()
         assert spark.read.parquet(cache.path).count() == 1
         assert cache.read().count() == 1
+
+
+class TestPaginationRelational:
+    """The scale-path pagination driver (no driver-sized structures):
+    same semantics as the driver walker on every pagination shape, plus
+    a 100k-chain run with flat driver memory (r4 verdict item 5)."""
+
+    @staticmethod
+    def _next_request(response):
+        body = json.loads(response["body"])
+        if body.get("next_page") is not None:
+            return http_request("http://mockapi/entities",
+                                params={"page": body["next_page"]})
+        return None
+
+    def test_walks_all_pages(self, spark, tmp_path):
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        first = [http_request("http://mockapi/entities", params={"page": 0})]
+        out = paginated_fetch(spark, cache, first, self._next_request,
+                              continuation_limit=10, relational=True,
+                              transport=mock_api_transport)
+        pages = out.collect()
+        assert len(pages) == 4
+        seen = {e["id"] for p in pages for e in json.loads(p["body"])["results"]}
+        assert seen == set(range(TOTAL))
+
+    def test_continuation_limit_bounds_pages(self, spark, tmp_path):
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        first = [http_request("http://mockapi/entities", params={"page": 0})]
+        out = paginated_fetch(spark, cache, first, self._next_request,
+                              continuation_limit=2, relational=True,
+                              transport=mock_api_transport)
+        assert out.count() == 2
+
+    def test_warm_replay_fires_no_transport(self, spark, tmp_path):
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        first = [http_request("http://mockapi/entities", params={"page": 0})]
+        paginated_fetch(spark, cache, first, self._next_request,
+                        continuation_limit=10, relational=True,
+                        transport=mock_api_transport).count()
+
+        from mock_transports import counting_transport, transport_calls
+        log = str(tmp_path / "calls")
+        out = paginated_fetch(spark, cache, first, self._next_request,
+                              continuation_limit=10, relational=True,
+                              transport=counting_transport(log))
+        assert out.count() == 4
+        assert transport_calls(log) == []
+
+    def test_resumed_chain_respects_remaining_budget(self, spark, tmp_path):
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        first = [http_request("http://mockapi/entities", params={"page": 0})]
+        paginated_fetch(spark, cache, first, self._next_request,
+                        continuation_limit=2, relational=True,
+                        transport=mock_api_transport).count()
+
+        from mock_transports import counting_transport, transport_calls
+        log = str(tmp_path / "calls")
+        out = paginated_fetch(spark, cache, first, self._next_request,
+                              continuation_limit=3, relational=True,
+                              transport=counting_transport(log))
+        assert out.count() == 3
+        calls = transport_calls(log)
+        assert len(calls) == 1 and "page=2" in calls[0]
+
+    def test_matches_driver_walker(self, spark, tmp_path):
+        """Same mock crawl through both drivers → identical page sets."""
+        first = [http_request("http://mockapi/entities", params={"page": 0}),
+                 http_request("http://mockapi/entities",
+                              params={"page": 0, "deletes": 5})]
+        c1 = ResourceCache(spark, str(tmp_path / "c1"))
+        c2 = ResourceCache(spark, str(tmp_path / "c2"))
+        a = paginated_fetch(spark, c1, first, self._next_request,
+                            continuation_limit=10, relational=False,
+                            transport=mock_api_transport)
+        b = paginated_fetch(spark, c2, first, self._next_request,
+                            continuation_limit=10, relational=True,
+                            transport=mock_api_transport)
+        sa = {r["signature"] for r in a.select("signature").collect()}
+        sb = {r["signature"] for r in b.select("signature").collect()}
+        # The deletes=5 chain converges onto the plain chain after its
+        # head page (next_request drops the param): 4 shared + 1 head.
+        assert sa == sb and len(sa) == 5
+
+    @pytest.mark.slow
+    def test_100k_chains_flat_driver_memory(self, spark, tmp_path):
+        """100k distinct chains x 2 pages, request frame built
+        EXECUTOR-side: the driver never holds a request list, an edge
+        dict, or a page-signature list — peak Python allocation during
+        the crawl stays bounded (a driver-dict walker would hold
+        ~200k signatures + edges, tens of MB)."""
+        import tracemalloc
+
+        from mock_transports import chain_next_request, mock_chain_transport
+
+        n = 100_000
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+
+        def build(batches):
+            import pandas as pd
+
+            for batch in batches:
+                rows = [http_request(f"http://mockchain/{int(i)}/0")
+                        for i in batch["id"]]
+                yield pd.DataFrame(rows)
+
+        from datagrowth_spark.sources.cache import REQUEST_SCHEMA
+        reqs_df = spark.range(n).mapInPandas(build, schema=REQUEST_SCHEMA)
+
+        tracemalloc.start()
+        base, _ = tracemalloc.get_traced_memory()
+        out = paginated_fetch(spark, cache, reqs_df, chain_next_request,
+                              continuation_limit=5,
+                              transport=mock_chain_transport,
+                              backoff_delays=[])
+        total = out.count()
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert total == 2 * n
+        assert (peak - base) < 20 * 1024 * 1024, f"driver peak {peak - base}"
