@@ -145,6 +145,36 @@ def tika_shell_transport(method: str, url: str, headers: dict, data: Any,
     return status, {}, proc.stdout.decode("utf-8", "replace")
 
 
+def detect_tika(server_url: str = TIKA_SERVER_URL,
+                probe_timeout: float = 1.0) -> tuple[str, str] | None:
+    """Runtime gate for real-Tika execution (r4 verdict item 6).
+
+    Returns ``("shell", jar_path)`` when ``$TIKA_APP_JAR`` points at an
+    existing jar and ``java`` is on PATH, ``("server", url)`` when a
+    tika-server answers ``GET /version`` at ``server_url`` (env override
+    ``$TIKA_SERVER_URL``), else ``None``. The gated e2e test flips from
+    skip to a live extraction run wherever either is present; the
+    request-building and signature surface stays covered by the stub
+    transport everywhere else.
+    """
+    import os
+    import shutil
+    import urllib.error
+    import urllib.request
+
+    jar = os.environ.get("TIKA_APP_JAR")
+    if jar and os.path.isfile(jar) and shutil.which("java"):
+        return ("shell", jar)
+    url = os.environ.get("TIKA_SERVER_URL", server_url)
+    try:
+        with urllib.request.urlopen(f"{url}/version", timeout=probe_timeout) as resp:
+            if resp.status == 200:
+                return ("server", url)
+    except (urllib.error.URLError, OSError, ValueError):
+        pass
+    return None
+
+
 def stub_tika_transport(method: str, url: str, headers: dict, data: Any) -> tuple[int, dict, str]:
     """Explicit no-Tika-here transport (the safe default): points callers
     at the real transports above or a test fake."""
@@ -164,6 +194,7 @@ def extract_text(
     transport=stub_tika_transport,
     text_col: str = "text",
     server_url: str = TIKA_SERVER_URL,
+    tika_jar: str = "tika-app.jar",
     **fetch_kwargs,
 ) -> DataFrame:
     """Attach Tika-extracted text to a frame of binary documents.
@@ -181,7 +212,8 @@ def extract_text(
         built = tika_server_requests(df, content_col=content_col,
                                      path_col=path_col, server_url=server_url)
     else:
-        built = tika_shell_requests(df, content_col=content_col, path_col=path_col)
+        built = tika_shell_requests(df, content_col=content_col,
+                                    path_col=path_col, tika_jar=tika_jar)
     reqs = built.select([f.name for f in REQUEST_SCHEMA.fields])
     responses = fetch(reqs, cache, transport=transport, **fetch_kwargs)
     ok = F.col("status").isin(0, 200)

@@ -853,3 +853,110 @@ class TestPaginationRelational:
         tracemalloc.stop()
         assert total == 2 * n
         assert (peak - base) < 20 * 1024 * 1024, f"driver peak {peak - base}"
+
+
+class TestTikaRuntimeGate:
+    """r4 verdict item 6: detect java / tika at runtime; run the real
+    extraction when present, a java-executed stand-in jar e2e where only
+    the JDK is present, and skip cleanly otherwise."""
+
+    def test_detect_shell_mode_via_env(self, tmp_path, monkeypatch):
+        from datagrowth_spark.sources.tika import detect_tika
+
+        jar = tmp_path / "tika-app.jar"
+        jar.write_bytes(b"not really a jar")
+        monkeypatch.setenv("TIKA_APP_JAR", str(jar))
+        assert detect_tika(server_url="http://localhost:1") == ("shell", str(jar))
+
+    def test_detect_none_when_absent(self, monkeypatch):
+        from datagrowth_spark.sources.tika import detect_tika
+
+        monkeypatch.delenv("TIKA_APP_JAR", raising=False)
+        monkeypatch.delenv("TIKA_SERVER_URL", raising=False)
+        # Port 1 refuses instantly — no tika-server, no jar.
+        assert detect_tika(server_url="http://localhost:1") is None
+
+    @staticmethod
+    def _build_echo_jar(tmp_path) -> str:
+        """Compile a stand-in 'tika-app' jar: reads the file named by
+        its LAST argv element and prints FAKETIKA:<content> — same argv
+        contract as `java -jar tika-app.jar --text <path>`."""
+        import subprocess
+
+        src = tmp_path / "FakeTika.java"
+        src.write_text(
+            "public class FakeTika {\n"
+            "  public static void main(String[] args) throws Exception {\n"
+            "    String path = args[args.length - 1];\n"
+            "    byte[] b = java.nio.file.Files.readAllBytes("
+            "java.nio.file.Path.of(path));\n"
+            "    System.out.write((\"FAKETIKA:\" + new String(b, \"UTF-8\"))"
+            ".getBytes(\"UTF-8\"));\n"
+            "  }\n}\n")
+        subprocess.run(["javac", str(src)], cwd=tmp_path, check=True)
+        jar = tmp_path / "faketika.jar"
+        subprocess.run(["jar", "cfe", str(jar), "FakeTika", "FakeTika.class"],
+                       cwd=tmp_path, check=True)
+        return str(jar)
+
+    @pytest.mark.skipif(
+        __import__("shutil").which("javac") is None
+        or __import__("shutil").which("java") is None,
+        reason="JDK not available")
+    def test_shell_pipeline_executes_real_java(self, spark, tmp_path):
+        """Full shell-mode pipeline with a REAL java subprocess: request
+        templating -> cached fetch -> argv execution -> text joined back
+        by content-hash signature; replay serves from cache without
+        re-running java."""
+        from datagrowth_spark.sources.tika import extract_text, tika_shell_transport
+
+        jar = self._build_echo_jar(tmp_path)
+        docs = TestTika._docs(spark, tmp_path)
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        out = extract_text(docs, cache, mode="shell",
+                           transport=tika_shell_transport, tika_jar=jar)
+        got = {r["doc_id"]: (r["text"], r["text_status"]) for r in out.collect()}
+        assert got["a"] == ("FAKETIKA:PDFISH alpha body", 0)
+        assert got["b"] == ("FAKETIKA:PDFISH beta body", 0)
+
+        # Replay: same signatures hit the cache; java never re-runs
+        # (prove it by replaying with the guaranteed-failing stub).
+        from datagrowth_spark.sources.tika import stub_tika_transport
+        out2 = extract_text(docs, cache, mode="shell",
+                            transport=stub_tika_transport, tika_jar=jar)
+        got2 = {r["doc_id"]: r["text"] for r in out2.collect()}
+        assert got2 == {"a": "FAKETIKA:PDFISH alpha body",
+                        "b": "FAKETIKA:PDFISH beta body"}
+
+    @pytest.mark.skipif(
+        __import__("datagrowth_spark.sources.tika", fromlist=["detect_tika"])
+        .detect_tika() is None,
+        reason="no real tika-app.jar ($TIKA_APP_JAR) or tika-server found")
+    def test_real_tika_extraction(self, spark, tmp_path):
+        """Live end-to-end against a REAL Apache Tika (jar or server).
+        Skips wherever neither is installed; in a Tika-equipped
+        environment this extracts text from a real document through the
+        full cached pipeline."""
+        from datagrowth_spark.sources.tika import (
+            detect_tika,
+            extract_text,
+            tika_server_transport,
+            tika_shell_transport,
+        )
+
+        mode, loc = detect_tika()
+        body = b"Real Tika gate test: the quick brown fox."
+        p = str(tmp_path / "doc.txt")
+        with open(p, "wb") as fh:
+            fh.write(body)
+        docs = spark.createDataFrame(
+            [("d", bytearray(body), p)], "doc_id string, content binary, path string")
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        if mode == "shell":
+            out = extract_text(docs, cache, mode="shell",
+                               transport=tika_shell_transport, tika_jar=loc)
+        else:
+            out = extract_text(docs, cache, mode="server",
+                               transport=tika_server_transport, server_url=loc)
+        row = out.collect()[0]
+        assert row["text"] is not None and "quick brown fox" in row["text"]
