@@ -4347,6 +4347,93 @@ def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_FRONTEND)
 
 
+#: Every driver-provided table — the full SQL surface a reference user
+#: migrating to the engine gets for free (SURVEY §2.5: the reference has
+#: no SQL at all; Spark's parser/optimizer make it a one-liner).
+_ALL_TABLES = ("region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def _register_sql_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in _ALL_TABLES:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# Verbatim dialect-shared ANSI texts (r4 verdict item 7): each string is
+# handed unchanged to BOTH spark.sql() and DuckDB. Decimal casts pin the
+# float-sum ambiguity; explicit tiebreaks make window outputs total.
+
+_SQL_WINDOW_TOPN = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey
+         ) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, price
+FROM ranked
+WHERE rn <= 2
+"""
+
+_SQL_EXISTS_SUPPLIERS = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+)
+"""
+
+_SQL_NOT_EXISTS_CUSTOMERS = """
+SELECT c.c_custkey, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+_SQL_CTE_SETOPS = """
+WITH big AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 150000
+),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1997-01-01'
+)
+SELECT o_custkey FROM big
+INTERSECT
+SELECT o_custkey FROM recent
+"""
+
+_SQL_CORRELATED_SCALAR = """
+SELECT n.n_name,
+       (SELECT COUNT(*) FROM supplier s
+        WHERE s.s_nationkey = n.n_nationkey) AS n_suppliers,
+       (SELECT COUNT(*) FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey) AS n_customers
+FROM nation n
+"""
+
+
+def _sql_query(text: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_sql_views(spark, sf_dir)
+        return spark.sql(text)
+    return run
+
+
+q_sql_window_topn = _sql_query(_SQL_WINDOW_TOPN)
+q_sql_exists_suppliers = _sql_query(_SQL_EXISTS_SUPPLIERS)
+q_sql_not_exists_customers = _sql_query(_SQL_NOT_EXISTS_CUSTOMERS)
+q_sql_cte_setops = _sql_query(_SQL_CTE_SETOPS)
+q_sql_correlated_scalar = _sql_query(_SQL_CORRELATED_SCALAR)
+
+
 def q_streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator computed BY THE STREAMING PATH:
     ``applyInPandasWithState`` running per-user totals (exact_cents
@@ -4415,6 +4502,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_self_dedup": q_text_self_dedup,
         "text_char_entropy": q_text_char_entropy,
         "sql_frontend": q_sql_frontend,
+        # new in round 5: verbatim-ANSI SQL front-end breadth
+        "sql_window_topn": q_sql_window_topn,
+        "sql_exists_suppliers": q_sql_exists_suppliers,
+        "sql_not_exists_customers": q_sql_not_exists_customers,
+        "sql_cte_setops": q_sql_cte_setops,
+        "sql_correlated_scalar": q_sql_correlated_scalar,
         # new in round 4
         "dedup_span_rewrite": q_dedup_span_rewrite,
         "dedup_incremental": q_dedup_incremental,
@@ -4533,6 +4626,11 @@ def oracle_sql() -> dict[str, str]:
         "text_self_dedup": SQL_TEXT_SELF_DEDUP,
         "text_char_entropy": SQL_TEXT_CHAR_ENTROPY,
         "sql_frontend": _SQL_FRONTEND,
+        "sql_window_topn": _SQL_WINDOW_TOPN,
+        "sql_exists_suppliers": _SQL_EXISTS_SUPPLIERS,
+        "sql_not_exists_customers": _SQL_NOT_EXISTS_CUSTOMERS,
+        "sql_cte_setops": _SQL_CTE_SETOPS,
+        "sql_correlated_scalar": _SQL_CORRELATED_SCALAR,
         "pipeline_growth_chain": SQL_PIPELINE_GROWTH_CHAIN,
         "quality_linear_classifier": SQL_QUALITY_LINEAR_CLASSIFIER,
         "nation_pair_revenue": SQL_NATION_PAIR_REVENUE,
