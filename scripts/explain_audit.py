@@ -47,13 +47,40 @@ def audit(name: str, df) -> dict:
     # the DATA PATH crosses one task: the true global-sort scale-killer.
     tree = df._jdf.queryExecution().executedPlan().toString()
     tree_lines = tree.splitlines()
+
+    def node_depth(line: str) -> int:
+        # Depth = column of the tree marker; -1 for non-node lines
+        # (multi-line renderings, blank lines). The root node has no
+        # marker — treat column 0.
+        m = re.search(r"[+:]- ", line)
+        if m:
+            return m.start()
+        return 0 if line.strip() and not line.startswith((" ", ":")) else -1
+
+    def first_child(i: int) -> str:
+        # Indentation-aware (ADVICE r4): the next NODE line strictly
+        # deeper than line i; a same-depth line is a sibling, so the
+        # exchange rendered no child here (shouldn't happen for a real
+        # Exchange).
+        d = node_depth(tree_lines[i])
+        for j in range(i + 1, len(tree_lines)):
+            dj = node_depth(tree_lines[j])
+            if dj == -1:
+                continue
+            return tree_lines[j] if dj > d else ""
+        return ""
+
     single, single_bad = 0, 0
     for i, line in enumerate(tree_lines):
         if "Exchange SinglePartition" not in line:
             continue
         single += 1
-        child = tree_lines[i + 1] if i + 1 < len(tree_lines) else ""
-        if "Aggregate" not in child:
+        child = first_child(i)
+        # Bounded inputs: partial aggregates (scalar totals, percentile
+        # sketches, per-shard counts — one row per upstream partition)
+        # and reused exchanges/subqueries (already classified at their
+        # defining occurrence).
+        if not re.search(r"Aggregate|ReusedExchange|ReusedSubquery", child):
             single_bad += 1
     return {
         "single_part": single,

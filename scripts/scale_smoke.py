@@ -217,6 +217,25 @@ def main() -> None:
         sizes = tiles.groupBy("tile").count().collect()
         assert len(sizes) == 4 and max(r["count"] for r in sizes) <= (n + 3) // 4
 
+    @bench("global_rank_low_cardinality")
+    def _():
+        # r5 tie-skew fix under load: exact global rank with a
+        # 5-distinct-value key over n rows. Without tie-group
+        # sub-sharding this collapses to <=5 window tasks (~n/5 rows
+        # each); with it no (shard, sub) group may exceed a few times
+        # the ideal slice.
+        from datagrowth_spark.operators.ranking import (
+            add_global_rank, tie_shard_counts)
+        lowcard = docs.select("doc_id", (F.col("doc_id") % 5)
+                              .cast("double").alias("bucket"))
+        counts = tie_shard_counts(lowcard, "bucket", ("doc_id",),
+                                  num_shards=64).collect()
+        assert max(r["count"] for r in counts) <= 4 * n / 64, counts
+        add_global_rank(lowcard, "bucket", ("doc_id",), out="r",
+                        num_shards=64) \
+            .groupBy("bucket").agg(F.min("r"), F.max("r")) \
+            .write.format("noop").mode("overwrite").save()
+
     @bench("version_diff_full_outer")
     def _():
         from datagrowth_spark.plans.dataset import version_diff
