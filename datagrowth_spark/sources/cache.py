@@ -108,7 +108,19 @@ def shell_transport(method: str, url: str, headers: dict, data: Any) -> tuple[in
 
 
 class ResourceCache:
-    """Persistent response cache over a parquet directory."""
+    """Persistent response cache over a parquet directory.
+
+    Layout: each append commits as its own ``batch-<uuid>`` subdirectory,
+    published by an ATOMIC rename of a hidden staging dir. Concurrent
+    appenders (two fetch jobs in one session, or two crawler drivers on a
+    shared cache) therefore never share a ``_temporary`` dir — the classic
+    same-path parquet-append hazard where one job's commit cleanup deletes
+    the other's staged task files. Reads use ``recursiveFileLookup``, which
+    also still finds flat pre-r5 layouts. A crashed append leaves only a
+    hidden ``.staging-*`` dir (invisible to readers); :meth:`vacuum` sweeps
+    those. ``vacuum`` itself is single-writer maintenance — do not run it
+    concurrently with appenders.
+    """
 
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
@@ -117,7 +129,8 @@ class ResourceCache:
     def is_empty(self) -> bool:
         """True when no parquet has ever been committed — a pure driver
         filesystem check (no job), used to skip the hit-lookup join on
-        the cold path."""
+        the cold path. Staging dirs are hidden, so a mid-flight append
+        doesn't count until its atomic publish."""
         return not os.path.exists(self.path) or not any(
             not n.startswith((".", "_")) for n in os.listdir(self.path)
         )
@@ -126,7 +139,7 @@ class ResourceCache:
         if self.is_empty():
             # absent or still-empty cache directory (no committed parquet)
             return self.spark.createDataFrame([], RESPONSE_SCHEMA)
-        df = self.spark.read.parquet(self.path)
+        df = self.spark.read.option("recursiveFileLookup", "true").parquet(self.path)
         # Forward-compat: caches written before the chain column existed
         # read back with chain = own signature.
         if "chain" not in df.columns:
@@ -137,8 +150,16 @@ class ResourceCache:
         return df.where(F.col("purge_at").isNull() | (F.col("purge_at") > F.current_timestamp()))
 
     def append(self, responses: DataFrame) -> None:
+        """Commit one response batch atomically (stage hidden, rename to
+        publish) — safe under concurrent appenders, see class docstring."""
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        token = uuid.uuid4().hex
+        staging = os.path.join(self.path, f".staging-{token}")
         responses.select([f.name for f in RESPONSE_SCHEMA.fields]) \
-            .write.mode("append").parquet(self.path)
+            .write.mode("overwrite").parquet(staging)
+        os.replace(staging, os.path.join(self.path, f"batch-{token}"))
 
     def latest(self) -> DataFrame:
         """One row per signature (most recent fetch wins)."""
@@ -149,12 +170,18 @@ class ResourceCache:
         return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
     def vacuum(self) -> None:
-        """Rewrite the cache dropping expired rows (periodic maintenance)."""
+        """Rewrite the cache dropping expired rows and crashed-append
+        staging dirs (periodic single-writer maintenance)."""
+        import shutil
+
         kept = self.read()
         tmp = self.path + ".vacuum"
         kept.write.mode("overwrite").parquet(tmp)
         final = self.spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(self.path)
+        for name in os.listdir(self.path):
+            if name.startswith(".staging-"):
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
 
 def _fetch_worker(

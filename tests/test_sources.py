@@ -728,10 +728,11 @@ class TestFetchFaultInjection:
         assert len(transport_calls(log3)) == 1  # refetched exactly once
         assert out.count() == 1
         # Raw table holds both generations; vacuum drops the corpse.
-        raw = spark.read.parquet(cache.path)
+        raw = spark.read.option("recursiveFileLookup", "true").parquet(cache.path)
         assert raw.count() == 2
         cache.vacuum()
-        assert spark.read.parquet(cache.path).count() == 1
+        assert spark.read.option("recursiveFileLookup", "true") \
+            .parquet(cache.path).count() == 1
         assert cache.read().count() == 1
 
 
@@ -960,3 +961,45 @@ class TestTikaRuntimeGate:
                                transport=tika_server_transport, server_url=loc)
         row = out.collect()[0]
         assert row["text"] is not None and "quick brown fox" in row["text"]
+
+
+class TestConcurrentAppend:
+    def test_parallel_fetches_share_one_cache(self, spark, tmp_path):
+        """Four threads fetch disjoint url sets into ONE cache
+        concurrently (the same-path parquet-append hazard: concurrent
+        jobs sharing _temporary can delete each other's staged files).
+        With atomic batch-dir publishes every row must land exactly
+        once and the cache must stay readable throughout."""
+        import threading
+
+        from mock_transports import counting_transport, transport_calls
+
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        log = str(tmp_path / "calls")
+        errors = []
+        barrier = threading.Barrier(4, timeout=60)
+
+        def work(k):
+            try:
+                urls = [f"http://mockapi/item/{k}-{i}" for i in range(10)]
+                reqs = requests_to_df(spark, [http_request(u) for u in urls])
+                barrier.wait()
+                out = fetch(reqs, cache, transport=counting_transport(log))
+                assert out.count() == 10
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        threads = [threading.Thread(target=work, args=(k,)) for k in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert not errors, errors
+        assert cache.read().count() == 40
+        assert len(transport_calls(log)) == 40  # each url fetched once
+        dup = (cache.read().groupBy("signature").count()
+               .where(F.col("count") > 1).count())
+        assert dup == 0
+        # No staging debris left behind; vacuum keeps all live rows.
+        cache.vacuum()
+        assert cache.read().count() == 40
