@@ -132,6 +132,11 @@ HEADLINE = [
     "text_self_dedup",
     "text_char_entropy",
     "sql_frontend",
+    "sql_window_topn",
+    "sql_exists_suppliers",
+    "sql_not_exists_customers",
+    "sql_cte_setops",
+    "sql_correlated_scalar",
 ]
 
 
