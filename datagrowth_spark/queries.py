@@ -942,7 +942,12 @@ def q_docs_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datagrowth_spark.operators.ranking import add_global_rank
 
     docs = _t(spark, sf_dir, "documents")
-    scored = docs.select("doc_id", TX.quality_score("text").alias("quality"))
+    # Persist the scored frame (house pattern for chained rank passes):
+    # the eager sharded rank's bounded driver collects (cuts sketch,
+    # offset counts) would otherwise re-run the full quality-scoring
+    # pipeline once per action.
+    scored = docs.select(
+        "doc_id", TX.quality_score("text").alias("quality")).persist()
     ranked = add_global_rank(scored, "quality", ("doc_id",), descending=True,
                              out="rank")
     return ranked.select("doc_id", "quality",
