@@ -137,6 +137,7 @@ HEADLINE = [
     "sql_not_exists_customers",
     "sql_cte_setops",
     "sql_correlated_scalar",
+    "curriculum_pack",
 ]
 
 

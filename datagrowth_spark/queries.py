@@ -2847,6 +2847,59 @@ FROM x GROUP BY chunk_id
 """
 
 
+def q_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered sequence packing: the pack stream follows the
+    EXACT global quality rank (best documents first) instead of doc_id
+    — the rank operator composed with the sharded prefix-sum layout, a
+    pattern LLM data pipelines use for quality-curriculum training
+    runs. Both stages are the scale-safe sharded forms: no
+    corpus-sized frame ever crosses one task, yet every placement is
+    bit-identical to the oracle's global-window formulation.
+    """
+    from datagrowth_spark.operators import packing as PK
+    from datagrowth_spark.operators.ranking import add_global_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        TX.quality_score("text").alias("quality"),
+        TX.token_count("text").cast("long").alias("n_toks"),
+    ).where(F.col("n_toks") > 0).persist()
+    ranked = add_global_rank(scored, "quality", ("doc_id",),
+                             descending=True, out="rnk")
+    layout = PK.pack_layout(ranked.select("rnk", "n_toks"),
+                            "rnk", "n_toks", ctx=512)
+    return (
+        layout.join(ranked.select("doc_id", "rnk"), "rnk")
+        .select("doc_id", "n_tokens", "start", "first_chunk", "last_chunk")
+    )
+
+
+SQL_CURRICULUM_PACK = f"""
+WITH q AS ({SQL_TEXT_QUALITY}),
+tok AS (
+  SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents
+),
+r AS (
+  SELECT q.doc_id, tok.n_tokens,
+         ROW_NUMBER() OVER (ORDER BY q.quality DESC, q.doc_id ASC) AS rnk
+  FROM q JOIN tok ON q.doc_id = tok.doc_id
+  WHERE tok.n_tokens > 0
+),
+p AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY rnk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS stream_end
+  FROM r
+)
+SELECT doc_id, n_tokens, stream_end - n_tokens AS start,
+       (stream_end - n_tokens) // 512 AS first_chunk,
+       (stream_end - 1) // 512 AS last_chunk
+FROM p
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first BPE merge iteration: collapse the corpus to word
     frequencies (one shuffle over the word distribution — tiny after
@@ -4513,6 +4566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_not_exists_customers": q_sql_not_exists_customers,
         "sql_cte_setops": q_sql_cte_setops,
         "sql_correlated_scalar": q_sql_correlated_scalar,
+        "curriculum_pack": q_curriculum_pack,
         # new in round 4
         "dedup_span_rewrite": q_dedup_span_rewrite,
         "dedup_incremental": q_dedup_incremental,
@@ -4636,6 +4690,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_not_exists_customers": _SQL_NOT_EXISTS_CUSTOMERS,
         "sql_cte_setops": _SQL_CTE_SETOPS,
         "sql_correlated_scalar": _SQL_CORRELATED_SCALAR,
+        "curriculum_pack": SQL_CURRICULUM_PACK,
         "pipeline_growth_chain": SQL_PIPELINE_GROWTH_CHAIN,
         "quality_linear_classifier": SQL_QUALITY_LINEAR_CLASSIFIER,
         "nation_pair_revenue": SQL_NATION_PAIR_REVENUE,

@@ -1003,3 +1003,36 @@ class TestConcurrentAppend:
         # No staging debris left behind; vacuum keeps all live rows.
         cache.vacuum()
         assert cache.read().count() == 40
+
+
+def test_cache_mixed_flat_and_batch_layouts(spark, tmp_path):
+    """A cache written by the pre-r5 flat layout (parquet files directly
+    in the cache dir) must keep serving after batch-dir appends land
+    beside it — recursive reads see both generations."""
+    import datetime
+
+    from datagrowth_spark.sources.cache import RESPONSE_SCHEMA
+
+    path = str(tmp_path / "cache")
+    old_req = http_request("http://mockapi/item/old")
+    t0 = datetime.datetime(2026, 1, 1)
+    old_row = {**old_req, "status": 200, "head": "{}", "body": "legacy",
+               "fetched_at": t0, "purge_at": None, "chain": old_req["signature"]}
+    # Simulate the pre-r5 layout: flat files in the cache root.
+    spark.createDataFrame([old_row], RESPONSE_SCHEMA) \
+        .write.mode("append").parquet(path)
+
+    cache = ResourceCache(spark, path)
+    assert cache.read().count() == 1
+    new_url = "http://mockapi/entities/3"
+    out = fetch(requests_to_df(spark, [http_request(new_url)]), cache,
+                transport=mock_api_transport)
+    assert out.count() == 1
+    rows = {r["body"] for r in cache.read().collect()}
+    assert "legacy" in rows and len(rows) == 2
+    # Old row still a hit: no transport fires for it.
+    from mock_transports import counting_transport, transport_calls
+    log = str(tmp_path / "calls")
+    fetch(requests_to_df(spark, [old_req, http_request(new_url)]), cache,
+          transport=counting_transport(log)).collect()
+    assert transport_calls(log) == []
