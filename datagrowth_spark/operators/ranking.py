@@ -244,9 +244,10 @@ def _eager_shard_exprs(
             m = heavy.get(v)
             if not m or not p:
                 continue
-            picks = sorted({p[min(len(p) - 1, max(0, round(i * g / m) - 1))]
-                            for i in range(1, m)})
-            picks = [c for c in picks if c is not None and not math.isnan(c)]
+            picks = {p[min(len(p) - 1, max(0, round(i * g / m) - 1))]
+                     for i in range(1, m)}
+            picks = sorted(c for c in picks
+                           if c is not None and not math.isnan(c))
             tb_null_first = F.when(qtb.isNull(), F.lit(0)).otherwise(
                 _count_below_lit(picks, qtb))
             sub = F.when(F.col("_dg_qkey") == F.lit(float(v)), tb_null_first
