@@ -138,6 +138,8 @@ HEADLINE = [
     "sql_cte_setops",
     "sql_correlated_scalar",
     "curriculum_pack",
+    "epoch_shuffle",
+    "length_bucket_batches",
 ]
 
 

@@ -52,6 +52,16 @@ Remaining un-split cases: NULL and NaN keys route through their own
 explicit shards (percentile sketches can't see them) — a frame that is
 mostly NULL-keyed keeps a fat shard.
 
+Shadow-collision guard: the quantile shadow is a ``double``, so 64-bit
+keys beyond 2^53 can collide distinct values into one shadow — and a
+collided "tie group" must NOT be sub-split (the split would reorder
+genuinely different keys; shard assignment itself stays correct because
+collided rows always land in one shard and the within-shard window
+sorts by the ORIGINAL columns). For bigint/timestamp keys each flagged
+heavy group is therefore verified with an exact ``min(key) == max(key)``
+check before any split; unverified groups stay whole. Dense giant-int
+keys that need split balance should be rescaled under 2^53.
+
 The reference has no ranking operators (Django ORM querysets); this
 serves the repo's own segmentation queries (RFM quartiles) at scale.
 """
@@ -224,6 +234,24 @@ def _eager_shard_exprs(
     if not heavy:
         return qkey, shard, F.lit(0)
 
+    # Shadow-collision guard: for 64-bit keys beyond 2^53 the double
+    # shadow is lossy, so "heavy" can flag DISTINCT keys that merely
+    # collide in the shadow — splitting such a group by tiebreak or
+    # hash would reorder genuinely different key values. One bounded
+    # action checks min(key) == max(key) per flagged group; unsafe
+    # groups stay whole (correct, at the cost of balance for
+    # pathological dense giant-int ties — give such keys headroom
+    # under 2^53 to regain splitting).
+    if key_type in ("bigint", "timestamp", "timestamp_ntz") and heavy:
+        chk = (stats_q.where(F.col("_dg_qkey").isin([float(v) for v in heavy]))
+               .groupBy("_dg_qkey")
+               .agg(F.min(key).alias("mn"), F.max(key).alias("mx"))
+               .collect())
+        safe = {r["_dg_qkey"] for r in chk if r["mn"] == r["mx"]}
+        heavy = {v: m for v, m in heavy.items() if v in safe}
+        if not heavy:
+            return qkey, shard, F.lit(0)
+
     if tiebreaks and tb_shardable:
         # Second bounded action: tiebreak percentiles inside each heavy
         # tie group (<= num_shards rows x grid doubles), sliced down to
@@ -382,6 +410,20 @@ def _sharded(
 
     heavy_df = cuts_df.select(
         F.explode("_dg_heavy").alias("_dg_h")).select("_dg_h.*")
+
+    # Shadow-collision guard (see the eager twin): for 64-bit key types
+    # a flagged group may hold DISTINCT keys colliding in the lossy
+    # double shadow — only groups where min(key) == max(key) may be
+    # split. The flag aggregate is AQE-pruned away when nothing is
+    # heavy; for exactly-shadowed key types every group is safe.
+    if key_type in ("bigint", "timestamp", "timestamp_ntz"):
+        heavy_df = (
+            based.join(F.broadcast(heavy_df),
+                       based["_dg_qkey"] == heavy_df["_dg_hv"], "inner")
+            .groupBy("_dg_hv", "_dg_hm")
+            .agg((F.min(key) == F.max(key)).alias("_dg_safe"))
+            .where(F.col("_dg_safe")).drop("_dg_safe")
+        )
 
     if tb_shardable:
         # Per-heavy-key tiebreak cuts: percentile of the tb shadow over

@@ -2900,6 +2900,87 @@ FROM p
 """
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: every document gets a stable,
+    uniformly-shuffled 1-based position — the permutation training
+    loaders need per epoch — WITHOUT a global sort. The shuffle key is
+    the first 60 bits of ``md5(doc_id)`` (engine-portable, seedable by
+    salting the hashed text), and the position is the sharded exact
+    global rank: quantile cuts partition the key space, so at 100 TB
+    the permutation costs one bounded sketch plus one partitioned
+    window — never a corpus through one task. Fixed-width lowercase
+    hex sorts identically as string (oracle) and as its numeric value
+    (engine), which is what makes the two formulations bit-equal.
+    """
+    from datagrowth_spark.operators.ranking import add_global_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                 16, 10).cast("bigint")
+    keyed = docs.select("doc_id", key.alias("shuffle_key"))
+    ranked = add_global_rank(keyed, "shuffle_key", ("doc_id",),
+                             out="position")
+    return ranked.select("doc_id", F.col("position").cast("long").alias("position"))
+
+
+SQL_EPOCH_SHUFFLE = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+         ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id
+       ) AS position
+FROM documents
+"""
+
+
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference-time length bucketing: documents group into power-of-2
+    token-length buckets (bucket = bit length of the token count —
+    integer-exact in both engines, no float log2 edge at powers of
+    two), and each bucket is cut into fixed-size batches in doc_id
+    order. The naive plan is a window PARTITION BY bucket — ~20 fat
+    partitions, each a corpus-sized task. Instead the within-bucket
+    index comes from ONE sharded global rank over the composite key
+    ``bucket * 2^55 + doc_id`` (tie-free, quantile-shardable) minus a
+    broadcast per-bucket offset — the rank operator as the engine's
+    universal ordering primitive.
+    """
+    from datagrowth_spark.operators.ranking import add_global_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id", TX.token_count("text").cast("long").alias("n_toks")
+    ).where(F.col("n_toks") > 0)
+    bucket = F.length(F.expr("bin(n_toks)")).cast("long")
+    keyed = counted.select(
+        "doc_id", bucket.alias("bucket"),
+        (bucket * F.lit(2 ** 55) + F.col("doc_id")).alias("ck"))
+    ranked = add_global_rank(keyed, "ck", (), out="grk")
+    offsets = ranked.groupBy("bucket").agg(F.min("grk").alias("b_off"))
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id", "bucket",
+            F.expr("(grk - b_off) div 32").cast("long").alias("batch_id"))
+    )
+
+
+SQL_LENGTH_BUCKET_BATCHES = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n FROM documents
+),
+b AS (
+  SELECT doc_id, CAST(length(bin(n)) AS BIGINT) AS bucket
+  FROM d WHERE n > 0
+),
+r AS (
+  SELECT doc_id, bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS idx
+  FROM b
+)
+SELECT doc_id, bucket, (idx - 1) // 32 AS batch_id FROM r
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first BPE merge iteration: collapse the corpus to word
     frequencies (one shuffle over the word distribution — tiny after
@@ -4567,6 +4648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_cte_setops": q_sql_cte_setops,
         "sql_correlated_scalar": q_sql_correlated_scalar,
         "curriculum_pack": q_curriculum_pack,
+        "epoch_shuffle": q_epoch_shuffle,
+        "length_bucket_batches": q_length_bucket_batches,
         # new in round 4
         "dedup_span_rewrite": q_dedup_span_rewrite,
         "dedup_incremental": q_dedup_incremental,
@@ -4691,6 +4774,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_cte_setops": _SQL_CTE_SETOPS,
         "sql_correlated_scalar": _SQL_CORRELATED_SCALAR,
         "curriculum_pack": SQL_CURRICULUM_PACK,
+        "epoch_shuffle": SQL_EPOCH_SHUFFLE,
+        "length_bucket_batches": SQL_LENGTH_BUCKET_BATCHES,
         "pipeline_growth_chain": SQL_PIPELINE_GROWTH_CHAIN,
         "quality_linear_classifier": SQL_QUALITY_LINEAR_CLASSIFIER,
         "nation_pair_revenue": SQL_NATION_PAIR_REVENUE,

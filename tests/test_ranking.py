@@ -256,3 +256,60 @@ def test_plan_has_no_corpus_single_partition(spark):
         below = "\n".join(lines[i + 1:i + 3])
         assert "Aggregate" in below, below
         assert "Sort" not in below and "Window" not in below, below
+
+
+@pytest.mark.parametrize("mode", ["eager", "lazy"])
+@pytest.mark.parametrize("tiebreak", [True, False])
+def test_giant_bigint_keys_shadow_collision_exact(spark, mode, tiebreak):
+    """Distinct bigint keys beyond 2^53 collide in the double quantile
+    shadow; a collided group flagged heavy must NOT be sub-split (the
+    r5 vanilla-session bug: the split reordered genuinely different
+    keys). Ranks must equal the global window exactly."""
+    base = 1 << 60  # ulp at this magnitude is 128 — +0..3 all collide
+    rows = [(i, base + (i % 4)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, k long")
+    tbs = ("id",) if tiebreak else ()
+    got = add_global_rank(df, "k", tbs, out="r", num_shards=64, mode=mode)
+    w = Window.orderBy(F.col("k").asc(), F.col("id").asc())
+    ref = df.withColumn("expect", F.row_number().over(w))
+    merged = got.join(ref.select("id", "expect"), "id")
+    if tiebreak:
+        # Total order: exact equality.
+        assert merged.where(F.col("r") != F.col("expect")).count() == 0
+    else:
+        # Ties permute arbitrarily, but each key's block must be
+        # contiguous and start/end where the window's does.
+        blocks = got.groupBy("k").agg(
+            F.min("r").alias("lo"), F.max("r").alias("hi"),
+            F.count("*").alias("n"), F.count_distinct("r").alias("nd")
+        ).orderBy("k").collect()
+        pos = 1
+        for b in blocks:
+            assert b["lo"] == pos and b["hi"] == pos + b["n"] - 1
+            assert b["nd"] == b["n"]
+            pos += b["n"]
+
+
+@pytest.mark.parametrize("mode", ["eager", "lazy"])
+def test_true_giant_bigint_ties_still_split(spark, mode):
+    """A GENUINE heavy tie on a giant bigint key (min == max in the
+    group) may still be hash-split — the guard must not disable the
+    balance fix where it is valid."""
+    from datagrowth_spark.operators.ranking import tie_shard_counts
+
+    base = 1 << 60
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id"), (F.lit(base) + (F.col("id") % 3) * (1 << 20)).alias("k"))
+    # Keys are base, base+2^20, base+2^21 — far apart, no collision;
+    # each a true heavy tie of ~n/3 rows.
+    counts = tie_shard_counts(df, "k", num_shards=16, mode=mode).collect()
+    assert max(c["count"] for c in counts) <= 4 * n / 16, counts
+    got = add_global_rank(df, "k", out="r", num_shards=16, mode=mode)
+    blocks = got.groupBy("k").agg(
+        F.min("r").alias("lo"), F.max("r").alias("hi"),
+        F.count("*").alias("n")).orderBy("k").collect()
+    pos = 1
+    for b in blocks:
+        assert b["lo"] == pos and b["hi"] == pos + b["n"] - 1
+        pos += b["n"]
