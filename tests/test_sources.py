@@ -1036,3 +1036,44 @@ def test_cache_mixed_flat_and_batch_layouts(spark, tmp_path):
     fetch(requests_to_df(spark, [old_req, http_request(new_url)]), cache,
           transport=counting_transport(log)).collect()
     assert transport_calls(log) == []
+
+
+class TestRelationalStitching:
+    """The documented corner of the relational walker: a chain that
+    converges INTO a segment cached under a foreign chain head must
+    recover the shared tail from cache (no refetch) within the round
+    guard."""
+
+    @staticmethod
+    def _next(response):
+        body = json.loads(response["body"])
+        if body.get("next_page") is not None:
+            return http_request("http://mockapi/entities",
+                                params={"page": body["next_page"]})
+        return None
+
+    def test_converging_chain_reuses_foreign_cached_tail(self, spark, tmp_path):
+        from mock_transports import counting_transport, transport_calls
+
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        # Crawl A: full chain from page 0 (pages 0-3 cached, chained
+        # under page 0's signature).
+        a = [http_request("http://mockapi/entities", params={"page": 0})]
+        paginated_fetch(spark, cache, a, self._next, continuation_limit=10,
+                        relational=True, transport=mock_api_transport).count()
+
+        # Crawl B starts at page 1 — a MID-CHAIN entry whose every page
+        # is cached under A's head. Only relational-walk lookups may
+        # run; zero transports.
+        log = str(tmp_path / "calls")
+        b = [http_request("http://mockapi/entities", params={"page": 1})]
+        out = paginated_fetch(spark, cache, b, self._next,
+                              continuation_limit=10, relational=True,
+                              transport=counting_transport(log))
+        assert out.count() == 3  # pages 1, 2, 3
+        assert transport_calls(log) == []
+        # (A chain whose MISS head leads into cached territory walks
+        # live by design — the worker cannot consult the cache
+        # mid-walk; budget bounds the politeness cost and latest()
+        # dedupes the re-appended rows. Stitching applies to cursors
+        # that reach cached pages BEFORE a miss, as crawl B does.)
