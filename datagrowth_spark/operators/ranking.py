@@ -79,7 +79,8 @@ _ACCURACY = 10000
 # column can never be silently overwritten and dropped (ADVICE r4).
 _WORK_COLS = ("_dg_qkey", "_dg_qtb", "_dg_shard", "_dg_sub", "_dg_rn",
               "_dg_off", "_dg_total", "_dg_rawcuts", "_dg_cuts",
-              "_dg_hv", "_dg_hm", "_dg_subcuts", "_dg_p")
+              "_dg_hv", "_dg_hm", "_dg_subcuts", "_dg_p",
+              "_dg_rank", "_dg_n")
 
 
 def _default_num_shards(spark) -> int:
@@ -283,7 +284,14 @@ def _eager_shard_exprs(
         return qkey, shard, sub
 
     if not tiebreaks:
-        row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
+        # The returned exprs must resolve on a row-equivalent stats
+        # frame too (documented contract), so hash only the columns
+        # both frames carry. A common set reduced to the key alone
+        # degrades the split (constant within a tie group) but stays
+        # valid — any tie permutation is.
+        hash_cols = (df.columns if stats_df is None else
+                     [c for c in df.columns if c in stats_df.columns])
+        row_hash = F.xxhash64(*[F.col(c) for c in hash_cols])
         sub = F.lit(0)
         for v, m in heavy.items():
             sub = F.when(F.col("_dg_qkey") == F.lit(float(v)),

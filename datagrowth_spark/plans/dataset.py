@@ -156,10 +156,19 @@ class DatasetWarehouse:
             except FileExistsError:
                 try:
                     if time.time() - os.path.getmtime(lock) > self._LOCK_STALE_S:
-                        os.unlink(lock)  # crashed writer
+                        # Break via RENAME, not unlink: rename of one
+                        # inode succeeds for exactly one waiter, so a
+                        # slow breaker can never delete the fresh lock
+                        # a faster waiter just created (two writers in
+                        # the CAS window = the lost update returns).
+                        import uuid as _uuid
+
+                        broken = f"{lock}.broken-{_uuid.uuid4().hex}"
+                        os.rename(lock, broken)
+                        os.unlink(broken)
                         continue
                 except OSError:
-                    continue  # lock vanished between check and stat
+                    continue  # lock vanished/was broken by another waiter
                 if time.monotonic() > deadline:
                     raise DGConcurrentWrite(
                         f"could not acquire commit lock {lock}") from None

@@ -179,6 +179,7 @@ class ResourceCache:
         kept.write.mode("overwrite").parquet(tmp)
         final = self.spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(self.path)
+        shutil.rmtree(tmp, ignore_errors=True)
         for name in os.listdir(self.path):
             if name.startswith(".staging-"):
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)

@@ -118,7 +118,13 @@ def paginated_fetch(
 
     ``next_request(response_row) -> request | None`` implements the
     source's pagination contract (the reference's ``next_parameters``,
-    http/generic.py:471-506).
+    http/generic.py:471-506). NOTE: above ``PAGINATION_RELATIONAL_
+    THRESHOLD`` chain heads (or for a DataFrame ``requests``) the
+    relational scale path is auto-selected, where ``next_request``
+    receives JSON-round-tripped rows (timestamps as ISO strings, not
+    pandas Timestamps); callbacks reading only string fields (url,
+    body, headers — the overwhelmingly common shape) see no
+    difference. Pass ``relational=False`` to pin the driver walker.
 
     Execution shape — O(1) driver rounds for both the cold and the
     fully-cached path:
@@ -332,8 +338,15 @@ def _paginated_fetch_relational(
         cur = cursors.withColumn(
             "_sig", F.get_json_object(F.col("req"), "$.signature"))
         latest = cache.latest()
-        misses = cur.join(latest.select(F.col("signature").alias("_sig")),
-                          "_sig", "left_anti")
+        # Only SUCCESSFUL cached responses count as hits — mirroring
+        # fetch()'s own hit rule (a cached transient 5xx must be
+        # re-sent, not shadow the signature forever). The driver walker
+        # gets this for free by routing its frontier through fetch().
+        from datagrowth_spark.sources.cache import success_predicate
+        misses = cur.join(
+            latest.where(success_predicate())
+            .select(F.col("signature").alias("_sig")),
+            "_sig", "left_anti")
         parsed = misses.select(
             F.from_json("req", REQUEST_SCHEMA).alias("r"),
             (F.lit(limit) - F.col("pages") + 1).cast("int").alias(BUDGET_COL),

@@ -1077,3 +1077,43 @@ class TestRelationalStitching:
         # mid-walk; budget bounds the politeness cost and latest()
         # dedupes the re-appended rows. Stitching applies to cursors
         # that reach cached pages BEFORE a miss, as crawl B does.)
+
+
+def test_relational_pagination_refetches_cached_failures(spark, tmp_path):
+    """The relational walker's miss detection must mirror fetch()'s hit
+    rule: a cached transient failure is NOT a hit — the signature is
+    re-sent and recovers (code-review finding: the anti-join previously
+    matched failure rows, shadowing the chain end forever)."""
+    fail_log = str(tmp_path / "fail.log")
+
+    def flaky(method, url, headers, data, _log=fail_log):
+        with open(_log, "a") as fh:
+            fh.write(url + "\n")
+        with open(_log) as fh:
+            n = len(fh.readlines())
+        if n == 1:
+            return 503, {}, ""  # first contact: transient failure
+        return mock_api_transport(method, url, headers, data)
+
+    def next_request(response):
+        body = json.loads(response["body"] or "{}")
+        if body.get("next_page") is not None:
+            return http_request("http://mockapi/entities",
+                                params={"page": body["next_page"]})
+        return None
+
+    cache = ResourceCache(spark, str(tmp_path / "cache"))
+    first = [http_request("http://mockapi/entities", params={"page": 0})]
+    out1 = paginated_fetch(spark, cache, first, next_request,
+                           continuation_limit=10, relational=True,
+                           transport=flaky, backoff_delays=[],
+                           fetch_partitions=1)
+    assert out1.count() == 1  # the 503 head; chain cannot continue
+
+    out2 = paginated_fetch(spark, cache, first, next_request,
+                           continuation_limit=10, relational=True,
+                           transport=flaky, backoff_delays=[],
+                           fetch_partitions=1)
+    pages = out2.collect()
+    assert len(pages) == 4  # recovered: full chain
+    assert all(p["status"] == 200 for p in pages)
