@@ -313,3 +313,31 @@ def test_true_giant_bigint_ties_still_split(spark, mode):
     for b in blocks:
         assert b["lo"] == pos and b["hi"] == pos + b["n"] - 1
         pos += b["n"]
+
+
+def test_stats_df_with_chained_frame_and_heavy_no_tiebreak_key(spark):
+    """Code-review regression: the eager no-tiebreak hash split must
+    stay applicable to a row-equivalent stats frame that lacks the
+    chained frame's extra columns (it previously hashed every input
+    column, so the offsets collect against the persisted base raised
+    an unresolved-column error)."""
+    base = spark.range(60_000).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("double").alias("a"),
+        (F.col("id") % 3).cast("double").alias("b"),
+    ).persist()
+    r1 = add_global_rank(base, "a", ("id",), out="rank_a", num_shards=16)
+    # 'b' has 3 heavy values; stats actions run against the cached base
+    # which has no 'rank_a' column.
+    r2 = add_global_rank(r1, "b", (), out="rank_b", num_shards=16,
+                         stats_df=base)
+    blocks = r2.groupBy("b").agg(
+        F.min("rank_b").alias("lo"), F.max("rank_b").alias("hi"),
+        F.count("*").alias("n"), F.count_distinct("rank_b").alias("nd")
+    ).orderBy("b").collect()
+    pos = 1
+    for blk in blocks:
+        assert blk["lo"] == pos and blk["hi"] == pos + blk["n"] - 1
+        assert blk["nd"] == blk["n"]
+        pos += blk["n"]
+    base.unpersist()
