@@ -609,9 +609,29 @@ def add_global_rank(
                 kv += [F.lit(r["_dg_shard"] * kidx + r["_dg_sub"]),
                        F.lit(acc).cast("long")]
                 acc += r["count"]
-            off = (F.create_map(*kv)[F.col("_dg_shard") * kidx
-                                     + F.col("_dg_sub")]
-                   if kv else F.lit(0).cast("long"))
+            if kv:
+                # Loud-failure guard (ADVICE r5): if the persisted stats
+                # frame was evicted and recomputed from a nondeterministic
+                # upstream, a (shard, sub) group can appear at execution
+                # that the construction-time map never saw — a NULL map
+                # lookup would then silently NULL every rank in that
+                # group. coalesce short-circuits, so raise_error fires
+                # only on the actual mismatch.
+                lookup = F.create_map(*kv)[F.col("_dg_shard") * kidx
+                                           + F.col("_dg_sub")]
+                off = F.coalesce(
+                    lookup,
+                    F.raise_error(F.concat(
+                        F.lit("add_global_rank: (shard, sub) group absent "
+                              "from the cached offsets map — stats frame "
+                              "no longer row-equivalent to the input; "
+                              "shard*k+sub="),
+                        (F.col("_dg_shard") * kidx
+                         + F.col("_dg_sub")).cast("string"),
+                    )).cast("long"),
+                )
+            else:
+                off = F.lit(0).cast("long")
             ranked = sharded.withColumn(
                 "_dg_rn",
                 F.row_number().over(

@@ -132,9 +132,13 @@ class DatasetWarehouse:
             return json.load(fh)
 
     # Commit-lock bounds: a meta.json write is milliseconds, so a lock
-    # older than this is a crashed writer and gets broken.
+    # older than this is a crashed writer and gets broken. The acquire
+    # deadline must EXCEED the stale threshold (ADVICE r5): otherwise no
+    # waiter arriving just after a crash can outlast the threshold, and
+    # every commit in the crash window fails instead of one of them
+    # breaking the dead lock.
     _LOCK_STALE_S = 10.0
-    _LOCK_WAIT_S = 5.0
+    _LOCK_WAIT_S = 15.0
 
     def _commit_lock(self, path: str):
         """O_CREAT|O_EXCL lockfile serializing the compare-and-replace
@@ -213,7 +217,14 @@ class DatasetWarehouse:
         the write path for everything after the initial version claim,
         so a concurrent grower's claims are never clobbered by our
         stale snapshot (the r4-flagged lost-update)."""
-        for _ in range(retries):
+        import time
+
+        for attempt in range(retries):
+            if attempt:
+                # Linear backoff between CAS retries so contending
+                # writers (or a crashed writer's stale-lock window)
+                # don't exhaust the budget in milliseconds (ADVICE r5).
+                time.sleep(0.05 * attempt)
             meta = self.read_meta(dataset)
             gen = meta.get("generation", 0)
             versions = meta["versions"]
@@ -287,8 +298,12 @@ class DatasetWarehouse:
         # Claim a version slot under CAS: a concurrent grow() reading
         # the same meta loses the race, re-reads, and claims the next
         # slot — no read-modify-write can drop its versions anymore.
+        import time
+
         clone_from = None
-        for _ in range(5):
+        for _attempt in range(5):
+            if _attempt:
+                time.sleep(0.05 * _attempt)  # CAS backoff (ADVICE r5)
             meta = self.read_meta(dataset)
             gen = meta.get("generation", 0)
             versions = meta["versions"]

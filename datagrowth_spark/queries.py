@@ -2917,7 +2917,10 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     key = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
                  16, 10).cast("bigint")
-    keyed = docs.select("doc_id", key.alias("shuffle_key"))
+    # Persist (house pattern, ADVICE r5): the eager rank's construction-
+    # time sketch collect would otherwise re-run the md5 scan lineage
+    # once per construction job in addition to the final job.
+    keyed = docs.select("doc_id", key.alias("shuffle_key")).persist()
     ranked = add_global_rank(keyed, "shuffle_key", ("doc_id",),
                              out="position")
     return ranked.select("doc_id", F.col("position").cast("long").alias("position"))
@@ -2951,9 +2954,11 @@ def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", TX.token_count("text").cast("long").alias("n_toks")
     ).where(F.col("n_toks") > 0)
     bucket = F.length(F.expr("bin(n_toks)")).cast("long")
+    # Persist (house pattern, ADVICE r5): the eager sketch collect and
+    # the final job otherwise each re-run the tokenize scan lineage.
     keyed = counted.select(
         "doc_id", bucket.alias("bucket"),
-        (bucket * F.lit(2 ** 55) + F.col("doc_id")).alias("ck"))
+        (bucket * F.lit(2 ** 55) + F.col("doc_id")).alias("ck")).persist()
     ranked = add_global_rank(keyed, "ck", (), out="grk")
     offsets = ranked.groupBy("bucket").agg(F.min("grk").alias("b_off"))
     return (

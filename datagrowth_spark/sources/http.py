@@ -150,6 +150,14 @@ def paginated_fetch(
     parquet file listing).
     """
     limit = max(continuation_limit, 1)
+    if isinstance(requests, DataFrame) and relational is False:
+        # The driver walker would call list() on the frame, which yields
+        # its Column objects (DataFrame supports integer __getitem__) and
+        # fails far from the cause — reject the combination loudly.
+        raise TypeError(
+            "paginated_fetch: a DataFrame `requests` requires the "
+            "relational walker; drop relational=False or pass a list of "
+            "request dicts for the driver walker")
     if relational is None:
         relational = isinstance(requests, DataFrame) or (
             len(requests) > PAGINATION_RELATIONAL_THRESHOLD)

@@ -639,3 +639,32 @@ class TestGrowthJvmPaths:
         assert json.loads(ok["derivatives"]["detail"]["score"]) == 0.2
         bad = jvm["999"]
         assert json.loads(bad["task_results"]["detail"])["success"] is False
+
+
+class TestCommitLockTiming:
+    def test_waiter_outlasts_stale_threshold_and_breaks_dead_lock(
+            self, spark, tmp_path, monkeypatch):
+        """ADVICE r5: the acquire deadline must exceed the stale
+        threshold, or no waiter arriving right after a writer crash can
+        ever break the dead lock. Simulated crash: a lockfile left just
+        under the (shrunk) stale threshold — the commit must wait it
+        out, break the lock, and succeed."""
+        import os as _os
+        import time as _time
+
+        from datagrowth_spark.plans.dataset import DatasetWarehouse
+
+        assert DatasetWarehouse._LOCK_WAIT_S > DatasetWarehouse._LOCK_STALE_S
+        monkeypatch.setattr(DatasetWarehouse, "_LOCK_STALE_S", 0.6)
+        monkeypatch.setattr(DatasetWarehouse, "_LOCK_WAIT_S", 2.0)
+        warehouse = DatasetWarehouse(spark, str(tmp_path / "wh"))
+        ds = EntityDataset({"stale_lock": 1})
+        path = warehouse._meta_path(ds)
+        _os.makedirs(_os.path.dirname(path), exist_ok=True)
+        with open(path + ".lock", "w") as fh:
+            fh.write("99999")  # crashed writer's pid
+        start = _time.monotonic()
+        warehouse.write_meta(ds, {"signature": ds.signature, "versions": []})
+        assert _time.monotonic() - start < DatasetWarehouse._LOCK_WAIT_S
+        assert warehouse.read_meta(ds)["generation"] == 1
+        assert not _os.path.exists(path + ".lock")

@@ -341,3 +341,23 @@ def test_stats_df_with_chained_frame_and_heavy_no_tiebreak_key(spark):
         assert blk["nd"] == blk["n"]
         pos += blk["n"]
     base.unpersist()
+
+
+def test_eager_cached_offsets_guard_raises_on_missing_group(spark):
+    """ADVICE r5: with a cached stats frame, the eager rank embeds a
+    literal (shard, sub) -> offset map. A stats frame that is NOT
+    row-equivalent (here: missing the NULL-key rows, standing in for a
+    nondeterministic recompute after eviction) must fail loudly at
+    execution, never emit silently-NULL ranks."""
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 990, F.col("id").cast("double")).alias("k"),
+        F.col("id"))
+    stats = df.where(F.col("k").isNotNull()).persist()
+    try:
+        stats.count()
+        ranked = add_global_rank(df, "k", ("id",), out="r",
+                                 num_shards=8, stats_df=stats)
+        with pytest.raises(Exception, match="row-equivalent"):
+            ranked.collect()
+    finally:
+        stats.unpersist()

@@ -1117,3 +1117,16 @@ def test_relational_pagination_refetches_cached_failures(spark, tmp_path):
     pages = out2.collect()
     assert len(pages) == 4  # recovered: full chain
     assert all(p["status"] == 200 for p in pages)
+
+
+def test_paginated_fetch_rejects_dataframe_with_driver_walker(spark, tmp_path):
+    """ADVICE r5: a DataFrame `requests` with an explicit
+    relational=False used to fall into `list(requests)`, which yields
+    the frame's Column objects — fail loudly at the boundary instead."""
+    cache = ResourceCache(spark, str(tmp_path / "cache"))
+    reqs_df = requests_to_df(
+        spark, [http_request("http://mockapi/entities", params={"page": 0})])
+    with pytest.raises(TypeError, match="relational walker"):
+        paginated_fetch(spark, cache, reqs_df, None,
+                        continuation_limit=2, relational=False,
+                        transport=mock_api_transport)
