@@ -69,6 +69,13 @@ RETRY_STATUSES = (420, 429, 502, 503, 504)
 Transport = Callable[[str, str, dict, Any], tuple[int, dict, str]]
 """(method, url, headers, data) -> (status, response_headers, body)"""
 
+#: Up to this many requests per fetch call, the signature set is
+#: collected driver-side (tiny: 64-char strings) so both cache scans
+#: become partition-pruned point lookups instead of full-table scans.
+#: Above it, the lookup stays a join — no driver structure may scale
+#: with the crawl size.
+FETCH_PRUNE_THRESHOLD = 20_000
+
 
 def success_predicate(status: Column | str = "status") -> Column:
     """Success per the reference's Resource.success (2xx HTTP, 0 shell)."""
@@ -107,6 +114,14 @@ def shell_transport(method: str, url: str, headers: dict, data: Any) -> tuple[in
         return STATUS_TIMEOUT, {}, ""
 
 
+def _sig_prefix(sig: str) -> str:
+    """Partition value for one signature: 'p' + first 2 hex chars. The
+    letter prefix pins parquet partition-value inference to STRING (an
+    all-numeric partition set would otherwise infer int and break
+    cross-dir schema unification)."""
+    return "p" + sig[:2]
+
+
 class ResourceCache:
     """Persistent response cache over a parquet directory.
 
@@ -115,11 +130,31 @@ class ResourceCache:
     appenders (two fetch jobs in one session, or two crawler drivers on a
     shared cache) therefore never share a ``_temporary`` dir — the classic
     same-path parquet-append hazard where one job's commit cleanup deletes
-    the other's staged task files. Reads use ``recursiveFileLookup``, which
-    also still finds flat pre-r5 layouts. A crashed append leaves only a
-    hidden ``.staging-*`` dir (invisible to readers); :meth:`vacuum` sweeps
-    those. ``vacuum`` itself is single-writer maintenance — do not run it
-    concurrently with appenders.
+    the other's staged task files. A crashed append leaves only a hidden
+    ``.staging-*`` dir (invisible to readers); :meth:`vacuum` sweeps those.
+
+    A month-long crawl accumulates thousands of tiny batch dirs and every
+    read re-lists and re-scans all of them; :meth:`compact` periodically
+    folds all committed entries into ONE ``compact-<uuid>`` dir
+    hash-partitioned by signature prefix (``sig_prefix=pXX``, 256
+    buckets), published by the same stage-then-rename protocol, and only
+    then deletes the entries it folded. Crash anywhere mid-compact never
+    loses data: before the publish only a hidden staging dir exists;
+    after it, not-yet-deleted old entries merely duplicate rows that
+    :meth:`latest` dedups and the next compact removes. Compaction is
+    safe to race APPENDERS (it folds a snapshot of the entry list taken
+    up front; batches published later survive untouched); a READER
+    holding a pre-compaction DataFrame should re-plan via a fresh
+    :meth:`read` after compaction, like any parquet dataset whose files
+    were rewritten underneath a cached listing.
+
+    The partitioned layout is what makes signature lookups prune: a
+    driver-bounded signature list (:meth:`read`/:meth:`latest` with
+    ``prune_signatures``) turns into a partition filter on ``sig_prefix``
+    plus a pushed ``signature IN`` — a fetch of 1k requests against a
+    billion-row cache scans ~1k/256 of the compacted partitions instead
+    of the whole table. ``vacuum`` remains single-writer maintenance —
+    do not run it concurrently with appenders or another compactor.
     """
 
     def __init__(self, spark: SparkSession, path: str) -> None:
@@ -135,16 +170,64 @@ class ResourceCache:
             not n.startswith((".", "_")) for n in os.listdir(self.path)
         )
 
-    def read(self) -> DataFrame:
-        if self.is_empty():
-            # absent or still-empty cache directory (no committed parquet)
+    def _entries(self) -> tuple[list[str], list[str]]:
+        """Committed entries, split by layout: (partitioned compact dirs,
+        flat batch dirs / legacy loose files)."""
+        if not os.path.exists(self.path):
+            return [], []
+        compacted, flat = [], []
+        for name in sorted(os.listdir(self.path)):
+            if name.startswith((".", "_")):
+                continue
+            full = os.path.join(self.path, name)
+            if name.startswith("compact-") and os.path.isdir(full):
+                compacted.append(full)
+            else:
+                flat.append(full)
+        return compacted, flat
+
+    def _scan(self, compacted: list[str], flat: list[str],
+              prune_signatures: list[str] | None = None) -> DataFrame:
+        """Union of the two layouts' scans. With ``prune_signatures``
+        the compacted scan gets a PARTITION filter on ``sig_prefix``
+        (listing-level pruning) and both sides get the pushed
+        ``signature IN`` predicate."""
+        fields = [f.name for f in RESPONSE_SCHEMA.fields]
+        sig_filter = None
+        if prune_signatures is not None:
+            sig_filter = F.col("signature").isin(list(prune_signatures))
+        parts = []
+        if flat:
+            df = self.spark.read.option("recursiveFileLookup", "true") \
+                .parquet(*flat)
+            # Forward-compat: caches written before the chain column
+            # existed read back with chain = own signature.
+            if "chain" not in df.columns:
+                df = df.withColumn("chain", F.col("signature"))
+            if sig_filter is not None:
+                df = df.where(sig_filter)
+            parts.append(df.select(fields))
+        if compacted:
+            df = self.spark.read.parquet(*compacted)
+            if prune_signatures is not None:
+                prefixes = sorted({_sig_prefix(s) for s in prune_signatures})
+                df = df.where(F.col("sig_prefix").isin(prefixes) & sig_filter)
+            parts.append(df.select(fields))  # drops sig_prefix
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(self, prune_signatures: list[str] | None = None) -> DataFrame:
+        """All live (non-expired) cached responses. ``prune_signatures``
+        — a driver-bounded signature list — narrows the scan to those
+        rows AND prunes compacted partitions by signature prefix; chain
+        lookups (matching ``chain`` of rows whose own signature is
+        unknown) must scan unpruned."""
+        compacted, flat = self._entries()
+        if not compacted and not flat:
             return self.spark.createDataFrame([], RESPONSE_SCHEMA)
-        df = self.spark.read.option("recursiveFileLookup", "true").parquet(self.path)
-        # Forward-compat: caches written before the chain column existed
-        # read back with chain = own signature.
-        if "chain" not in df.columns:
-            df = df.withColumn("chain", F.col("signature"))
-        df = df.select([f.name for f in RESPONSE_SCHEMA.fields])
+        df = self._scan(compacted, flat, prune_signatures)
         # TTL purge predicate (reference: purge_at checked on every
         # validate_request, resources/base.py:47-53).
         return df.where(F.col("purge_at").isNull() | (F.col("purge_at") > F.current_timestamp()))
@@ -161,25 +244,78 @@ class ResourceCache:
             .write.mode("overwrite").parquet(staging)
         os.replace(staging, os.path.join(self.path, f"batch-{token}"))
 
-    def latest(self) -> DataFrame:
+    def latest(self, prune_signatures: list[str] | None = None) -> DataFrame:
         """One row per signature (most recent fetch wins)."""
         from pyspark.sql.window import Window
 
-        df = self.read()
+        df = self.read(prune_signatures)
         w = Window.partitionBy("signature").orderBy(F.desc("fetched_at"))
         return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
+    def compact(self, latest_only: bool = False) -> int:
+        """Fold every committed entry into one signature-prefix-
+        partitioned ``compact-*`` dir, dropping expired rows (and, with
+        ``latest_only``, superseded fetches of re-fetched signatures).
+        Returns the number of old entries removed. Safe to race
+        appenders; see the class docstring for the crash/read story.
+        (The flat-dataset analogue lives in files.compact_parquet; the
+        cache needs the partitioned layout for pruned lookups, so it
+        compacts itself.)"""
+        import shutil
+        import uuid
+
+        compacted, flat = self._entries()  # snapshot BEFORE reading
+        entries = compacted + flat
+        if not entries:
+            return 0
+        df = self._scan(compacted, flat).where(
+            F.col("purge_at").isNull()
+            | (F.col("purge_at") > F.current_timestamp()))
+        if latest_only:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("signature").orderBy(F.desc("fetched_at"))
+            df = (df.withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") == 1).drop("__rn"))
+        df = df.withColumn(
+            "sig_prefix", F.concat(F.lit("p"), F.substring("signature", 1, 2)))
+        token = uuid.uuid4().hex
+        staging = os.path.join(self.path, f".staging-compact-{token}")
+        # One file per occupied partition: repartition on the partition
+        # column so each write task owns whole prefixes.
+        df.repartition("sig_prefix").write.mode("overwrite") \
+            .partitionBy("sig_prefix").parquet(staging)
+        if not any(n.startswith("sig_prefix=") for n in os.listdir(staging)):
+            # Everything was expired: nothing to publish, just drop the
+            # old entries and the empty staging dir.
+            shutil.rmtree(staging, ignore_errors=True)
+        else:
+            os.replace(staging, os.path.join(self.path, f"compact-{token}"))
+        for entry in entries:
+            if os.path.isdir(entry):
+                shutil.rmtree(entry, ignore_errors=True)
+            else:
+                try:
+                    os.unlink(entry)
+                except OSError:
+                    pass
+        return len(entries)
+
     def vacuum(self) -> None:
-        """Rewrite the cache dropping expired rows and crashed-append
-        staging dirs (periodic single-writer maintenance)."""
+        """Compact (dropping expired rows) and sweep crashed-append/
+        crashed-compact staging dirs. Single-writer maintenance: unlike
+        bare :meth:`compact` this also deletes hidden staging dirs,
+        which could be another writer's in-flight stage — do not run
+        concurrently with appenders or compactors. Crash-safe: the
+        rewrite publishes via the same stage-then-rename protocol, so
+        the old data stays intact until the new copy is committed
+        (ADVICE r5 — the old in-place overwrite lost the whole cache on
+        a mid-vacuum crash)."""
         import shutil
 
-        kept = self.read()
-        tmp = self.path + ".vacuum"
-        kept.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.path)
-        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(self.path):
+            return
+        self.compact()
         for name in os.listdir(self.path):
             if name.startswith(".staging-"):
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
@@ -298,6 +434,17 @@ def fetch(
         requests_df = requests_df.select(req_fields) \
             .dropDuplicates(["signature"]).persist()
     try:
+        # Driver-bounded request batches (the overwhelmingly common
+        # shape) collect their signature set once so the two cache scans
+        # below — hit lookup and final result — prune to the matching
+        # sig_prefix partitions instead of scanning the whole cache
+        # table. One job over the persisted requests frame; the LIMIT
+        # probe caps driver memory for huge seed frames, which fall
+        # back to the join path.
+        probe = (requests_df.select("signature")
+                 .limit(FETCH_PRUNE_THRESHOLD + 1).collect())
+        prune_sigs = ([r["signature"] for r in probe]
+                      if len(probe) <= FETCH_PRUNE_THRESHOLD else None)
         # Only SUCCESSFUL cached responses count as hits (reference
         # generic.py:133-135: a cached resource is returned only when
         # resource.success; failures are re-sent). Otherwise a transient
@@ -310,7 +457,7 @@ def fetch(
             # skip the hit-lookup join (and its latest() window) entirely.
             misses = requests_df.persist()
         else:
-            hit_src = cache.latest()
+            hit_src = cache.latest(prune_signatures=prune_sigs)
             if not cache_only:
                 hit_src = hit_src.where(success_predicate())
             cached = hit_src.select("signature").withColumn("__hit", F.lit(True))
@@ -364,6 +511,13 @@ def fetch(
             misses.unpersist()  # append() consumed it eagerly
         if not return_responses:
             return None
+        if prune_sigs is not None:
+            # Pruned point lookup: the signature set IS the filter, so
+            # the result needs no semi-join at all — the cache scan
+            # reads only the matching sig_prefix partitions (plus any
+            # not-yet-compacted batch dirs).
+            return cache.latest(
+                prune_signatures=sorted(set(prune_sigs) | set(extra_sigs)))
         sigs = requests_df.select("signature").dropDuplicates(["signature"])
         if extra_sigs:
             spark_local = spark.createDataFrame([(s,) for s in set(extra_sigs)], "signature string")

@@ -1130,3 +1130,173 @@ def test_paginated_fetch_rejects_dataframe_with_driver_walker(spark, tmp_path):
         paginated_fetch(spark, cache, reqs_df, None,
                         continuation_limit=2, relational=False,
                         transport=mock_api_transport)
+
+
+class TestCacheCompaction:
+    """compact(): fold batch dirs into one signature-prefix-partitioned
+    entry; pruned lookups; crash and race behavior (r5 verdict item 2 +
+    ADVICE r5 vacuum crash-safety)."""
+
+    @staticmethod
+    def _rows(spark, sigs, purge_at=None):
+        import datetime as dt
+
+        from datagrowth_spark.sources.cache import RESPONSE_SCHEMA
+
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        return spark.createDataFrame(
+            [(s, "GET", "u", None, None, 200, "{}", f"body {s[:4]}",
+              now, purge_at, s) for s in sigs],
+            RESPONSE_SCHEMA)
+
+    @staticmethod
+    def _sigs(n, tag="f"):
+        return [f"{i:02x}{tag * 62}" for i in range(n)]
+
+    def test_compact_reduces_entries_and_preserves_rows(self, spark, tmp_path):
+        import glob
+
+        cache = ResourceCache(spark, str(tmp_path / "c"))
+        sigs = self._sigs(12)
+        for i in range(6):
+            cache.append(self._rows(spark, sigs[i * 2:(i + 1) * 2]))
+        before = sorted(r["signature"] for r in cache.latest().collect())
+        n_entries_before = sum(
+            1 for n in os.listdir(cache.path) if n.startswith("batch-"))
+        assert n_entries_before == 6
+        removed = cache.compact()
+        assert removed == 6
+        names = [n for n in os.listdir(cache.path)
+                 if not n.startswith((".", "_"))]
+        assert len(names) == 1 and names[0].startswith("compact-")
+        # hash-partitioned layout by signature prefix
+        parts = [p for p in os.listdir(os.path.join(cache.path, names[0]))
+                 if p.startswith("sig_prefix=")]
+        assert parts and all(p.startswith("sig_prefix=p") for p in parts)
+        after = sorted(r["signature"] for r in cache.latest().collect())
+        assert after == before
+        # a second compact folds the single entry into a fresh one
+        assert cache.compact() == 1
+        assert sorted(r["signature"] for r in cache.latest().collect()) == before
+        assert glob.glob(cache.path + "/.staging-*") == []
+
+    def test_compact_drops_expired_rows(self, spark, tmp_path):
+        import datetime as dt
+
+        cache = ResourceCache(spark, str(tmp_path / "c"))
+        live = self._sigs(3, "a")
+        dead = self._sigs(3, "b")
+        past = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None) \
+            - dt.timedelta(days=1)
+        cache.append(self._rows(spark, live))
+        cache.append(self._rows(spark, dead, purge_at=past))
+        cache.compact()
+        got = sorted(r["signature"] for r in cache.latest().collect())
+        assert got == sorted(live)
+
+    def test_pruned_lookup_hits_partition_filter(self, spark, tmp_path):
+        import re
+
+        cache = ResourceCache(spark, str(tmp_path / "c"))
+        sigs = self._sigs(16)
+        cache.append(self._rows(spark, sigs))
+        cache.compact()
+        pruned = cache.latest(prune_signatures=sigs[:3])
+        got = sorted(r["signature"] for r in pruned.collect())
+        assert got == sorted(sigs[:3])
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[(.*?)\], PushedFilters", plan)
+        assert m and "sig_prefix" in m.group(1), plan[:2000]
+        assert "IN (p00,p01,p02)" in m.group(1)
+
+    def test_pruned_lookup_spans_compacted_and_fresh_batches(self, spark, tmp_path):
+        cache = ResourceCache(spark, str(tmp_path / "c"))
+        old = self._sigs(4, "c")
+        cache.append(self._rows(spark, old))
+        cache.compact()
+        fresh = self._sigs(4, "d")
+        cache.append(self._rows(spark, fresh))  # post-compaction append
+        want = [old[0], fresh[0]]
+        got = sorted(r["signature"]
+                     for r in cache.latest(prune_signatures=want).collect())
+        assert got == sorted(want)
+
+    def test_crash_mid_compact_loses_nothing(self, spark, tmp_path, monkeypatch):
+        """Crash at the publish rename: the old entries are untouched
+        and only a hidden staging dir is left; vacuum() sweeps it.
+        (ADVICE r5: the old vacuum overwrote the live directory in
+        place and a crash lost the whole cache.)"""
+        cache = ResourceCache(spark, str(tmp_path / "c"))
+        sigs = self._sigs(8)
+        for i in range(4):
+            cache.append(self._rows(spark, sigs[i * 2:(i + 1) * 2]))
+        real_replace = os.replace
+
+        def boom(src, dst):
+            if "/compact-" in str(dst):
+                raise RuntimeError("simulated crash at publish")
+            return real_replace(src, dst)
+
+        monkeypatch.setattr(os, "replace", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            cache.compact()
+        monkeypatch.undo()
+        assert cache.latest().count() == 8  # nothing lost
+        assert any(n.startswith(".staging-") for n in os.listdir(cache.path))
+        cache.vacuum()
+        assert cache.latest().count() == 8
+        assert not any(n.startswith(".staging-") for n in os.listdir(cache.path))
+
+    def test_compact_races_concurrent_appender(self, spark, tmp_path):
+        """Compaction snapshots the entry list up front, so batches an
+        appender publishes mid-compaction are neither folded nor
+        deleted — every row survives."""
+        import threading
+
+        cache = ResourceCache(spark, str(tmp_path / "c"))
+        base = self._sigs(9, "e")
+        for i in range(3):
+            cache.append(self._rows(spark, base[i * 3:(i + 1) * 3]))
+        racing = self._sigs(4, "9")
+        errors = []
+
+        def appender():
+            try:
+                for s in racing:
+                    cache.append(self._rows(spark, [s]))
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        t = threading.Thread(target=appender)
+        t.start()
+        cache.compact()
+        t.join(timeout=120)
+        assert not errors, errors
+        got = sorted(r["signature"] for r in cache.latest().collect())
+        assert got == sorted(base + racing)
+
+    def test_fetch_pruned_path_matches_join_path(self, spark, tmp_path, monkeypatch):
+        """The driver-bounded fetch path (signatures collected, scans
+        pruned) must return exactly what the join path returns — run
+        the same warm fetch with the threshold forced to 0 so the
+        second run exercises the unbounded join fallback."""
+        import datagrowth_spark.sources.cache as cache_mod
+
+        cache = ResourceCache(spark, str(tmp_path / "c"))
+        reqs = [http_request("http://mockapi/entities", params={"page": p})
+                for p in range(3)]
+        out1 = fetch(requests_to_df(spark, reqs), cache,
+                     transport=mock_api_transport, backoff_delays=[],
+                     fetch_partitions=1)
+        rows1 = sorted(r["signature"] for r in out1.collect())
+        cache.compact()
+        monkeypatch.setattr(cache_mod, "FETCH_PRUNE_THRESHOLD", 0)
+        out2 = fetch(requests_to_df(spark, reqs), cache,
+                     transport=mock_api_transport, backoff_delays=[],
+                     fetch_partitions=1, cache_only=True)
+        monkeypatch.undo()
+        out3 = fetch(requests_to_df(spark, reqs), cache,
+                     transport=mock_api_transport, backoff_delays=[],
+                     fetch_partitions=1, cache_only=True)
+        assert sorted(r["signature"] for r in out2.collect()) == rows1
+        assert sorted(r["signature"] for r in out3.collect()) == rows1
