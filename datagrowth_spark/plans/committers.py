@@ -1,0 +1,244 @@
+"""Pluggable commit protocols for DatasetWarehouse metadata.
+
+The warehouse serializes concurrent ``grow()`` drivers with optimistic
+concurrency on a ``generation`` counter inside ``meta.json`` (the
+filesystem analogue of the reference's ``select_for_update`` row locks,
+``/root/reference/datagrowth/resources/growth.py:154-170``). WHERE that
+compare-and-swap actually happens is storage-specific, so it lives
+behind :class:`MetaCommitter`:
+
+* :class:`PosixMetaCommitter` — local/NFS filesystems. An
+  ``O_CREAT|O_EXCL`` lockfile bounds the compare window and an atomic
+  ``os.replace`` publishes; a crashed writer's stale lock is broken by
+  rename (which succeeds for exactly one waiter).
+* :class:`ObjectStoreMetaCommitter` — S3/GCS-style stores, where none
+  of O_EXCL / rename / replace exist but a CONDITIONAL PUT does. The
+  commit is one ``put_if(key, data, expected_store_generation)``: GCS
+  ``x-goog-if-generation-match`` (0 for must-not-exist), S3
+  ``If-Match`` on the ETag / ``If-None-Match: *``. No lock, no lease,
+  no rename — the store's own precondition check IS the CAS, so two
+  drivers racing a 100 TB warehouse commit serialize exactly as the
+  POSIX backend's lockfile serializes them.
+
+Both backends raise :class:`~datagrowth_spark.plans.dataset.
+DGConcurrentWrite` on a lost race; ``grow()``/``commit_entry`` retry by
+re-reading and re-merging, so the protocol above them is identical and
+the interleaved-grow race tests run against either.
+
+The storage primitive for the object-store path is
+:class:`ConditionalStore` — ``get`` returns ``(bytes, generation)`` and
+``put_if`` atomically writes iff the stored generation still matches.
+:class:`InMemoryConditionalStore` implements it for tests and as the
+executable spec; a production binding maps it 1:1 onto the boto3 /
+google-cloud-storage calls named above (not imported here — this repo
+has no cloud SDK dependency).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+
+class StorePreconditionFailed(Exception):
+    """The conditional put's generation precondition did not hold."""
+
+
+class ConditionalStore:
+    """Minimal object-store contract: versioned get + conditional put.
+
+    ``generation`` is the STORE's monotonically-increasing version for
+    the key (GCS object generation, S3 ETag standing in for one), not
+    the meta document's own counter — the committer checks both.
+    """
+
+    def get(self, key: str) -> tuple[bytes, int] | None:
+        """Return (data, generation) or None when the key is absent."""
+        raise NotImplementedError
+
+    def put_if(self, key: str, data: bytes, expected: int | None) -> int:
+        """Write ``data`` iff the key's current generation == ``expected``
+        (None = key must not exist). Returns the new generation; raises
+        :class:`StorePreconditionFailed` otherwise. MUST be atomic —
+        this call is the entire concurrency story."""
+        raise NotImplementedError
+
+
+class InMemoryConditionalStore(ConditionalStore):
+    """Reference ConditionalStore: a dict guarded by one lock, so
+    ``put_if`` is atomic exactly the way a real store's conditional
+    write is. Used by the race tests to validate the protocol without
+    a cloud dependency."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._data: dict[str, tuple[bytes, int]] = {}
+
+    def get(self, key: str) -> tuple[bytes, int] | None:
+        with self._lock:
+            return self._data.get(key)
+
+    def put_if(self, key: str, data: bytes, expected: int | None) -> int:
+        with self._lock:
+            current = self._data.get(key)
+            current_gen = current[1] if current is not None else None
+            if current_gen != expected:
+                raise StorePreconditionFailed(
+                    f"{key}: generation {current_gen} != expected {expected}")
+            new_gen = (current_gen or 0) + 1
+            self._data[key] = (data, new_gen)
+            return new_gen
+
+
+def _empty_meta(signature: str) -> dict:
+    return {"signature": signature, "versions": []}
+
+
+class MetaCommitter:
+    """Reads and CAS-commits one dataset's metadata document."""
+
+    def read(self, signature: str) -> dict:
+        raise NotImplementedError
+
+    def commit(self, signature: str, meta: dict,
+               expected_generation: int | None = None) -> None:
+        """Persist ``meta``, bumping ``meta['generation']``. With
+        ``expected_generation``, fail with ``DGConcurrentWrite`` if
+        another writer committed since the caller's :meth:`read`."""
+        raise NotImplementedError
+
+
+class PosixMetaCommitter(MetaCommitter):
+    """meta.json under ``<root>/<signature>/`` with an O_EXCL lockfile
+    bounding the compare window and atomic ``os.replace`` publishing.
+
+    Lock bounds: a meta.json write is milliseconds, so a lock older
+    than ``LOCK_STALE_S`` is a crashed writer and gets broken. The
+    acquire deadline EXCEEDS the stale threshold (ADVICE r5): otherwise
+    no waiter arriving just after a crash could outlast the threshold,
+    and every commit in the crash window would fail instead of one of
+    them breaking the dead lock. Staleness is judged by lockfile mtime
+    — clock-skewed NFS writers can have a live lock broken, which costs
+    availability only: the generation CAS still rejects the second
+    writer, never loses an update.
+    """
+
+    LOCK_STALE_S = 10.0
+    LOCK_WAIT_S = 15.0
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    def meta_path(self, signature: str) -> str:
+        return os.path.join(self.root, signature, "meta.json")
+
+    def read(self, signature: str) -> dict:
+        path = self.meta_path(signature)
+        if not os.path.exists(path):
+            return _empty_meta(signature)
+        with open(path) as fh:
+            return json.load(fh)
+
+    def _acquire_lock(self, path: str) -> str:
+        lock = path + ".lock"
+        deadline = time.monotonic() + self.LOCK_WAIT_S
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > self.LOCK_STALE_S:
+                        # Break via RENAME, not unlink: rename of one
+                        # inode succeeds for exactly one waiter, so a
+                        # slow breaker can never delete the fresh lock
+                        # a faster waiter just created (two writers in
+                        # the CAS window = the lost update returns).
+                        import uuid as _uuid
+
+                        broken = f"{lock}.broken-{_uuid.uuid4().hex}"
+                        os.rename(lock, broken)
+                        os.unlink(broken)
+                        continue
+                except OSError:
+                    continue  # lock vanished/was broken by another waiter
+                if time.monotonic() > deadline:
+                    from datagrowth_spark.plans.dataset import DGConcurrentWrite
+
+                    raise DGConcurrentWrite(
+                        f"could not acquire commit lock {lock}") from None
+                time.sleep(0.02)
+
+    def commit(self, signature: str, meta: dict,
+               expected_generation: int | None = None) -> None:
+        from datagrowth_spark.plans.dataset import DGConcurrentWrite
+
+        path = self.meta_path(signature)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        lock = self._acquire_lock(path)
+        try:
+            on_disk = self.read(signature).get("generation", 0)
+            if expected_generation is not None and on_disk != expected_generation:
+                raise DGConcurrentWrite(
+                    f"meta generation moved {expected_generation} -> "
+                    f"{on_disk} for {signature}")
+            meta["generation"] = on_disk + 1
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(meta, fh, indent=2)
+            os.replace(tmp, path)  # atomic is_current flip
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+
+
+class ObjectStoreMetaCommitter(MetaCommitter):
+    """Lock-free committer over a :class:`ConditionalStore`: the whole
+    commit is ONE conditional put keyed on the store generation
+    observed at read time, so any interleaved writer — even one whose
+    process then crashes — fails the precondition instead of being
+    silently overwritten. Nothing is ever left to clean up (no
+    lockfile, no lease): a crashed writer simply never put.
+    """
+
+    def __init__(self, store: ConditionalStore, prefix: str = "meta/") -> None:
+        self.store = store
+        self.prefix = prefix
+
+    def _key(self, signature: str) -> str:
+        return f"{self.prefix}{signature}.json"
+
+    def read(self, signature: str) -> dict:
+        found = self.store.get(self._key(signature))
+        if found is None:
+            return _empty_meta(signature)
+        return json.loads(found[0].decode())
+
+    def commit(self, signature: str, meta: dict,
+               expected_generation: int | None = None) -> None:
+        from datagrowth_spark.plans.dataset import DGConcurrentWrite
+
+        key = self._key(signature)
+        found = self.store.get(key)
+        store_gen = found[1] if found is not None else None
+        current = json.loads(found[0].decode()) if found is not None \
+            else _empty_meta(signature)
+        current_gen = current.get("generation", 0)
+        if expected_generation is not None and current_gen != expected_generation:
+            raise DGConcurrentWrite(
+                f"meta generation moved {expected_generation} -> "
+                f"{current_gen} for {signature}")
+        meta["generation"] = current_gen + 1
+        try:
+            self.store.put_if(key, json.dumps(meta, indent=2).encode(),
+                              expected=store_gen)
+        except StorePreconditionFailed as exc:
+            raise DGConcurrentWrite(
+                f"conditional put lost the race for {signature}: {exc}"
+            ) from exc

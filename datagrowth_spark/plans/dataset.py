@@ -14,17 +14,19 @@ Growth strategies (reference dataset.py:302-332, constants.py:11-15):
 * STACK  — new version per grow; all versions stay queryable, no
   ``is_current`` flip.
 
-Concurrency: meta.json commits are optimistic — every commit CASes on a
-``generation`` counter (re-read + compare under a short O_EXCL lockfile,
-then atomic ``os.replace``), and writers that lose re-read and merge
+Concurrency: meta commits are optimistic — every commit CASes on a
+``generation`` counter, and writers that lose re-read and merge
 (``commit_entry``) or re-claim the next version slot (``grow``). Two
 simultaneous ``grow()`` drivers therefore serialize their claims instead
-of silently dropping each other's versions — the filesystem analogue of
-the reference's ``select_for_update`` row locks
-(resources/growth.py:154-170). POSIX-filesystem assumptions (O_EXCL,
-atomic replace) are isolated to ``_commit_lock``/``write_meta``; an
-object-store backend swaps them for a conditional put keyed on the same
-generation token.
+of silently dropping each other's versions — the analogue of the
+reference's ``select_for_update`` row locks (resources/growth.py:154-170).
+WHERE the CAS happens is pluggable (``plans/committers.py``): the default
+:class:`~datagrowth_spark.plans.committers.PosixMetaCommitter` uses an
+O_EXCL lockfile + atomic replace on local/NFS filesystems, and
+:class:`~datagrowth_spark.plans.committers.ObjectStoreMetaCommitter`
+commits with one conditional put (GCS generation preconditions / S3
+If-Match) for the S3/GCS warehouses a 100 TB deployment actually uses —
+same generation token, same retry protocol, both race-tested.
 
 The task DAG: each collection declares named tasks with ``depends_on``
 and ``checks``; the driver scheduler loops (depth-bounded) running every
@@ -114,102 +116,38 @@ class Dataset:
 
 
 class DatasetWarehouse:
-    def __init__(self, spark: SparkSession, root: str, registry: Registry | None = None) -> None:
+    def __init__(self, spark: SparkSession, root: str,
+                 registry: Registry | None = None,
+                 committer: "MetaCommitter | None" = None) -> None:
+        from datagrowth_spark.plans.committers import PosixMetaCommitter
+
         self.spark = spark
         self.root = root
         self.registry = registry or get_registry()
+        self.committer = committer or PosixMetaCommitter(root)
         os.makedirs(root, exist_ok=True)
 
     # -- metadata ---------------------------------------------------------
     def _meta_path(self, dataset: Dataset) -> str:
+        """Default (POSIX) location of the meta document — collection
+        parquet always lives under ``root`` regardless of which
+        committer holds the metadata."""
         return os.path.join(self.root, dataset.signature, "meta.json")
 
     def read_meta(self, dataset: Dataset) -> dict:
-        path = self._meta_path(dataset)
-        if not os.path.exists(path):
-            return {"signature": dataset.signature, "versions": []}
-        with open(path) as fh:
-            return json.load(fh)
-
-    # Commit-lock bounds: a meta.json write is milliseconds, so a lock
-    # older than this is a crashed writer and gets broken. The acquire
-    # deadline must EXCEED the stale threshold (ADVICE r5): otherwise no
-    # waiter arriving just after a crash can outlast the threshold, and
-    # every commit in the crash window fails instead of one of them
-    # breaking the dead lock.
-    _LOCK_STALE_S = 10.0
-    _LOCK_WAIT_S = 15.0
-
-    def _commit_lock(self, path: str):
-        """O_CREAT|O_EXCL lockfile serializing the compare-and-replace
-        window. POSIX-filesystem assumption (like os.replace below);
-        an object-store deployment replaces this whole commit path with
-        a manifest-commit / conditional-put (S3 If-None-Match, GCS
-        generation preconditions) — the generation counter in meta.json
-        is exactly the precondition token such a backend needs."""
-        import time
-
-        lock = path + ".lock"
-        deadline = time.monotonic() + self._LOCK_WAIT_S
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                return lock
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > self._LOCK_STALE_S:
-                        # Break via RENAME, not unlink: rename of one
-                        # inode succeeds for exactly one waiter, so a
-                        # slow breaker can never delete the fresh lock
-                        # a faster waiter just created (two writers in
-                        # the CAS window = the lost update returns).
-                        import uuid as _uuid
-
-                        broken = f"{lock}.broken-{_uuid.uuid4().hex}"
-                        os.rename(lock, broken)
-                        os.unlink(broken)
-                        continue
-                except OSError:
-                    continue  # lock vanished/was broken by another waiter
-                if time.monotonic() > deadline:
-                    raise DGConcurrentWrite(
-                        f"could not acquire commit lock {lock}") from None
-                time.sleep(0.02)
+        return self.committer.read(dataset.signature)
 
     def write_meta(self, dataset: Dataset, meta: dict,
                    expected_generation: int | None = None) -> None:
-        """Commit ``meta`` atomically. With ``expected_generation`` this
-        is a compare-and-swap: if another writer bumped the generation
-        since the caller's :meth:`read_meta`, raise
-        :class:`DGConcurrentWrite` instead of silently dropping that
-        writer's versions (the reference serializes growers with DB row
-        locks, resources/growth.py:154-170; a filesystem warehouse gets
-        the same guarantee from this generation check)."""
-        path = self._meta_path(dataset)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        lock = self._commit_lock(path)
-        try:
-            if expected_generation is not None:
-                on_disk = self.read_meta(dataset).get("generation", 0)
-                if on_disk != expected_generation:
-                    raise DGConcurrentWrite(
-                        f"meta generation moved {expected_generation} -> "
-                        f"{on_disk} for {dataset.signature}")
-                meta["generation"] = expected_generation + 1
-            else:
-                meta["generation"] = self.read_meta(dataset).get(
-                    "generation", 0) + 1
-            tmp = path + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(meta, fh, indent=2)
-            os.replace(tmp, path)  # atomic is_current flip
-        finally:
-            try:
-                os.unlink(lock)
-            except OSError:
-                pass
+        """Commit ``meta`` atomically via the configured committer. With
+        ``expected_generation`` this is a compare-and-swap: if another
+        writer bumped the generation since the caller's
+        :meth:`read_meta`, raise :class:`DGConcurrentWrite` instead of
+        silently dropping that writer's versions (the reference
+        serializes growers with DB row locks, resources/growth.py:
+        154-170; the committers give the same guarantee on a filesystem
+        or an object store — see plans/committers.py)."""
+        self.committer.commit(dataset.signature, meta, expected_generation)
 
     def commit_entry(self, dataset: Dataset, entry: dict,
                      flip_current: bool = False, retries: int = 5) -> None:
