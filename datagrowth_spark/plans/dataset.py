@@ -195,10 +195,40 @@ class DatasetWarehouse:
         return os.path.join(self.root, dataset.signature, f"v{version:03d}")
 
     # -- collection io ----------------------------------------------------
+    # Collection data inside a version dir is SNAPSHOTTED: each save
+    # publishes a fresh immutable `<name>-s<K>.parquet` dir (staged
+    # hidden, renamed to commit) and loads pin the highest committed K
+    # for the life of the returned DataFrame. Version dirs are NOT
+    # immutable — a regrow (retry) or REVISE task loop re-saves into the
+    # same version — and Spark reads files lazily over the whole query,
+    # so the old overwrite-in-place could yank files out from under an
+    # in-flight reader holding "the current collection". Snapshots fence
+    # that: a reader's pinned path survives at least one concurrent
+    # grow (the previous snapshot is kept as a grace generation;
+    # earlier ones are garbage-collected on the next save). Legacy flat
+    # `<name>.parquet` layouts read as snapshot 0.
+
+    def _snapshots(self, vdir: str, name: str) -> list[tuple[int, str]]:
+        """Committed (K, path) snapshots for one collection, ascending."""
+        out = []
+        flat = os.path.join(vdir, f"{name}.parquet")
+        if os.path.exists(flat):
+            out.append((0, flat))
+        if os.path.isdir(vdir):
+            prefix = f"{name}-s"
+            for entry in os.listdir(vdir):
+                if entry.startswith(prefix) and entry.endswith(".parquet"):
+                    try:
+                        k = int(entry[len(prefix):-len(".parquet")])
+                    except ValueError:
+                        continue
+                    out.append((k, os.path.join(vdir, entry)))
+        return sorted(out)
+
     def load_collection(self, dataset: Dataset, version: int, name: str = "main") -> Collection:
-        path = os.path.join(self._version_dir(dataset, version), f"{name}.parquet")
-        if os.path.exists(path):
-            return Collection.from_file(self.spark, path, name=name,
+        snaps = self._snapshots(self._version_dir(dataset, version), name)
+        if snaps:
+            return Collection.from_file(self.spark, snaps[-1][1], name=name,
                                         identifier=dataset.COLLECTION_IDENTIFIER,
                                         referee=dataset.COLLECTION_REFEREE)
         return Collection(self.spark, name=name,
@@ -206,15 +236,28 @@ class DatasetWarehouse:
                           referee=dataset.COLLECTION_REFEREE)
 
     def save_collection(self, dataset: Dataset, version: int, collection: Collection) -> None:
-        path = os.path.join(self._version_dir(dataset, version), f"{collection.name}.parquet")
-        # Write via tmp dir: the collection df may itself read `path`
-        # (REVISE clones), and overwrite-in-place would corrupt the input.
-        tmp = path + ".tmp"
+        vdir = self._version_dir(dataset, version)
+        snaps = self._snapshots(vdir, collection.name)
+        k = snaps[-1][0] + 1 if snaps else 1
+        path = os.path.join(vdir, f"{collection.name}-s{k}.parquet")
+        # Stage hidden then rename: the collection df may itself read
+        # the previous snapshot (REVISE/regrow lineage), and a crashed
+        # write must never leave a half-visible snapshot.
+        tmp = os.path.join(vdir, f".staging-{collection.name}-s{k}.parquet")
         collection.df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(path):
-            shutil.rmtree(path)
         os.replace(tmp, path)
         collection._df = self.spark.read.parquet(path)
+        # GC everything older than the PREVIOUS snapshot: readers pinned
+        # to K-1 survive this save; readers pinned earlier have had a
+        # full grow cycle to finish.
+        for old_k, old_path in snaps[:-1]:
+            if os.path.isdir(old_path):
+                shutil.rmtree(old_path, ignore_errors=True)
+            else:
+                try:
+                    os.unlink(old_path)
+                except OSError:
+                    pass
 
     # -- grow -------------------------------------------------------------
     def grow(
@@ -383,10 +426,31 @@ class DatasetWarehouse:
         return collection
 
     def _clone_version(self, dataset: Dataset, src: int, dst: int) -> None:
+        """Copy each collection's LATEST snapshot into the new version
+        (as its snapshot 1) — never older snapshots or crashed staging
+        dirs."""
         src_dir = self._version_dir(dataset, src)
         dst_dir = self._version_dir(dataset, dst)
-        if os.path.exists(src_dir):
-            shutil.copytree(src_dir, dst_dir, dirs_exist_ok=True)
+        if not os.path.exists(src_dir):
+            return
+        names = set()
+        for entry in os.listdir(src_dir):
+            if entry.startswith(".") or not entry.endswith(".parquet"):
+                continue
+            stem = entry[:-len(".parquet")]
+            base, sep, suffix = stem.rpartition("-s")
+            if sep and suffix.isdigit():
+                names.add(base)
+            else:
+                names.add(stem)
+        os.makedirs(dst_dir, exist_ok=True)
+        for name in names:
+            snaps = self._snapshots(src_dir, name)
+            if snaps:
+                shutil.copytree(
+                    snaps[-1][1],
+                    os.path.join(dst_dir, f"{name}-s1.parquet"),
+                    dirs_exist_ok=True)
 
     # -- task DAG ---------------------------------------------------------
     def run_tasks(self, dataset: Dataset, collection: Collection,

@@ -53,9 +53,12 @@ def test_cli_grow_list_dump_load_roundtrip(tmp_path):
     meta = json.loads(out.strip().splitlines()[-1])
     assert [v["version"] for v in meta["versions"]] == [1]
 
-    # locate the stored collection parquet (<root>/<sig>/v001/main.parquet)
+    # locate the stored collection parquet snapshot
+    # (<root>/<sig>/v001/main-s<K>.parquet)
     stores = [os.path.join(root, d) for root, dirs, _ in os.walk(warehouse)
-              for d in dirs if d == "main.parquet"]
+              for d in dirs
+              if d == "main.parquet" or (d.startswith("main-s")
+                                         and d.endswith(".parquet"))]
     assert stores, f"no collection dir under {warehouse}"
     src = stores[0]
 

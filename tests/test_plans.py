@@ -7,6 +7,7 @@ and delta/tombstone handling for simple / merge / back_fill pipelines.
 """
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -812,3 +813,85 @@ class TestObjectStoreCommitter:
         assert not errors, errors
         meta = warehouse.read_meta(ds)
         assert [v["version"] for v in meta["versions"]] == list(range(1, 9))
+
+
+class TestSnapshotIsolatedReads:
+    """r5 verdict item 4: collection reads pin an immutable snapshot
+    path, so a reader holding a DataFrame survives a concurrent regrow
+    that re-saves the same version (the old layout rmtree'd the very
+    directory under the reader's lazily-read files)."""
+
+    @staticmethod
+    def _warehouse(spark, tmp_path):
+        registry = Registry()
+        registry.register("mark_long_names", _mark_long_names)
+        return DatasetWarehouse(spark, str(tmp_path / "wh"), registry=registry)
+
+    @staticmethod
+    def _seeder(ids, prefix="entity"):
+        def run(collection):
+            collection.add([{"id": i, "name": f"{prefix} {i}"} for i in ids])
+            return collection
+        return run
+
+    def test_long_reader_survives_concurrent_regrow(self, spark, tmp_path):
+        warehouse = self._warehouse(spark, tmp_path)
+        ds = EntityDataset({"snap": 1})
+        warehouse.grow(ds, self._seeder(range(3)))
+        # Long reader: pins version 1's current snapshot, collects LATER.
+        reader = warehouse.load_collection(ds, 1)
+        reader_df = reader.df.select(F.col("properties")["id"].alias("id"))
+        # Concurrent regrow of the SAME version re-saves its collection.
+        warehouse.grow(ds, self._seeder(range(3, 6), prefix="another"),
+                       retry=True)
+        got = sorted(r["id"] for r in reader_df.collect())
+        assert got == ["0", "1", "2"]  # the pinned snapshot, unchanged
+        # A fresh load sees the regrown state.
+        fresh = warehouse.load_collection(ds, 1)
+        assert len(fresh) == 6
+
+    def test_snapshots_are_garbage_collected_with_one_grace_generation(
+            self, spark, tmp_path):
+        warehouse = self._warehouse(spark, tmp_path)
+        ds = EntityDataset({"snap_gc": 1})
+        warehouse.grow(ds, self._seeder(range(2)))
+        for i in range(3):
+            warehouse.grow(ds, self._seeder([10 + i]), retry=True)
+        vdir = warehouse._version_dir(ds, 1)
+        snaps = warehouse._snapshots(vdir, "main")
+        assert len(snaps) == 2  # current + one grace generation
+        assert snaps[-1][0] == 4  # 4 saves happened
+        assert not any(n.startswith(".staging-") for n in os.listdir(vdir))
+
+    def test_revise_clone_copies_only_latest_snapshot(self, spark, tmp_path):
+        warehouse = self._warehouse(spark, tmp_path)
+        ds = EntityDataset({"snap_clone": 1})
+        warehouse.grow(ds, self._seeder(range(2)))
+        warehouse.grow(ds, self._seeder([7]), retry=True)  # two snapshots in v1
+        entry = warehouse.grow(ds, self._seeder([8]),
+                               strategy=GrowthStrategy.REVISE)
+        assert entry["version"] == 2
+        v2 = warehouse._version_dir(ds, 2)
+        # clone seeded exactly one snapshot; the grow's save made the 2nd
+        snaps = warehouse._snapshots(v2, "main")
+        assert [k for k, _ in snaps] == [1, 2]
+        assert len(warehouse.load_collection(ds, 2)) == 4  # 0,1,7 + 8
+
+    def test_legacy_flat_layout_reads_as_snapshot_zero(self, spark, tmp_path):
+        warehouse = self._warehouse(spark, tmp_path)
+        ds = EntityDataset({"snap_legacy": 1})
+        coll = Collection(spark, name="main", identifier="id")
+        coll.add([{"id": 1, "name": "legacy"}])
+        flat = os.path.join(warehouse._version_dir(ds, 1), "main.parquet")
+        os.makedirs(os.path.dirname(flat), exist_ok=True)
+        coll.df.write.mode("overwrite").parquet(flat)
+        loaded = warehouse.load_collection(ds, 1)
+        assert len(loaded) == 1
+        # the next save supersedes the flat layout, then GCs it one save later
+        loaded.add([{"id": 2, "name": "second"}])
+        warehouse.save_collection(ds, 1, loaded)
+        assert os.path.exists(flat)  # grace generation
+        again = warehouse.load_collection(ds, 1)
+        warehouse.save_collection(ds, 1, again)
+        assert not os.path.exists(flat)
+        assert len(warehouse.load_collection(ds, 1)) == 2
