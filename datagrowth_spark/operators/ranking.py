@@ -177,18 +177,51 @@ def _eager_shard_exprs(
     num_shards: int,
     raw_cuts: list[float] | None = None,
     stats_df: DataFrame | None = None,
+    qkey_col: str = "_dg_qkey",
 ) -> tuple[Column, Column, Column]:
     """Eager core: collect the bounded percentile sketch driver-side
     (``num_shards - 1`` doubles — the same eager sampling Spark's own
-    RangePartitioner does) and build the ``(_dg_qkey, _dg_shard,
-    _dg_sub)`` assignments as LITERAL-only column expressions. The
-    returned expressions reference only the input's column names (plus
-    ``_dg_qkey``), so callers can apply them to any row-equivalent
-    frame — that is what lets the offsets collect run against a cached
-    stats frame. Costs one action (two when a heavy key needs tiebreak
-    refinement) at plan-construction time — callers chaining several
+    RangePartitioner does) and build the ``(qkey, shard, sub)``
+    assignments as LITERAL-only column expressions. The returned shard
+    and sub expressions reference only the input's column names plus
+    ``qkey_col`` (attach the returned qkey under that name first), so
+    callers can apply them to any row-equivalent frame — that is what
+    lets the offsets collect run against a cached stats frame, and a
+    per-pass ``qkey_col`` lets SEVERAL passes' expressions coexist in
+    one combined counts job (:func:`multi_offset_counts`). Costs at
+    most TWO actions at plan-construction time: the sketch (skipped
+    when ``raw_cuts`` is given) and one combined heavy-group refinement
+    (shadow-collision guard + tiebreak percentiles in a single
+    aggregate; skipped when nothing is heavy). Callers chaining several
     passes over one frame should persist it and/or share a collected
     sketch via ``raw_cuts``."""
+    import math
+
+    key_type = df.schema[key].dataType.simpleString()
+    if key_type not in _SHARDABLE_KEY_TYPES:
+        raise TypeError(
+            f"add_global_rank needs a numeric/temporal key, got {key}:{key_type}")
+
+    ctx = _plan_context(df, key, tiebreaks, descending, num_shards,
+                        raw_cuts, stats_df, qkey_col)
+    rows = _refine_single(ctx)
+    return ctx["qkey"], ctx["shard"], _finish_sub(ctx, rows)
+
+
+def _plan_context(
+    df: DataFrame,
+    key: str,
+    tiebreaks: tuple[str, ...],
+    descending: bool,
+    num_shards: int,
+    raw_cuts: list[float] | None,
+    stats_df: DataFrame | None,
+    qkey_col: str,
+) -> dict:
+    """Phase A of the eager core: pure driver arithmetic once the raw
+    cuts are in hand (one collect when they aren't) — cuts, heavy tie
+    groups, the shard expression, and what refinement (if any) phase B
+    must run."""
     import math
 
     key_type = df.schema[key].dataType.simpleString()
@@ -199,18 +232,21 @@ def _eager_shard_exprs(
     qkey = _quantile_key(key, key_type)
     if descending:
         qkey = -qkey
+    qc = F.col(qkey_col)
     # Stats actions may run against a cheaper row-equivalent frame
     # (e.g. the persisted base of a chain of rank passes — appending
     # rank columns never changes the rows the sketches see).
-    stats_q = (stats_df if stats_df is not None else df).withColumn(
-        "_dg_qkey", qkey)
+    stats_base = stats_df if stats_df is not None else df
+    stats_q = stats_base.withColumn(qkey_col, qkey)
 
     if raw_cuts is None:
         probs = _grid_probs(num_shards)
         if probs:
+            # collect()[0], not first(): first() is take(1), which runs
+            # several incremental partial jobs even on a 1-row aggregate.
             row = stats_q.agg(F.percentile_approx(
-                "_dg_qkey", F.array(*[F.lit(p) for p in probs]),
-                F.lit(_ACCURACY)).alias("c")).first()
+                qkey_col, F.array(*[F.lit(p) for p in probs]),
+                F.lit(_ACCURACY)).alias("c")).collect()[0]
             raw_cuts = list(row["c"] or [])
         else:
             raw_cuts = []
@@ -222,54 +258,95 @@ def _eager_shard_exprs(
 
     null_shard = num_shards + 1 if descending else -1
     nan_shard = -1 if descending else num_shards
-    shard = F.when(F.col("_dg_qkey").isNull(), F.lit(null_shard))
+    shard = F.when(qc.isNull(), F.lit(null_shard))
     if key_type in ("float", "double"):
-        shard = shard.when(F.isnan(F.col("_dg_qkey")), F.lit(nan_shard))
-    shard = shard.otherwise(_count_below_lit(cuts, F.col("_dg_qkey")))
+        shard = shard.when(F.isnan(qc), F.lit(nan_shard))
+    shard = shard.otherwise(_count_below_lit(cuts, qc))
 
     tb_shardable = False
+    qtb = None
     if tiebreaks:
         tb_type = df.schema[tiebreaks[0]].dataType.simpleString()
         tb_shardable = tb_type in _SHARDABLE_KEY_TYPES
+        if tb_shardable:
+            qtb = _quantile_key(tiebreaks[0], tb_type)
+    # Refinements only matter for heavy groups:
+    # * guard — for 64-bit keys beyond 2^53 the double shadow is lossy,
+    #   so "heavy" can flag DISTINCT keys that merely collide in the
+    #   shadow; only groups certified min(key) == max(key) may be split
+    #   (unsafe ones stay whole — correct, at the cost of balance for
+    #   pathological dense giant-int ties; rescale such keys under 2^53);
+    # * tb — percentiles of the first tiebreak inside each heavy tie
+    #   group, sliced down to m-1 sub-cuts driver-side.
+    need_guard = bool(heavy) and key_type in (
+        "bigint", "timestamp", "timestamp_ntz")
+    need_tb = bool(heavy) and bool(tiebreaks) and tb_shardable
+    # The returned exprs must resolve on a row-equivalent stats frame
+    # too (documented contract), so the no-tiebreak hash split may only
+    # hash columns both frames carry.
+    hash_cols = (df.columns if stats_df is None else
+                 [c for c in df.columns if c in stats_df.columns])
+    return {
+        "key": key, "tiebreaks": tuple(tiebreaks), "descending": descending,
+        "num_shards": num_shards, "qkey_col": qkey_col, "qkey": qkey,
+        "qtb": qtb, "shard": shard, "cuts": cuts, "heavy": heavy,
+        "need_guard": need_guard, "need_tb": need_tb,
+        "grid": _grid_probs(max(num_shards, 2)),
+        "stats_base": stats_base, "stats_q": stats_q,
+        "hash_cols": hash_cols,
+    }
 
+
+def _refine_single(ctx: dict) -> list[tuple[float, bool | None, list | None]]:
+    """Phase B for one pass: ONE bounded action over just the
+    heavy-flagged rows covering both the shadow-collision guard and the
+    tiebreak percentiles (<= num_shards groups). Returns
+    ``(shadow_value, all_same_key | None, tb_percentiles | None)``
+    rows; empty when no refinement is needed."""
+    if not (ctx["need_guard"] or ctx["need_tb"]):
+        return []
+    qc = F.col(ctx["qkey_col"])
+    src = ctx["stats_q"].where(qc.isin([float(v) for v in ctx["heavy"]]))
+    aggs = []
+    if ctx["need_guard"]:
+        aggs += [F.min(ctx["key"]).alias("_dg_mn"),
+                 F.max(ctx["key"]).alias("_dg_mx")]
+    if ctx["need_tb"]:
+        src = src.withColumn("_dg_qtb", ctx["qtb"])
+        aggs.append(F.percentile_approx(
+            "_dg_qtb", F.array(*[F.lit(p) for p in ctx["grid"]]),
+            F.lit(_ACCURACY)).alias("_dg_p"))
+    rows = src.groupBy(ctx["qkey_col"]).agg(*aggs).collect()
+    return [
+        (r[ctx["qkey_col"]],
+         (r["_dg_mn"] == r["_dg_mx"]) if ctx["need_guard"] else None,
+         list(r["_dg_p"] or []) if ctx["need_tb"] else None)
+        for r in rows
+    ]
+
+
+def _finish_sub(ctx: dict,
+                rows: list[tuple[float, bool | None, list | None]]) -> Column:
+    """Phase C: fold the refinement rows into the literal sub-shard
+    expression (pure driver arithmetic, no jobs)."""
+    import math
+
+    heavy = ctx["heavy"]
     if not heavy:
-        return qkey, shard, F.lit(0)
-
-    # Shadow-collision guard: for 64-bit keys beyond 2^53 the double
-    # shadow is lossy, so "heavy" can flag DISTINCT keys that merely
-    # collide in the shadow — splitting such a group by tiebreak or
-    # hash would reorder genuinely different key values. One bounded
-    # action checks min(key) == max(key) per flagged group; unsafe
-    # groups stay whole (correct, at the cost of balance for
-    # pathological dense giant-int ties — give such keys headroom
-    # under 2^53 to regain splitting).
-    if key_type in ("bigint", "timestamp", "timestamp_ntz") and heavy:
-        chk = (stats_q.where(F.col("_dg_qkey").isin([float(v) for v in heavy]))
-               .groupBy("_dg_qkey")
-               .agg(F.min(key).alias("mn"), F.max(key).alias("mx"))
-               .collect())
-        safe = {r["_dg_qkey"] for r in chk if r["mn"] == r["mx"]}
+        return F.lit(0)
+    qc = F.col(ctx["qkey_col"])
+    if ctx["need_guard"]:
+        safe = {v for v, same, _ in rows if same}
         heavy = {v: m for v, m in heavy.items() if v in safe}
         if not heavy:
-            return qkey, shard, F.lit(0)
+            return F.lit(0)
 
-    if tiebreaks and tb_shardable:
-        # Second bounded action: tiebreak percentiles inside each heavy
-        # tie group (<= num_shards rows x grid doubles), sliced down to
-        # m-1 cuts per key driver-side.
-        qtb = _quantile_key(tiebreaks[0], tb_type)
-        grid = _grid_probs(max(num_shards, 2))
-        g = len(grid) + 1
-        rows = (stats_q.where(F.col("_dg_qkey").isin(*[float(v) for v in heavy]))
-                .withColumn("_dg_qtb", qtb)
-                .groupBy("_dg_qkey")
-                .agg(F.percentile_approx(
-                    "_dg_qtb", F.array(*[F.lit(p) for p in grid]),
-                    F.lit(_ACCURACY)).alias("p"))
-                .collect())
+    if ctx["need_tb"]:
+        qtb = ctx["qtb"]
+        g = len(ctx["grid"]) + 1
         sub = F.lit(0)
-        for r in rows:
-            v, p = r["_dg_qkey"], list(r["p"] or [])
+        for v, _, p in rows:
+            p = list(p or [])
             m = heavy.get(v)
             if not m or not p:
                 continue
@@ -279,35 +356,177 @@ def _eager_shard_exprs(
                            if c is not None and not math.isnan(c))
             tb_null_first = F.when(qtb.isNull(), F.lit(0)).otherwise(
                 _count_below_lit(picks, qtb))
-            sub = F.when(F.col("_dg_qkey") == F.lit(float(v)), tb_null_first
+            sub = F.when(qc == F.lit(float(v)), tb_null_first
                          ).otherwise(sub)
-        return qkey, shard, sub
+        return sub
 
-    if not tiebreaks:
-        # The returned exprs must resolve on a row-equivalent stats
-        # frame too (documented contract), so hash only the columns
-        # both frames carry. A common set reduced to the key alone
-        # degrades the split (constant within a tie group) but stays
-        # valid — any tie permutation is.
-        hash_cols = (df.columns if stats_df is None else
-                     [c for c in df.columns if c in stats_df.columns])
-        row_hash = F.xxhash64(*[F.col(c) for c in hash_cols])
+    if not ctx["tiebreaks"]:
+        # Arbitrary-but-valid tie permutation (see module docstring). A
+        # common column set reduced to the key alone degrades the split
+        # (constant within a tie group) but stays valid.
+        row_hash = F.xxhash64(*[F.col(c) for c in ctx["hash_cols"]])
         sub = F.lit(0)
         for v, m in heavy.items():
-            sub = F.when(F.col("_dg_qkey") == F.lit(float(v)),
+            sub = F.when(qc == F.lit(float(v)),
                          F.pmod(row_hash, F.lit(m)).cast("int")).otherwise(sub)
-        return qkey, shard, sub
+        return sub
 
     # Non-shardable first tiebreak: keep tie groups whole so the
     # tiebreak ordering stays exact (documented contract).
-    return qkey, shard, F.lit(0)
+    return F.lit(0)
 
 
-def _apply_shard_exprs(df: DataFrame, exprs) -> DataFrame:
+def _apply_shard_exprs(df: DataFrame, exprs,
+                       qkey_col: str = "_dg_qkey") -> DataFrame:
     qkey, shard, sub = exprs
-    return (df.withColumn("_dg_qkey", qkey)
+    return (df.withColumn(qkey_col, qkey)
             .withColumn("_dg_shard", shard)
             .withColumn("_dg_sub", sub))
+
+
+def eager_rank_plan(
+    df: DataFrame,
+    key: str,
+    tiebreaks: tuple[str, ...] = (),
+    descending: bool = False,
+    num_shards: int | None = None,
+    raw_cuts: list[float] | None = None,
+    stats_df: DataFrame | None = None,
+    qkey_col: str = "_dg_qkey",
+) -> dict:
+    """Precompute one eager rank pass's literal shard expressions, for
+    callers batching SEVERAL passes over one frame: build each pass's
+    plan (with a distinct ``qkey_col``), collect every pass's offset
+    counts in ONE job via :func:`multi_offset_counts`, then hand both
+    to :func:`add_global_rank`/``add_ntile`` as ``plan=`` /
+    ``offset_counts=`` — construction cost collapses to (shared sketch)
+    + (per-pass heavy refinement, usually zero or one) + (one combined
+    counts job), instead of one counts job per pass."""
+    spark = df.sparkSession
+    if num_shards is None:
+        num_shards = _default_num_shards(spark)
+    if qkey_col in df.columns or (
+            stats_df is not None and qkey_col in stats_df.columns):
+        raise ValueError(
+            f"eager_rank_plan: qkey_col {qkey_col!r} collides with an "
+            "input column; pick another name")
+    exprs = _eager_shard_exprs(df, key, tiebreaks, descending, num_shards,
+                               raw_cuts=raw_cuts, stats_df=stats_df,
+                               qkey_col=qkey_col)
+    return {"exprs": exprs, "qkey_col": qkey_col, "key": key,
+            "tiebreaks": tuple(tiebreaks), "descending": descending,
+            "num_shards": num_shards}
+
+
+def multi_rank_plans(
+    df: DataFrame,
+    specs: dict[str, dict],
+    stats_df: DataFrame | None = None,
+) -> dict[str, dict]:
+    """Build SEVERAL eager rank plans over one frame with at most ONE
+    combined refinement job across all of them (vs one per heavy pass
+    when plans are built individually).
+
+    ``specs``: ``{name: {"key": ..., "tiebreaks": (), "descending":
+    bool, "num_shards": int, "raw_cuts": [...]}}`` — ``raw_cuts``
+    should come from one shared :func:`raw_cut_expr` aggregate so the
+    sketches are also a single job; all passes must share
+    ``num_shards`` (one percentile grid serves the combined agg).
+
+    The combined job explodes one (pass, shadow-value, key-as-string,
+    tiebreak-shadow) struct per needing pass and aggregates min/max +
+    tiebreak percentiles per (pass, heavy value) — the string cast
+    makes the collision guard type-uniform across passes, and
+    ``min == max`` detects a true single-valued tie group regardless of
+    the string ordering. Chain with :func:`multi_offset_counts` and
+    ``add_global_rank(plan=..., offset_counts=...)`` for a fixed
+    three-action construction budget no matter how many passes.
+    """
+    shard_counts = {spec.get("num_shards") for spec in specs.values()}
+    if len(shard_counts) > 1:
+        raise ValueError(
+            "multi_rank_plans: all specs must share num_shards "
+            f"(got {sorted(map(str, shard_counts))})")
+    contexts = {
+        name: _plan_context(
+            df, spec["key"], tuple(spec.get("tiebreaks", ())),
+            bool(spec.get("descending", False)),
+            spec.get("num_shards") or _default_num_shards(df.sparkSession),
+            spec.get("raw_cuts"), stats_df, f"_dg_qkey_{name}")
+        for name, spec in specs.items()
+    }
+    refine: dict[str, list] = {name: [] for name in contexts}
+    needing = {n: c for n, c in contexts.items()
+               if c["need_guard"] or c["need_tb"]}
+    if needing:
+        src = next(iter(needing.values()))["stats_base"]
+        structs, pred = [], None
+        grid = next(iter(needing.values()))["grid"]
+        for n, c in needing.items():
+            src = src.withColumn(c["qkey_col"], c["qkey"])
+            tb_col = f"_dg_qtb_{n}"
+            if c["need_tb"]:
+                src = src.withColumn(tb_col, c["qtb"])
+            structs.append(F.struct(
+                F.lit(n).alias("m"),
+                F.col(c["qkey_col"]).alias("v"),
+                (F.col(c["key"]).cast("string") if c["need_guard"]
+                 else F.lit(None).cast("string")).alias("kstr"),
+                (F.col(tb_col) if c["need_tb"]
+                 else F.lit(None).cast("double")).alias("tb"),
+            ))
+            this = (F.col("x.m") == F.lit(n)) & F.col("x.v").isin(
+                [float(v) for v in c["heavy"]])
+            pred = this if pred is None else (pred | this)
+        rows = (
+            src.select(F.explode(F.array(*structs)).alias("x"))
+            .where(pred)
+            .groupBy("x.m", "x.v")
+            .agg(F.min("x.kstr").alias("_dg_mn"),
+                 F.max("x.kstr").alias("_dg_mx"),
+                 F.percentile_approx(
+                     "x.tb", F.array(*[F.lit(p) for p in grid]),
+                     F.lit(_ACCURACY)).alias("_dg_p"))
+            .collect())
+        for r in rows:
+            c = contexts[r["m"]]
+            refine[r["m"]].append((
+                r["v"],
+                (r["_dg_mn"] == r["_dg_mx"]) if c["need_guard"] else None,
+                list(r["_dg_p"] or []) if c["need_tb"] else None))
+    return {
+        name: {"exprs": (c["qkey"], c["shard"],
+                         _finish_sub(c, refine[name])),
+               "qkey_col": c["qkey_col"], "key": c["key"],
+               "tiebreaks": c["tiebreaks"], "descending": c["descending"],
+               "num_shards": c["num_shards"]}
+        for name, c in contexts.items()
+    }
+
+
+def multi_offset_counts(
+    stats_df: DataFrame,
+    plans: dict[str, dict],
+) -> dict[str, list[tuple[int, int, int]]]:
+    """Per-(shard, sub) row counts for SEVERAL rank passes over one
+    row-equivalent frame in ONE job: each pass's qkey is attached under
+    its own ``qkey_col``, the (pass, shard, sub) triples are exploded
+    from a single projection, and one groupBy-count serves every pass.
+    Feed each returned list to ``add_global_rank(offset_counts=...)``.
+    Bounded output: passes x shards x subs rows, never corpus-sized."""
+    with_q = stats_df
+    structs = []
+    for name, plan in plans.items():
+        qkey, shard, sub = plan["exprs"]
+        with_q = with_q.withColumn(plan["qkey_col"], qkey)
+        structs.append(F.struct(
+            F.lit(name).alias("m"), shard.alias("s"), sub.alias("b")))
+    rows = (with_q.select(F.explode(F.array(*structs)).alias("x"))
+            .groupBy("x.m", "x.s", "x.b").count().collect())
+    out: dict[str, list[tuple[int, int, int]]] = {n: [] for n in plans}
+    for r in rows:
+        out[r["m"]].append((r["s"], r["b"], r["count"]))
+    return {name: sorted(counts) for name, counts in out.items()}
 
 
 def _eager_sharded(
@@ -503,7 +722,7 @@ def _dispatch_sharded(
         if raw_cuts is not None:
             if (isinstance(raw_cuts, tuple) and len(raw_cuts) == 2
                     and isinstance(raw_cuts[1], str)):
-                row = raw_cuts[0].select(raw_cuts[1]).first()
+                row = raw_cuts[0].select(raw_cuts[1]).collect()[0]
                 lst = list(row[0] or [])
             else:
                 lst = [float(c) for c in raw_cuts]
@@ -551,6 +770,8 @@ def add_global_rank(
     raw_cuts=None,
     mode: str = "eager",
     stats_df: DataFrame | None = None,
+    plan: dict | None = None,
+    offset_counts: list[tuple[int, int, int]] | None = None,
 ) -> DataFrame:
     """Exact 1-based global rank of every row under
     ``ORDER BY key [DESC], tiebreaks...`` — sharded, no global sort.
@@ -573,6 +794,11 @@ def add_global_rank(
     Heavy tie groups (a key owning more than ``1/num_shards`` of the
     frame) are sub-sharded — see the module docstring for the exact
     contract per tiebreak shape.
+
+    ``plan`` / ``offset_counts`` (eager mode): a precomputed
+    :func:`eager_rank_plan` and its :func:`multi_offset_counts` entry —
+    the batching interface for several passes over one frame; with both
+    given, this call runs ZERO construction jobs.
     """
     spark = df.sparkSession
     if num_shards is None:
@@ -581,34 +807,44 @@ def add_global_rank(
 
     order = _sort_exprs(key, tiebreaks, descending)
     if mode == "eager":
-        lst = None
-        if raw_cuts is not None:
-            if (isinstance(raw_cuts, tuple) and len(raw_cuts) == 2
-                    and isinstance(raw_cuts[1], str)):
-                row = raw_cuts[0].select(raw_cuts[1]).first()
-                lst = list(row[0] or [])
-            else:
-                lst = [float(c) for c in raw_cuts]
-        exprs = _eager_shard_exprs(df, key, tiebreaks, descending, num_shards,
-                                   raw_cuts=lst, stats_df=stats_df)
-        sharded = _apply_shard_exprs(df, exprs).drop("_dg_qkey")
+        if plan is not None:
+            exprs, qkey_col = plan["exprs"], plan["qkey_col"]
+        else:
+            lst = None
+            if raw_cuts is not None:
+                if (isinstance(raw_cuts, tuple) and len(raw_cuts) == 2
+                        and isinstance(raw_cuts[1], str)):
+                    row = raw_cuts[0].select(raw_cuts[1]).collect()[0]
+                    lst = list(row[0] or [])
+                else:
+                    lst = [float(c) for c in raw_cuts]
+            exprs = _eager_shard_exprs(df, key, tiebreaks, descending,
+                                       num_shards, raw_cuts=lst,
+                                       stats_df=stats_df)
+            qkey_col = "_dg_qkey"
+        sharded = _apply_shard_exprs(df, exprs, qkey_col).drop(qkey_col)
         stats = stats_df if stats_df is not None else df
-        if stats.is_cached:
+        crows = None
+        if offset_counts is not None:
+            crows = sorted((int(s), int(b), int(c))
+                           for s, b, c in offset_counts)
+        elif stats.is_cached:
             # The stats frame is cached: collect the bounded
             # per-(shard, sub) counts too and embed the rank offsets as
             # a LITERAL map — no offsets aggregate, no SinglePartition
             # prefix window, no broadcast join. The plan collapses to
             # scan -> shard projection -> one window shuffle -> project.
-            crows = (_apply_shard_exprs(stats, exprs)
-                     .groupBy("_dg_shard", "_dg_sub").count().collect())
-            crows.sort(key=lambda r: (r["_dg_shard"], r["_dg_sub"]))
-            total = sum(r["count"] for r in crows)
+            crows = sorted(
+                (r["_dg_shard"], r["_dg_sub"], r["count"])
+                for r in _apply_shard_exprs(stats, exprs, qkey_col)
+                .groupBy("_dg_shard", "_dg_sub").count().collect())
+        if crows is not None:
+            total = sum(c for _, _, c in crows)
             kidx = num_shards + 2  # shard in [-1, n+1], sub in [0, n]
             kv, acc = [], 0
-            for r in crows:
-                kv += [F.lit(r["_dg_shard"] * kidx + r["_dg_sub"]),
-                       F.lit(acc).cast("long")]
-                acc += r["count"]
+            for s, b, c in crows:
+                kv += [F.lit(s * kidx + b), F.lit(acc).cast("long")]
+                acc += c
             if kv:
                 # Loud-failure guard (ADVICE r5): if the persisted stats
                 # frame was evicted and recomputed from a nondeterministic
@@ -692,6 +928,8 @@ def add_percent_rank(
     raw_cuts=None,
     mode: str = "eager",
     stats_df: DataFrame | None = None,
+    plan: dict | None = None,
+    offset_counts: list[tuple[int, int, int]] | None = None,
 ) -> DataFrame:
     """Exact ``PERCENT_RANK() OVER (ORDER BY key [DESC], tiebreaks...)``
     without a single-partition window: ``(rank - 1) / (N - 1)``, 0.0
@@ -705,7 +943,8 @@ def add_percent_rank(
     ranked = add_global_rank(
         df, key, tiebreaks, descending=descending,
         out="_dg_rank", total_out="_dg_n", num_shards=num_shards,
-        raw_cuts=raw_cuts, mode=mode, stats_df=stats_df)
+        raw_cuts=raw_cuts, mode=mode, stats_df=stats_df,
+        plan=plan, offset_counts=offset_counts)
     pr = F.when(F.col("_dg_n") > 1,
                 (F.col("_dg_rank") - 1).cast("double") / (F.col("_dg_n") - 1)
                 ).otherwise(F.lit(0.0))
@@ -723,6 +962,8 @@ def add_ntile(
     raw_cuts=None,
     mode: str = "eager",
     stats_df: DataFrame | None = None,
+    plan: dict | None = None,
+    offset_counts: list[tuple[int, int, int]] | None = None,
 ) -> DataFrame:
     """Exact ``NTILE(n) OVER (ORDER BY key [DESC], tiebreaks...)``
     without a single-partition window.
@@ -735,7 +976,8 @@ def add_ntile(
     ranked = add_global_rank(
         df, key, tiebreaks, descending=descending,
         out="_dg_rank", total_out="_dg_n", num_shards=num_shards,
-        raw_cuts=raw_cuts, mode=mode, stats_df=stats_df)
+        raw_cuts=raw_cuts, mode=mode, stats_df=stats_df,
+        plan=plan, offset_counts=offset_counts)
     # base = N div n; rem = N % n; big = rem * (base + 1) rows live in
     # the widened tiles. ceil(a/b) == (a + b - 1) div b for positive
     # ints. The base=0 branch of the otherwise() is unreachable (then

@@ -801,7 +801,8 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     would funnel through a single partition.
     """
     from datagrowth_spark.operators.ranking import (
-        _default_num_shards, add_ntile, raw_cut_expr)
+        _default_num_shards, add_ntile, multi_offset_counts,
+        multi_rank_plans, raw_cut_expr)
 
     orders = _t(spark, sf_dir, "orders")
     # Cache the customer-dim aggregate (house pattern, like the
@@ -828,18 +829,37 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw_cut_expr("last_order", _ty["last_order"], True, shards).alias("c_r"),
         raw_cut_expr("freq", _ty["freq"], True, shards).alias("c_f"),
         raw_cut_expr("monetary", _ty["monetary"], True, shards).alias("c_m"),
-    ).first()
+    ).collect()[0]  # collect, not first(): first() = take(1) = N partial jobs
+    # Batched construction (r5 verdict item 3): a fixed THREE-action
+    # budget regardless of metric count — the shared sketch above, ONE
+    # combined heavy-group refinement across all metrics inside
+    # multi_rank_plans (freq, the low-cardinality metric, is the one
+    # that's actually heavy), and ONE combined offsets-count job.
+    plans = multi_rank_plans(per, {
+        "r": {"key": "last_order", "tiebreaks": ("o_custkey",),
+              "descending": True, "num_shards": shards,
+              "raw_cuts": list(sketch["c_r"] or [])},
+        "f": {"key": "freq", "tiebreaks": ("o_custkey",),
+              "descending": True, "num_shards": shards,
+              "raw_cuts": list(sketch["c_f"] or [])},
+        "m": {"key": "monetary", "tiebreaks": ("o_custkey",),
+              "descending": True, "num_shards": shards,
+              "raw_cuts": list(sketch["c_m"] or [])},
+    }, stats_df=per)
+    counts = multi_offset_counts(per, plans)
     # Three independent passes re-joined on the customer key (the
     # joins broadcast at this dimension size; independent passes also
     # let the scheduler overlap them, which beats chaining them into
-    # one serial lineage — measured both ways). Tie refinement stats
-    # (freq is the low-cardinality metric) run against the cached base.
+    # one serial lineage — measured both ways).
     r = add_ntile(per, 4, "last_order", ("o_custkey",), descending=True,
-                  out="r_q", raw_cuts=list(sketch["c_r"] or []), stats_df=per)
+                  out="r_q", num_shards=shards, plan=plans["r"],
+                  offset_counts=counts["r"])
     f = add_ntile(per, 4, "freq", ("o_custkey",), descending=True,
-                  out="f_q", raw_cuts=list(sketch["c_f"] or []), stats_df=per)
+                  out="f_q", num_shards=shards, plan=plans["f"],
+                  offset_counts=counts["f"])
     m = add_ntile(per, 4, "monetary", ("o_custkey",), descending=True,
-                  out="m_q", raw_cuts=list(sketch["c_m"] or []), stats_df=per)
+                  out="m_q", num_shards=shards, plan=plans["m"],
+                  offset_counts=counts["m"])
     tiles = (
         r.select("o_custkey", "monetary", "r_q")
         .join(f.select("o_custkey", "f_q"), "o_custkey")

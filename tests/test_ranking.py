@@ -361,3 +361,78 @@ def test_eager_cached_offsets_guard_raises_on_missing_group(spark):
             ranked.collect()
     finally:
         stats.unpersist()
+
+
+def test_multi_rank_plans_match_individual_passes(spark):
+    """The batched constructor (one combined refinement + one combined
+    counts job for N passes) must produce bit-identical ranks to the
+    per-pass path — exercised with a heavy low-cardinality bigint key
+    (collision guard + tiebreak refinement) and a smooth double key."""
+    from datagrowth_spark.operators.ranking import (
+        multi_offset_counts, multi_rank_plans)
+
+    df = spark.range(20_000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("bigint").alias("k_heavy"),
+        (F.col("id") * 7 % 13_001).cast("double").alias("k_smooth"),
+    ).persist()
+    try:
+        df.count()
+        plans = multi_rank_plans(df, {
+            "h": {"key": "k_heavy", "tiebreaks": ("id",), "num_shards": 8},
+            "s": {"key": "k_smooth", "tiebreaks": ("id",), "num_shards": 8,
+                  "descending": True},
+        }, stats_df=df)
+        counts = multi_offset_counts(df, plans)
+        batched_h = add_global_rank(df, "k_heavy", ("id",), out="r",
+                                    num_shards=8, plan=plans["h"],
+                                    offset_counts=counts["h"])
+        batched_s = add_global_rank(df, "k_smooth", ("id",), out="r",
+                                    descending=True, num_shards=8,
+                                    plan=plans["s"], offset_counts=counts["s"])
+        solo_h = add_global_rank(df, "k_heavy", ("id",), out="r", num_shards=8)
+        solo_s = add_global_rank(df, "k_smooth", ("id",), out="r",
+                                 descending=True, num_shards=8)
+        for batched, solo in ((batched_h, solo_h), (batched_s, solo_s)):
+            got = {r["id"]: r["r"] for r in batched.collect()}
+            want = {r["id"]: r["r"] for r in solo.collect()}
+            assert got == want
+    finally:
+        df.unpersist()
+
+
+def test_multi_rank_plans_rejects_mixed_num_shards(spark):
+    from datagrowth_spark.operators.ranking import multi_rank_plans
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("a"),
+                                 F.col("id"))
+    with pytest.raises(ValueError, match="num_shards"):
+        multi_rank_plans(df, {
+            "x": {"key": "a", "num_shards": 4},
+            "y": {"key": "a", "num_shards": 8},
+        })
+
+
+def test_plan_and_offset_counts_run_zero_construction_jobs(spark):
+    """With plan= and offset_counts= precomputed, add_global_rank must
+    build its frame without firing any Spark job."""
+    from datagrowth_spark.operators.ranking import (
+        multi_offset_counts, multi_rank_plans)
+
+    df = spark.range(5_000).select(
+        F.col("id"), (F.col("id") % 3).cast("double").alias("k")).persist()
+    try:
+        df.count()
+        plans = multi_rank_plans(
+            df, {"k": {"key": "k", "tiebreaks": ("id",), "num_shards": 8}},
+            stats_df=df)
+        counts = multi_offset_counts(df, plans)
+        sc = spark.sparkContext
+        sc.setJobGroup("zero-jobs", "plan-only rank construction")
+        ranked = add_global_rank(df, "k", ("id",), out="r", num_shards=8,
+                                 plan=plans["k"], offset_counts=counts["k"])
+        ids = sc.statusTracker().getJobIdsForGroup("zero-jobs")
+        assert list(ids) == [], ids
+        assert ranked.where(F.col("r").isNull()).count() == 0
+    finally:
+        df.unpersist()
