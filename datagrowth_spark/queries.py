@@ -1966,6 +1966,109 @@ FROM generate_series(0, {TC.TOTAL - 1}) t(i)
 """
 
 
+def q_streaming_seed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming form of the two-phase seeding pipeline:
+    the same entity/detail fixture as ``pipeline_seed_merge`` arrives
+    as a backlog of JSON page FILES drained micro-batch by micro-batch
+    (``availableNow`` + ``maxFilesPerTrigger``), upserted by
+    :class:`StreamingSeeder` with the batch seeder's delta semantics —
+    new seeds insert, re-keyed seeds merge, ``state == deleted`` seeds
+    REMOVE documents (the reference's delta contract,
+    ``datagrowth/processors/input/seeding.py:168-213``). An extra
+    entity is inserted in one micro-batch and tombstoned in a later
+    one, so the delete genuinely crosses batch state; the drained
+    result must hash-match the BATCH pipeline's oracle exactly.
+
+    Scale design: per micro-batch the state update is one keyed join +
+    one anti-join against a local-checkpointed snapshot (bounded plan
+    depth across arbitrarily many batches); on a cluster the snapshot
+    is a table MERGE — the operator structure is identical.
+    """
+    import json
+    import os
+    import tempfile
+    import time
+
+    from datagrowth_spark.datatypes.collection import Collection
+    from datagrowth_spark.datatypes.document import prop_col
+    from datagrowth_spark.streaming.seeding import StreamingSeeder
+
+    root = tempfile.mkdtemp(prefix="stream-seed-")
+    ent_dir = os.path.join(root, "entities")
+    det_dir = os.path.join(root, "details")
+    os.makedirs(ent_dir)
+    os.makedirs(det_dir)
+    now = time.time()
+
+    def page(dir_: str, name: str, body: dict, age: float) -> None:
+        path = os.path.join(dir_, name)
+        with open(path, "w") as handle:
+            handle.write(json.dumps(body))
+        # Distinct mtimes pin the micro-batch order (the file source
+        # processes oldest-first) — the insert-then-tombstone pair
+        # below depends on it.
+        os.utime(path, (now - age, now - age))
+
+    total = TC.TOTAL
+    for pg_start in range(0, total, TC.PAGE_SIZE):
+        ids = range(pg_start, min(pg_start + TC.PAGE_SIZE, total))
+        page(ent_dir, f"page{pg_start:04d}.json",
+             {"results": [{"id": i, "name": f"entity {i}", "group": i % 3}
+                          for i in ids]},
+             age=600 - pg_start)
+    # With maxFilesPerTrigger=2 over the 4+2 files below, the doomed
+    # insert lands in micro-batch 2 and its tombstone in micro-batch 3
+    # — the delete provably crosses checkpointed batch state.
+    page(ent_dir, "page_extra.json",
+         {"results": [{"id": total, "name": "doomed", "group": 0}]}, age=575)
+    page(ent_dir, "page_tomb.json",
+         {"results": [{"id": total, "state": "deleted"}]}, age=530)
+
+    coll = Collection(spark, name="stream_entities", identifier="id")
+    entity_seeder = StreamingSeeder(
+        coll,
+        {"@": "$.results", "id": "$.id", "name": "$.name",
+         "group": "$.group", "state": "$.state"},
+        body_col="value")
+    entity_seeder.start(
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 2).text(ent_dir)).stop()
+
+    # Phase 2 (merge strategy): detail pages stream in and shallow-merge
+    # onto the live documents by id — incoming keys win, entity keys
+    # (name/group) survive because the detail objective doesn't carry
+    # them.
+    for pg_start in range(0, total, TC.PAGE_SIZE):
+        ids = range(pg_start, min(pg_start + TC.PAGE_SIZE, total))
+        page(det_dir, f"page{pg_start:04d}.json",
+             {"results": [{"id": i, "detail": f"detail {i}", "score": i / 10}
+                          for i in ids]},
+             age=500 - pg_start)
+    # The merge phase drains in one micro-batch (no file cap): the
+    # cross-batch delta machinery is already proven by phase 1, and one
+    # batch is what a caught-up stream does anyway.
+    detail_seeder = StreamingSeeder(
+        coll,
+        {"@": "$.results", "id": "$.id", "detail": "$.detail",
+         "score": "$.score"},
+        body_col="value")
+    detail_seeder.start(
+        spark.readStream.schema("value string").text(det_dir)).stop()
+
+    return coll.df.select(
+        prop_col("properties", "$.id").cast("long").alias("id"),
+        prop_col("properties", "$.name").alias("name"),
+        prop_col("properties", "$.group").cast("long").alias("grp"),
+        prop_col("properties", "$.detail").alias("detail"),
+        prop_col("properties", "$.score").cast("double").alias("score"),
+    )
+
+
+# Same fixture, same final state: the streaming drain must converge to
+# the batch pipeline's result.
+SQL_STREAMING_SEED_MERGE = SQL_PIPELINE_SEED_MERGE
+
+
 def q_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeding with ``composition_to`` (P3's nesting form): the detail
     fetch is composed UNDER a key of the seed record instead of merged
@@ -4734,6 +4837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "media_features": q_media_features,
         "pipeline_seed_merge": q_pipeline_seed_merge,
+        "streaming_seed_merge": q_streaming_seed_merge,
         "pipeline_growth_enrich": q_pipeline_growth_enrich,
         "streaming_events_hourly": q_streaming_events_hourly,
         # failed round 2 on the events ts dtype bug — need a green row
@@ -4888,6 +4992,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": SQL_MEDIA_FRAMES,
         "media_features": SQL_MEDIA_FEATURES,
         "pipeline_seed_merge": SQL_PIPELINE_SEED_MERGE,
+        "streaming_seed_merge": SQL_STREAMING_SEED_MERGE,
         "pipeline_growth_enrich": SQL_PIPELINE_GROWTH_ENRICH,
         "streaming_events_hourly": SQL_STREAMING_EVENTS_HOURLY,
         "streaming_dedup_exact": SQL_STREAMING_DEDUP_EXACT,
