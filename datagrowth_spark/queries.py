@@ -1281,6 +1281,58 @@ FROM new_sig s LEFT JOIN best ON best.id = s.id
 """
 
 
+def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest near-dup (the continuous-crawl production
+    shape): the same store/batch split as ``dedup_incremental``, but
+    the new documents ARRIVE AS A STREAM in ascending-id micro-batches.
+    Each micro-batch is banded-LSH-checked against the signature store
+    — which grows by every earlier micro-batch's signatures, so
+    cross-batch duplicates resolve through the store, never by
+    re-shingling history — and the accumulated verdicts must hash-match
+    the ONE-SHOT batch oracle exactly (store-path + micro-batching
+    lose nothing)."""
+    import os
+    import tempfile
+    import time
+
+    from datagrowth_spark.streaming.dedup import StreamingNearDupIndex
+
+    docs = _t(spark, sf_dir, "documents")
+    store_docs = docs.where(F.col("doc_id") % 10 < 8)
+    new_docs = docs.where(F.col("doc_id") % 10 >= 8).select("doc_id", "text")
+    # Materialized signature TABLE stand-in (the store is parquet in
+    # production; the corpus text is never touched again).
+    store_sigs = DD.minhash_signature(
+        store_docs, "text", "doc_id", num_hashes=_NUM_HASHES, n=3
+    ).localCheckpoint(eager=True)
+
+    # Backlog fixture: three ascending-id chunks, one file each, mtimes
+    # pinning oldest-first so micro-batch order matches id order (what
+    # makes streaming verdicts converge to the batch oracle's).
+    hi = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] + 1
+    tmp = tempfile.mkdtemp(prefix="stream-neardup-")
+    now, stamped = time.time(), set()
+    for k in range(3):
+        chunk = new_docs.where(
+            (F.col("doc_id") >= k * hi // 3) & (F.col("doc_id") < (k + 1) * hi // 3))
+        chunk.coalesce(1).write.mode("append").parquet(tmp)
+        for name in os.listdir(tmp):
+            path = os.path.join(tmp, name)
+            if name.startswith("part-") and path not in stamped:
+                os.utime(path, (now - 600 + 10 * k,) * 2)
+                stamped.add(path)
+
+    index = StreamingNearDupIndex(
+        store_sigs, "text", "doc_id",
+        num_hashes=_NUM_HASHES, bands=_BANDS, n=3, threshold=0.2,
+        state_partitions=8)
+    index.start(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(tmp)).stop()
+    return index.verdicts.select(
+        F.col("id").alias("doc_id"), "is_dup", "dup_of", "est_jaccard")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures per document (32-bit, engine-portable)."""
     return DD.simhash_signatures(_t(spark, sf_dir, "documents"), "text", "doc_id") \
@@ -4781,6 +4833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4
         "dedup_span_rewrite": q_dedup_span_rewrite,
         "dedup_incremental": q_dedup_incremental,
+        "streaming_dedup_incremental": q_streaming_dedup_incremental,
         "corpus_weighted_sample": q_corpus_weighted_sample,
         "semantic_dedup": q_semantic_dedup,
         "price_quantity_regression": q_price_quantity_regression,
@@ -4963,6 +5016,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans_crossdoc": SQL_DEDUP_SPANS_CROSSDOC,
         "dedup_span_rewrite": SQL_DEDUP_SPAN_REWRITE,
         "dedup_incremental": _incremental_sql(),
+        "streaming_dedup_incremental": _incremental_sql(),
         "corpus_weighted_sample": SQL_CORPUS_WEIGHTED_SAMPLE,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "price_quantity_regression": SQL_PRICE_QUANTITY_REGRESSION,

@@ -9,6 +9,7 @@ keyed upsert + tombstones (``seeding``), and event-time analytics with
 watermarks, session windows, and custom Pandas state (``events``).
 """
 
+from datagrowth_spark.streaming.dedup import StreamingNearDupIndex
 from datagrowth_spark.streaming.events import (
     read_events_stream,
     sessionize_stream,
@@ -23,4 +24,5 @@ __all__ = [
     "sessionize_stream",
     "stateful_user_stats",
     "StreamingSeeder",
+    "StreamingNearDupIndex",
 ]

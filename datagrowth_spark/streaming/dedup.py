@@ -43,6 +43,93 @@ def read_documents_stream(
     return reader.parquet(path)
 
 
+class StreamingNearDupIndex:
+    """Streaming incremental near-dup detection against a persisted
+    MinHash signature store — the streaming twin of
+    ``operators/dedup.incremental_minhash_dedup``.
+
+    Each micro-batch of new documents is checked against the CURRENT
+    store (historical signatures plus every earlier micro-batch's
+    appended signatures) and against smaller-id members of the same
+    micro-batch; its signatures are then appended to the store. When
+    micro-batches arrive in ascending id order this converges to
+    exactly the one-shot batch verdicts (``dup_of`` = smallest matching
+    id anywhere), which is what the ``streaming_dedup_incremental``
+    oracle pins.
+
+    Scale shape: the historical corpus is never re-shingled — only its
+    (id, mh_*) signature table participates, and only in band buckets
+    the micro-batch touches. Store and verdict state are materialized
+    per batch (localCheckpoint here; a signature TABLE append on a
+    cluster), so plan depth stays bounded across arbitrarily many
+    micro-batches. ``state_partitions`` bounds the PARTITION count too:
+    without it each union-append stacks the batch's shuffle partitions
+    onto the checkpointed state, growing tasks-per-scan linearly in
+    batch count — size it to the expected store, like a stream's
+    state-store partitioning, whenever the drain is long.
+    """
+
+    def __init__(
+        self,
+        store_sigs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_hashes: int = 16,
+        bands: int = 4,
+        n: int = 3,
+        threshold: float = 0.5,
+        state_partitions: int | None = None,
+    ) -> None:
+        self.store = store_sigs
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.n = n
+        self.threshold = threshold
+        self.state_partitions = state_partitions
+        self.verdicts: DataFrame | None = None
+        self.batches_processed = 0
+
+    def _bounded(self, df: DataFrame) -> DataFrame:
+        if self.state_partitions is not None:
+            df = df.repartition(self.state_partitions)
+        return df.localCheckpoint(eager=True)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from datagrowth_spark.operators.dedup import incremental_minhash_dedup
+
+        verdicts, new_sigs = incremental_minhash_dedup(
+            batch_df, self.store, self.text_col, self.id_col,
+            num_hashes=self.num_hashes, bands=self.bands, n=self.n,
+            threshold=self.threshold)
+        # Materialize BEFORE unpersisting the batch signatures both
+        # frames still reference.
+        verdicts = self._bounded(verdicts)
+        self.store = self._bounded(
+            self.store.unionByName(new_sigs.select(self.store.columns)))
+        new_sigs.unpersist()
+        self.verdicts = (
+            verdicts if self.verdicts is None
+            else self._bounded(self.verdicts.unionByName(verdicts))
+        )
+        self.batches_processed += 1
+
+    def start(self, stream_df: DataFrame, available_now: bool = True,
+              timeout_s: int = 300, **trigger_kwargs):
+        """Attach to a stream of new documents and (by default) drain
+        the backlog micro-batch by micro-batch."""
+        writer = stream_df.writeStream.foreachBatch(self.process_batch)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_kwargs:
+            writer = writer.trigger(**trigger_kwargs)
+        query = writer.start()
+        if available_now:
+            query.awaitTermination(timeout_s)
+        return query
+
+
 def exact_dedup_stream(
     docs: DataFrame,
     key_cols: list[str] | None = None,

@@ -204,3 +204,58 @@ def test_stateful_user_stats_exact_cents_matches_batch(spark, events_dir, events
         assert max(r.n_batches for r in rows) > 1
     finally:
         query.stop()
+
+
+def test_streaming_neardup_index_matches_one_shot_batch(spark, tmp_path):
+    """Micro-batched incremental near-dup must converge to the one-shot
+    incremental verdicts: cross-micro-batch duplicates resolve through
+    the growing signature store, same-batch ones by smaller-id-wins."""
+    from datagrowth_spark.operators.dedup import (
+        incremental_minhash_dedup, minhash_signature)
+    from datagrowth_spark.streaming import StreamingNearDupIndex
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "pack my box with five dozen liquor jugs",
+        2: "sphinx of black quartz judge my vow",
+    }
+    store_rows = [(i, t) for i, t in texts.items()]
+    new_rows = [
+        (10, texts[0]),                                   # dup of store doc 0
+        (11, "completely novel text one two three"),
+        (20, texts[0]),                                   # dup, earliest match is store doc 0
+        (21, "completely novel text one two three"),      # dup of NEW doc 11 (earlier batch)
+        (22, "another novel sentence with words"),
+    ]
+    schema = "doc_id long, text string"
+    store = spark.createDataFrame(store_rows, schema)
+    store_sigs = store.transform(
+        lambda d: minhash_signature(d, "text", "doc_id", num_hashes=16, n=3)
+    ).localCheckpoint(eager=True)
+
+    src = str(tmp_path / "newdocs")
+    for k, lo, hi in ((0, 10, 20), (1, 20, 30)):
+        batch = [r for r in new_rows if lo <= r[0] < hi]
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode("append").parquet(src)
+        now = time.time()
+        for name in os.listdir(src):
+            if name.startswith("part-"):
+                p = os.path.join(src, name)
+                if os.path.getmtime(p) > now - 1:
+                    os.utime(p, (now - 600 + 10 * k,) * 2)
+
+    index = StreamingNearDupIndex(store_sigs, num_hashes=16, bands=4, n=3,
+                                  threshold=0.2)
+    index.start(spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)).stop()
+    assert index.batches_processed == 2
+
+    one_shot, _ = incremental_minhash_dedup(
+        spark.createDataFrame(new_rows, schema), store_sigs,
+        num_hashes=16, bands=4, n=3, threshold=0.2)
+    got = {r["id"]: (r["is_dup"], r["dup_of"]) for r in index.verdicts.collect()}
+    want = {r["id"]: (r["is_dup"], r["dup_of"]) for r in one_shot.collect()}
+    assert got == want
+    assert got[10] == (True, 0) and got[20] == (True, 0)
+    assert got[21] == (True, 11)          # resolved via the APPENDED store sigs
+    assert got[11][0] is False and got[22][0] is False
