@@ -1024,6 +1024,52 @@ FROM documents
 """
 
 
+_Z_BITS = 4
+
+
+def q_docs_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key over (n_chars, token count): the multi-
+    dimension clustering export key (sources/files.py
+    ``add_zorder_key``/``write_zordered``). Each dimension is an exact
+    NTILE(16) quantile tile — built through the batched sharded-rank
+    machinery, never a global window — and the tiles bit-interleave
+    into a Morton key, so files written in zkey order carry tight
+    min/max stats on BOTH dimensions. Integer-only arithmetic end to
+    end: the oracle reproduces the key bit-for-bit from SQL NTILE."""
+    from datagrowth_spark.sources.files import add_zorder_key
+
+    docs = _t(spark, sf_dir, "documents")
+    # Persist (house pattern): the rank construction's sketch/counts
+    # jobs would otherwise re-run the tokenize scan lineage per job.
+    d = docs.select("doc_id", "n_chars",
+                    TX.token_count("text").cast("long").alias("n_toks")).persist()
+    z = add_zorder_key(d, ["n_chars", "n_toks"], ("doc_id",), bits=_Z_BITS)
+    return z.select("doc_id", "n_chars", "n_toks", "zkey")
+
+
+def _zorder_sql() -> str:
+    k = 2
+    terms = []
+    for i, tcol in enumerate(("ta", "tb")):
+        for j in range(_Z_BITS):
+            weight = 1 << (j * k + (k - 1 - i))
+            terms.append(f"((({tcol} - 1) // {1 << j}) % 2) * {weight}")
+    z = " + ".join(terms)
+    return f"""
+WITH d AS (
+  SELECT doc_id, n_chars, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_toks
+  FROM documents
+),
+t AS (
+  SELECT doc_id, n_chars, n_toks,
+         NTILE({1 << _Z_BITS}) OVER (ORDER BY n_chars ASC, doc_id ASC) AS ta,
+         NTILE({1 << _Z_BITS}) OVER (ORDER BY n_toks ASC, doc_id ASC) AS tb
+  FROM d
+)
+SELECT doc_id, n_chars, n_toks, CAST({z} AS BIGINT) AS zkey FROM t
+"""
+
+
 def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.language_id("text").alias("pred_lang"))
@@ -4917,6 +4963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "docs_quality_rank": q_docs_quality_rank,
         "docs_length_percentile": q_docs_length_percentile,
+        "docs_zorder_layout": q_docs_zorder_layout,
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
@@ -4991,6 +5038,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": SQL_TEXT_QUALITY,
         "docs_quality_rank": SQL_DOCS_QUALITY_RANK,
         "docs_length_percentile": SQL_DOCS_LENGTH_PERCENTILE,
+        "docs_zorder_layout": _zorder_sql(),
         "text_language_id": _langid_sql(),
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "text_repetition": SQL_TEXT_REPETITION,

@@ -611,6 +611,60 @@ class TestCorpusFiles:
         assert len(glob.glob(f"{dest}/part-*.parquet")) == 2
         assert spark.read.parquet(dest).count() == 1_000
 
+    def test_zorder_key_interleaves_exact_tiles(self, spark):
+        """bits=1, two dims: z = 2*(tile_a - 1) + (tile_b - 1), so the
+        four quadrants of the (a, b) plane map to z 0-3 — checked
+        against exact medians on an adversarial (anti-correlated)
+        layout."""
+        from datagrowth_spark.sources.files import add_zorder_key
+
+        df = spark.range(1_000).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS a", "CAST(999 - id AS DOUBLE) AS b")
+        z = {r["id"]: r["zkey"]
+             for r in add_zorder_key(df, ["a", "b"], ("id",), bits=1).collect()}
+        for i in range(1_000):
+            quad = 2 * (1 if i >= 500 else 0) + (1 if (999 - i) >= 500 else 0)
+            assert z[i] == quad, (i, z[i], quad)
+
+    def test_write_zordered_clusters_every_dimension(self, spark, tmp_path):
+        """Files from a z-ordered export must each cover a small slice
+        of BOTH dimensions — the property that makes parquet min/max
+        stats prune on either predicate, where a plain sort only serves
+        its leading column."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from datagrowth_spark.sources.files import write_zordered
+
+        n, files = 32_768, 16
+        # Decorrelated dims: a is sequential, b is a multiplicative
+        # permutation — every (a, b) region is populated.
+        df = spark.range(n).selectExpr(
+            "id", "CAST(id AS BIGINT) AS a",
+            f"CAST(pmod(id * 2654435761, {n}) AS BIGINT) AS b")
+        out = str(tmp_path / "zorder")
+        write_zordered(df, out, ["a", "b"], ("id",), bits=4, num_files=files)
+
+        got = sorted(glob.glob(f"{out}/part-*.parquet"))
+        assert len(got) == files
+        for col in ("a", "b"):
+            spans = []
+            for f in got:
+                vals = pq.read_table(f, columns=[col]).column(col).to_pylist()
+                spans.append((max(vals) - min(vals)) / n)
+            # 16 files over a 16x16 Morton grid: an aligned 16-cell run
+            # is a 4x4 block (span 0.25/dim); range-boundary sampling
+            # shifts runs so some files straddle bit flips (up to the
+            # one full-span file crossing the top-order flip — inherent
+            # to z-curves). A plain a-sort leaves EVERY file's b-span
+            # at ~1.0; assert the distribution stays clustered under
+            # any boundary alignment.
+            spans.sort()
+            assert spans[len(spans) // 2] < 0.40, (col, spans)   # median
+            assert sum(spans) / len(spans) < 0.50, (col, spans)  # mean
+        assert spark.read.parquet(out).count() == n
+
 
 class TestFetchFaultInjection:
     """Crash-consistency of the one stateful component every pipeline
