@@ -140,6 +140,9 @@ HEADLINE = [
     "curriculum_pack",
     "epoch_shuffle",
     "length_bucket_batches",
+    "streaming_seed_merge",
+    "streaming_dedup_incremental",
+    "docs_zorder_layout",
 ]
 
 

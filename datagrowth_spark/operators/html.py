@@ -7,13 +7,17 @@ like ``soup.find_all("p")`` or ``el.text``. bs4 is not in this
 container, so this module provides the subset those objectives actually
 use on a tree built by ``html.parser``:
 
-* ``find`` / ``find_all`` (by tag and attrs, recursive)
+* ``find`` / ``find_all`` — by tag name (string or list of names) and
+  attrs; keyword filters incl. ``class_`` and boolean presence
+  (``href=True`` / ``href=False``); ``recursive=`` and ``limit=``
 * ``select`` / ``select_one`` — CSS subset: tag, ``.class``, ``#id``,
   ``[attr]`` / ``[attr=val]``, descendant (space) and child (``>``)
   combinators, comma-separated selector lists
 * ``.text`` / ``get_text(separator, strip=...)`` / ``.string``
-* ``.get`` / ``[]`` attribute access, ``.attrs``, ``.children``,
-  ``.parent``, ``find_next_sibling`` / ``find_previous_sibling``
+* ``.get`` / ``[]`` attribute access, ``.attrs``, ``has_attr``,
+  ``.children``, ``.parent``, ``find_parent``, tag-attribute access
+  (``soup.body.div``), ``.next_sibling`` / ``.previous_sibling``
+  (element-only), ``find_next_sibling`` / ``find_previous_sibling``
 
 When bs4 IS available the extractor prefers it; the API here is
 call-compatible for the supported subset, so objectives don't change
@@ -96,12 +100,27 @@ class MiniElement:
     def __getitem__(self, key: str) -> Any:
         return self.attrs[key]
 
-    def _matches(self, name: str | None, attrs: dict | None) -> bool:
-        if name is not None and self.name != name:
-            return False
+    def has_attr(self, key: str) -> bool:
+        return key in self.attrs
+
+    def _matches(self, name, attrs: dict | None) -> bool:
+        if name is not None:
+            # bs4 accepts a tag name or a list/tuple/set of names.
+            if isinstance(name, (list, tuple, set, frozenset)):
+                if self.name not in name:
+                    return False
+            elif self.name != name:
+                return False
         for key, want in (attrs or {}).items():
             have = self.attrs.get(key)
-            if key == "class":
+            # bs4 boolean filters: attr=True → present, attr=False → absent.
+            if want is True:
+                if key not in self.attrs:
+                    return False
+            elif want is False:
+                if key in self.attrs:
+                    return False
+            elif key == "class":
                 classes = (have or "").split()
                 if want not in classes:
                     return False
@@ -109,22 +128,58 @@ class MiniElement:
                 return False
         return True
 
-    def find_all(self, name: str | None = None, attrs: dict | None = None,
-                 **kwargs: str) -> list["MiniElement"]:
+    def find_all(self, name=None, attrs: dict | None = None,
+                 recursive: bool = True, limit: int | None = None,
+                 **kwargs) -> list["MiniElement"]:
         attrs = {**(attrs or {}), **{k.rstrip("_"): v for k, v in kwargs.items()}}
         out: list[MiniElement] = []
         for child in self.children:
             if child._matches(name, attrs):
                 out.append(child)
-            out.extend(child.find_all(name, attrs))
+                if limit is not None and len(out) >= limit:
+                    return out
+            if recursive:
+                rest = (limit - len(out)) if limit is not None else None
+                out.extend(child.find_all(name, attrs, limit=rest))
+                if limit is not None and len(out) >= limit:
+                    return out[:limit]
         return out
 
-    def find(self, name: str | None = None, attrs: dict | None = None,
-             **kwargs: str) -> "MiniElement | None":
-        found = self.find_all(name, attrs, **kwargs)
+    def find(self, name=None, attrs: dict | None = None,
+             recursive: bool = True, **kwargs) -> "MiniElement | None":
+        found = self.find_all(name, attrs, recursive=recursive, limit=1, **kwargs)
         return found[0] if found else None
 
-    # -- sibling navigation -----------------------------------------------
+    def __getattr__(self, name: str) -> "MiniElement | None":
+        """bs4 tag-attribute access: ``soup.body``, ``el.div`` — the
+        first matching descendant (None when absent). Only plain
+        lowercase tag-ish names resolve; anything else raises so real
+        attribute errors stay visible."""
+        if name.startswith("_") or not name.islower():
+            raise AttributeError(name)
+        return self.find(name)
+
+    # -- tree navigation ---------------------------------------------------
+    def find_parent(self, name=None, attrs: dict | None = None,
+                    **kwargs) -> "MiniElement | None":
+        attrs = {**(attrs or {}), **{k.rstrip("_"): v for k, v in kwargs.items()}}
+        node = self.parent
+        while node is not None:
+            if node.name != "[document]" and node._matches(name, attrs):
+                return node
+            node = node.parent
+        return None
+
+    @property
+    def next_sibling(self) -> "MiniElement | None":
+        """Adjacent ELEMENT sibling (bs4's property also yields text
+        nodes; objectives that need those use get_text on the parent)."""
+        return self._sibling(1, None, {})
+
+    @property
+    def previous_sibling(self) -> "MiniElement | None":
+        return self._sibling(-1, None, {})
+
     def find_next_sibling(self, name: str | None = None, attrs: dict | None = None,
                           **kwargs: str) -> "MiniElement | None":
         return self._sibling(1, name, {**(attrs or {}),

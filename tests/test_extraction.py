@@ -216,6 +216,47 @@ class TestHtmlExtraction:
         assert nxt.find_previous_sibling("li").text == "alpha"
         assert soup.find("img").find_next_sibling() is None
 
+    def test_mini_soup_bs4_parity_extensions(self):
+        """The r6 parity batch: boolean attr filters, name lists,
+        recursive/limit, has_attr, find_parent, tag-attribute access,
+        element sibling properties — the bs4 idioms real objectives
+        lean on beyond the original subset."""
+        from datagrowth_spark.operators.html import mini_soup
+
+        soup = mini_soup(PAGE_HTML)
+        # href=True keeps only real links; href=False the bare <li>
+        assert [a.text for a in soup.find_all("a", href=True)] == \
+            ["alpha", "beta", "gamma"]
+        lis = soup.find("ul").find_all("li", recursive=False)
+        assert len(lis) == 4
+        bare = [li for li in soup.find_all("li") if not li.find("a")]
+        assert len(bare) == 1 and bare[0].text == "no link here"
+        # list-of-names + limit
+        assert [e.name for e in soup.find_all(["title", "img"])] == \
+            ["title", "img"]
+        assert len(soup.find_all("li", limit=2)) == 2
+        assert soup.find_all("a", limit=1)[0].text == "alpha"
+        # has_attr / boolean absence
+        img = soup.find("img")
+        assert img.has_attr("src") and not img.has_attr("href")
+        assert soup.find("img", href=False) is img
+        # find_parent walks up with filters
+        a = soup.find("a")
+        assert a.find_parent("div")["id"] == "content"
+        assert a.find_parent("ul").name == "ul"
+        assert a.find_parent("table") is None
+        # tag-attribute access chains like bs4
+        assert soup.body.div["id"] == "content"
+        assert soup.head.title.text == "Catalog"
+        assert soup.body.table is None
+        with pytest.raises(AttributeError):
+            soup.Missing  # non-tag-ish names still raise
+        # element-only sibling properties
+        li1 = soup.find("li")
+        assert li1.next_sibling.text == "beta"
+        assert li1.next_sibling.previous_sibling is li1
+        assert li1.previous_sibling is None
+
     def test_css_objective_eval_strings(self):
         processor = ExtractProcessor(objective={
             "@": "soup.select('div.listing li > a')",
