@@ -143,6 +143,9 @@ HEADLINE = [
     "streaming_seed_merge",
     "streaming_dedup_incremental",
     "docs_zorder_layout",
+    "sql_rollup_grouping",
+    "sql_lateral_topn",
+    "sql_in_subquery_having",
 ]
 
 

@@ -4785,6 +4785,41 @@ FROM nation n
 """
 
 
+_SQL_ROLLUP_GROUPING = """
+SELECT COALESCE(r_name, '(all)') AS region_name,
+       COALESCE(n_name, '(all)') AS nation_name,
+       CAST(GROUPING(r_name) AS BIGINT) + CAST(GROUPING(n_name) AS BIGINT)
+         AS rollup_level,
+       COUNT(*) AS n_suppliers
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+_SQL_LATERAL_TOPN = """
+SELECT n.n_name, t.s_name, t.acct
+FROM nation n,
+LATERAL (
+  SELECT s_name, CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acct
+  FROM supplier s
+  WHERE s.s_nationkey = n.n_nationkey
+  ORDER BY CAST(s_acctbal AS DECIMAL(18,2)) DESC, s_name
+  LIMIT 2
+) t
+"""
+
+_SQL_IN_SUBQUERY_HAVING = """
+SELECT l_suppkey, COUNT(*) AS n_items
+FROM lineitem
+WHERE l_partkey IN (
+  SELECT p_partkey FROM part WHERE p_size > 40
+)
+GROUP BY l_suppkey
+HAVING COUNT(*) > 2
+"""
+
+
 def _sql_query(text: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register_sql_views(spark, sf_dir)
@@ -4797,6 +4832,9 @@ q_sql_exists_suppliers = _sql_query(_SQL_EXISTS_SUPPLIERS)
 q_sql_not_exists_customers = _sql_query(_SQL_NOT_EXISTS_CUSTOMERS)
 q_sql_cte_setops = _sql_query(_SQL_CTE_SETOPS)
 q_sql_correlated_scalar = _sql_query(_SQL_CORRELATED_SCALAR)
+q_sql_rollup_grouping = _sql_query(_SQL_ROLLUP_GROUPING)
+q_sql_lateral_topn = _sql_query(_SQL_LATERAL_TOPN)
+q_sql_in_subquery_having = _sql_query(_SQL_IN_SUBQUERY_HAVING)
 
 
 def q_streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4873,6 +4911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_not_exists_customers": q_sql_not_exists_customers,
         "sql_cte_setops": q_sql_cte_setops,
         "sql_correlated_scalar": q_sql_correlated_scalar,
+        "sql_rollup_grouping": q_sql_rollup_grouping,
+        "sql_lateral_topn": q_sql_lateral_topn,
+        "sql_in_subquery_having": q_sql_in_subquery_having,
         "curriculum_pack": q_curriculum_pack,
         "epoch_shuffle": q_epoch_shuffle,
         "length_bucket_batches": q_length_bucket_batches,
@@ -5002,6 +5043,9 @@ def oracle_sql() -> dict[str, str]:
         "sql_not_exists_customers": _SQL_NOT_EXISTS_CUSTOMERS,
         "sql_cte_setops": _SQL_CTE_SETOPS,
         "sql_correlated_scalar": _SQL_CORRELATED_SCALAR,
+        "sql_rollup_grouping": _SQL_ROLLUP_GROUPING,
+        "sql_lateral_topn": _SQL_LATERAL_TOPN,
+        "sql_in_subquery_having": _SQL_IN_SUBQUERY_HAVING,
         "curriculum_pack": SQL_CURRICULUM_PACK,
         "epoch_shuffle": SQL_EPOCH_SHUFFLE,
         "length_bucket_batches": SQL_LENGTH_BUCKET_BATCHES,
