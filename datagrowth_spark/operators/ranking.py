@@ -195,13 +195,6 @@ def _eager_shard_exprs(
     aggregate; skipped when nothing is heavy). Callers chaining several
     passes over one frame should persist it and/or share a collected
     sketch via ``raw_cuts``."""
-    import math
-
-    key_type = df.schema[key].dataType.simpleString()
-    if key_type not in _SHARDABLE_KEY_TYPES:
-        raise TypeError(
-            f"add_global_rank needs a numeric/temporal key, got {key}:{key_type}")
-
     ctx = _plan_context(df, key, tiebreaks, descending, num_shards,
                         raw_cuts, stats_df, qkey_col)
     rows = _refine_single(ctx)
@@ -514,6 +507,15 @@ def multi_offset_counts(
     from a single projection, and one groupBy-count serves every pass.
     Feed each returned list to ``add_global_rank(offset_counts=...)``.
     Bounded output: passes x shards x subs rows, never corpus-sized."""
+    qkey_cols = [p["qkey_col"] for p in plans.values()]
+    dupes = {c for c in qkey_cols if qkey_cols.count(c) > 1}
+    if dupes:
+        # Two plans sharing a qkey column would silently evaluate one
+        # pass's shard/sub exprs against the other's key — use
+        # multi_rank_plans (per-pass qkey cols) rather than several
+        # eager_rank_plan defaults.
+        raise ValueError(
+            f"multi_offset_counts: plans share qkey_col(s) {sorted(dupes)}")
     with_q = stats_df
     structs = []
     for name, plan in plans.items():
@@ -802,12 +804,31 @@ def add_global_rank(
     """
     spark = df.sparkSession
     if num_shards is None:
-        num_shards = _default_num_shards(spark)
+        # A supplied plan knows its own shard grid — adopt it rather
+        # than the session default (which need not match and would make
+        # the literal-offsets map keys collide).
+        if plan is not None and plan.get("num_shards") is not None:
+            num_shards = plan["num_shards"]
+        else:
+            num_shards = _default_num_shards(spark)
     _assert_work_cols_free(df)
 
     order = _sort_exprs(key, tiebreaks, descending)
     if mode == "eager":
         if plan is not None:
+            # A plan embeds its key/direction/shard grid as literals; a
+            # swapped or mis-sized plan would otherwise produce silently
+            # wrong ranks (offsets from one key, window order by another).
+            mismatches = [
+                f"{field}: plan={plan[field]!r} != arg={arg!r}"
+                for field, arg in (("key", key), ("descending", descending),
+                                   ("num_shards", num_shards))
+                if field in plan and plan[field] != arg
+            ]
+            if mismatches:
+                raise ValueError(
+                    "add_global_rank: plan= does not match this call — "
+                    + "; ".join(mismatches))
             exprs, qkey_col = plan["exprs"], plan["qkey_col"]
         else:
             lst = None
@@ -867,7 +888,15 @@ def add_global_rank(
                     )).cast("long"),
                 )
             else:
-                off = F.lit(0).cast("long")
+                # EMPTY offsets map: correct only if the frame is empty
+                # at execution too (then this expression never runs).
+                # Any surviving row means the stats frame and the input
+                # diverged — same loud failure as a missing group, not
+                # silently restarting every group's ranks at 1.
+                off = F.raise_error(F.lit(
+                    "add_global_rank: cached offsets map is EMPTY but "
+                    "rows exist — stats frame no longer row-equivalent "
+                    "to the input")).cast("long")
             ranked = sharded.withColumn(
                 "_dg_rn",
                 F.row_number().over(

@@ -145,6 +145,15 @@ class PosixMetaCommitter(MetaCommitter):
         lock = path + ".lock"
         deadline = time.monotonic() + self.LOCK_WAIT_S
         while True:
+            # Deadline first, every iteration: the stale-break and
+            # lock-vanished paths used to `continue` past the check, so
+            # lock churn (or an NFS getmtime that keeps raising) could
+            # busy-loop the acquire arbitrarily past its budget.
+            if time.monotonic() > deadline:
+                from datagrowth_spark.plans.dataset import DGConcurrentWrite
+
+                raise DGConcurrentWrite(
+                    f"could not acquire commit lock {lock}") from None
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.write(fd, str(os.getpid()).encode())
@@ -166,11 +175,6 @@ class PosixMetaCommitter(MetaCommitter):
                         continue
                 except OSError:
                     continue  # lock vanished/was broken by another waiter
-                if time.monotonic() > deadline:
-                    from datagrowth_spark.plans.dataset import DGConcurrentWrite
-
-                    raise DGConcurrentWrite(
-                        f"could not acquire commit lock {lock}") from None
                 time.sleep(0.02)
 
     def commit(self, signature: str, meta: dict,
@@ -220,25 +224,41 @@ class ObjectStoreMetaCommitter(MetaCommitter):
             return _empty_meta(signature)
         return json.loads(found[0].decode())
 
+    #: Unconditional (last-write-wins) commits re-read and re-put on a
+    #: lost store race this many times — POSIX parity, where the
+    #: lockfile makes every no-CAS commit eventually succeed.
+    LWW_RETRIES = 16
+
     def commit(self, signature: str, meta: dict,
                expected_generation: int | None = None) -> None:
         from datagrowth_spark.plans.dataset import DGConcurrentWrite
 
         key = self._key(signature)
-        found = self.store.get(key)
-        store_gen = found[1] if found is not None else None
-        current = json.loads(found[0].decode()) if found is not None \
-            else _empty_meta(signature)
-        current_gen = current.get("generation", 0)
-        if expected_generation is not None and current_gen != expected_generation:
-            raise DGConcurrentWrite(
-                f"meta generation moved {expected_generation} -> "
-                f"{current_gen} for {signature}")
-        meta["generation"] = current_gen + 1
-        try:
-            self.store.put_if(key, json.dumps(meta, indent=2).encode(),
-                              expected=store_gen)
-        except StorePreconditionFailed as exc:
-            raise DGConcurrentWrite(
-                f"conditional put lost the race for {signature}: {exc}"
-            ) from exc
+        # expected_generation=None is the last-write-wins contract: the
+        # POSIX committer's lockfile makes that path always succeed, so
+        # here a lost store race is retried against the fresh
+        # generation instead of surfacing DGConcurrentWrite — the two
+        # backends must behave identically above this interface.
+        attempts = 1 if expected_generation is not None else self.LWW_RETRIES
+        for attempt in range(attempts):
+            found = self.store.get(key)
+            store_gen = found[1] if found is not None else None
+            current = json.loads(found[0].decode()) if found is not None \
+                else _empty_meta(signature)
+            current_gen = current.get("generation", 0)
+            if (expected_generation is not None
+                    and current_gen != expected_generation):
+                raise DGConcurrentWrite(
+                    f"meta generation moved {expected_generation} -> "
+                    f"{current_gen} for {signature}")
+            meta["generation"] = current_gen + 1
+            try:
+                self.store.put_if(key, json.dumps(meta, indent=2).encode(),
+                                  expected=store_gen)
+                return
+            except StorePreconditionFailed as exc:
+                if attempt == attempts - 1:
+                    raise DGConcurrentWrite(
+                        f"conditional put lost the race for {signature}: "
+                        f"{exc}") from exc
+                time.sleep(0.01 * attempt)

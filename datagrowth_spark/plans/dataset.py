@@ -242,10 +242,24 @@ class DatasetWarehouse:
         path = os.path.join(vdir, f"{collection.name}-s{k}.parquet")
         # Stage hidden then rename: the collection df may itself read
         # the previous snapshot (REVISE/regrow lineage), and a crashed
-        # write must never leave a half-visible snapshot.
-        tmp = os.path.join(vdir, f".staging-{collection.name}-s{k}.parquet")
+        # write must never leave a half-visible snapshot. The staging
+        # name carries a uuid — two retry-grows can legitimately hold
+        # the SAME version and compute the same next K, and a shared
+        # staging path would let their Spark jobs clobber each other's
+        # task files mid-write; distinct dirs reduce the race to the
+        # final rename, where exactly one publisher wins.
+        import uuid as _uuid
+
+        tmp = os.path.join(
+            vdir, f".staging-{_uuid.uuid4().hex}-{collection.name}-s{k}.parquet")
         collection.df.write.mode("overwrite").parquet(tmp)
-        os.replace(tmp, path)
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            # The other retry-grow published this K first. Its snapshot
+            # is a committed, complete write of the same version — drop
+            # ours and read theirs (never half-visible either way).
+            shutil.rmtree(tmp, ignore_errors=True)
         collection._df = self.spark.read.parquet(path)
         # GC everything older than the PREVIOUS snapshot: readers pinned
         # to K-1 survive this save; readers pinned earlier have had a

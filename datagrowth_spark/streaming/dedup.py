@@ -118,16 +118,13 @@ class StreamingNearDupIndex:
     def start(self, stream_df: DataFrame, available_now: bool = True,
               timeout_s: int = 300, **trigger_kwargs):
         """Attach to a stream of new documents and (by default) drain
-        the backlog micro-batch by micro-batch."""
-        writer = stream_df.writeStream.foreachBatch(self.process_batch)
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        elif trigger_kwargs:
-            writer = writer.trigger(**trigger_kwargs)
-        query = writer.start()
-        if available_now:
-            query.awaitTermination(timeout_s)
-        return query
+        the backlog micro-batch by micro-batch; raises
+        :class:`~datagrowth_spark.streaming.base.DrainTimeout` on an
+        incomplete drain rather than returning truncated verdicts."""
+        from datagrowth_spark.streaming.base import start_foreach_batch
+
+        return start_foreach_batch(stream_df, self.process_batch,
+                                   available_now, timeout_s, **trigger_kwargs)
 
 
 def exact_dedup_stream(

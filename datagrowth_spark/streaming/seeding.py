@@ -96,16 +96,13 @@ class StreamingSeeder:
         """Attach to a streaming DataFrame and (by default) drain it.
 
         ``availableNow`` processes the current backlog micro-batch by
-        micro-batch then stops — the incremental-catch-up trigger. Pass
-        ``available_now=False`` with e.g. ``processingTime='10 seconds'``
-        for a continuous run.
+        micro-batch then stops — the incremental-catch-up trigger; an
+        incomplete drain raises :class:`~datagrowth_spark.streaming.
+        base.DrainTimeout` rather than leaving the collection silently
+        half-upserted. Pass ``available_now=False`` with e.g.
+        ``processingTime='10 seconds'`` for a continuous run.
         """
-        writer = stream_df.writeStream.foreachBatch(self.process_batch)
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        elif trigger_kwargs:
-            writer = writer.trigger(**trigger_kwargs)
-        query = writer.start()
-        if available_now:
-            query.awaitTermination(timeout_s)
-        return query
+        from datagrowth_spark.streaming.base import start_foreach_batch
+
+        return start_foreach_batch(stream_df, self.process_batch,
+                                   available_now, timeout_s, **trigger_kwargs)

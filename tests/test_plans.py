@@ -787,6 +787,44 @@ class TestObjectStoreCommitter:
         sizes = sorted(len(warehouse.load_collection(ds, v)) for v in (1, 2))
         assert sizes == [2, 3]
 
+    def test_unconditional_commit_retries_like_posix(self, spark, tmp_path):
+        """write_meta with NO expected_generation is last-write-wins on
+        BOTH backends: POSIX serializes via the lockfile and always
+        succeeds, so a lost store race here must be retried against the
+        fresh generation, not surfaced as DGConcurrentWrite."""
+        import json as _json
+
+        from datagrowth_spark.plans.committers import InMemoryConditionalStore
+
+        class RacingStore(InMemoryConditionalStore):
+            def __init__(self):
+                super().__init__()
+                self.races = 0
+
+            def get(self, key):
+                out = super().get(key)
+                if self.races < 3:  # competitor sneaks in 3 times
+                    self.races += 1
+                    if out is not None:
+                        data, gen = out
+                        sneaked = _json.loads(data.decode())
+                    else:
+                        gen, sneaked = None, {"versions": []}
+                    sneaked["generation"] = sneaked.get("generation", 0) + 1
+                    super().put_if(key, _json.dumps(sneaked).encode(),
+                                   expected=gen)
+                    return out  # stale view: our next put must lose
+                return out
+
+        store = RacingStore()
+        warehouse = self._warehouse(spark, tmp_path, store=store)
+        ds = EntityDataset({"lww_os": 1})
+        warehouse.write_meta(ds, {"signature": ds.signature,
+                                  "versions": [{"version": 7}]})
+        final = warehouse.read_meta(ds)
+        assert store.races == 3
+        assert [v["version"] for v in final["versions"]] == [7]
+
     def test_many_writers_stress(self, spark, tmp_path):
         """8 threads each CAS-commit a distinct version entry; every
         one must survive (no lost updates under sustained contention)."""

@@ -436,3 +436,72 @@ def test_plan_and_offset_counts_run_zero_construction_jobs(spark):
         assert ranked.where(F.col("r").isNull()).count() == 0
     finally:
         df.unpersist()
+
+
+def test_plan_arg_mismatch_raises(spark):
+    """A swapped plan (built for another key/direction/shard grid) must
+    fail loudly instead of producing silently wrong ranks."""
+    from datagrowth_spark.operators.ranking import (
+        multi_offset_counts, multi_rank_plans)
+
+    df = spark.range(1_000).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("a"),
+        (F.col("id") % 11).cast("double").alias("b")).persist()
+    try:
+        df.count()
+        plans = multi_rank_plans(df, {
+            "a": {"key": "a", "tiebreaks": ("id",), "num_shards": 8},
+            "b": {"key": "b", "tiebreaks": ("id",), "num_shards": 8},
+        }, stats_df=df)
+        counts = multi_offset_counts(df, plans)
+        with pytest.raises(ValueError, match="plan= does not match"):
+            add_global_rank(df, "a", ("id",), out="r", num_shards=8,
+                            plan=plans["b"], offset_counts=counts["b"])
+        with pytest.raises(ValueError, match="num_shards"):
+            add_global_rank(df, "a", ("id",), out="r", num_shards=4,
+                            plan=plans["a"], offset_counts=counts["a"])
+        # Omitted num_shards adopts the plan's grid instead of the
+        # session default.
+        ok = add_global_rank(df, "a", ("id",), out="r",
+                             plan=plans["a"], offset_counts=counts["a"])
+        want = add_global_rank(df, "a", ("id",), out="r", num_shards=8)
+        assert {r["id"]: r["r"] for r in ok.collect()} == \
+            {r["id"]: r["r"] for r in want.collect()}
+    finally:
+        df.unpersist()
+
+
+def test_empty_offsets_map_fails_loudly_on_rows(spark):
+    """offset_counts=[] with surviving rows is the all-groups-missing
+    form of the eviction mismatch — must raise, not restart every
+    group's ranks at 1."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from datagrowth_spark.operators.ranking import eager_rank_plan
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).cast("double").alias("k"))
+    plan = eager_rank_plan(df, "k", ("id",), num_shards=8)
+    ranked = add_global_rank(df, "k", ("id",), out="r", num_shards=8,
+                             plan=plan, offset_counts=[])
+    with pytest.raises(SparkRuntimeException, match="offsets map is EMPTY"):
+        ranked.collect()
+    # ...but an empty FRAME with an empty map is legitimately fine.
+    empty = df.where(F.lit(False))
+    assert add_global_rank(empty, "k", ("id",), out="r", num_shards=8,
+                           plan=plan, offset_counts=[]).count() == 0
+
+
+def test_multi_offset_counts_rejects_shared_qkey_col(spark):
+    """Two individually-built plans default to the same qkey column;
+    batching them would evaluate one pass's exprs against the other's
+    key — reject instead of corrupting counts."""
+    from datagrowth_spark.operators.ranking import (
+        eager_rank_plan, multi_offset_counts)
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).cast("double").alias("a"),
+        (F.col("id") % 5).cast("double").alias("b"))
+    plans = {"a": eager_rank_plan(df, "a", ("id",), num_shards=8),
+             "b": eager_rank_plan(df, "b", ("id",), num_shards=8)}
+    with pytest.raises(ValueError, match="share qkey_col"):
+        multi_offset_counts(df, plans)

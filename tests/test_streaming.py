@@ -259,3 +259,29 @@ def test_streaming_neardup_index_matches_one_shot_batch(spark, tmp_path):
     assert got[10] == (True, 0) and got[20] == (True, 0)
     assert got[21] == (True, 11)          # resolved via the APPENDED store sigs
     assert got[11][0] is False and got[22][0] is False
+
+
+def test_available_now_drain_timeout_raises(spark, tmp_path):
+    """An availableNow drain that can't finish in time must raise
+    DrainTimeout (and stop the query), never hand back silently
+    truncated state — the .start(...).stop() caller pattern would
+    otherwise kill the query mid-drain."""
+    from datagrowth_spark.streaming.base import DrainTimeout
+
+    src = str(tmp_path / "pages")
+    os.makedirs(src)
+    now = time.time()
+    for k in range(8):
+        _write_page(src, f"p{k}.json",
+                    [{"id": k, "title": f"t{k}", "state": "active"}],
+                    now - 60 + k)
+
+    coll = Collection(spark, name="timeout_seed", identifier="id")
+    seeder = StreamingSeeder(coll, OBJECTIVE, body_col="value")
+    stream = (spark.readStream.schema("value string")
+              .option("maxFilesPerTrigger", 1).text(src))
+    # 8 micro-batches (one file each, a keyed upsert + checkpoint
+    # apiece) cannot finish inside 1s; awaitTermination requires a
+    # positive timeout.
+    with pytest.raises(DrainTimeout):
+        seeder.start(stream, timeout_s=1)
