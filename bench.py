@@ -146,6 +146,7 @@ HEADLINE = [
     "sql_rollup_grouping",
     "sql_lateral_topn",
     "sql_in_subquery_having",
+    "dedup_canonicalize_quality",
 ]
 
 

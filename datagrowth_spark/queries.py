@@ -1466,6 +1466,66 @@ FROM components c JOIN sizes s ON s.cluster_id = c.cluster_id
 """
 
 
+def q_dedup_canonicalize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonicalization — the rewrite step real curation
+    pipelines run after near-dup clustering: every document maps to its
+    cluster's BEST member (highest quality score, doc id as the total-
+    order tiebreak), not merely the smallest id; singletons map to
+    themselves. Composition: jaccard pairs → connected components →
+    per-cluster argmax via one groupBy struct-max (shuffle-lean: no
+    window over the corpus, the canonical table is cluster-count-sized
+    and broadcasts back)."""
+    from datagrowth_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    quality = docs.select("doc_id", TX.quality_score("text").alias("quality"))
+    pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    clusters = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    member = (quality.join(clusters, "doc_id", "left")
+              .withColumn("cluster_id",
+                          F.coalesce("cluster_id", F.col("doc_id"))))
+    # struct-max = (quality DESC, doc_id ASC): negated id makes the
+    # fieldwise max pick the smallest id among quality ties — identical
+    # to the oracle's ROW_NUMBER ordering.
+    best = member.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("quality"),
+                       (-F.col("doc_id")).alias("nid"),
+                       F.col("doc_id").alias("cid"))).alias("b"))
+    canon = best.select("cluster_id", F.col("b.cid").alias("canonical_id"))
+    return (member.join(F.broadcast(canon), "cluster_id")
+            .select("doc_id", "canonical_id",
+                    (F.col("doc_id") == F.col("canonical_id")).alias("kept")))
+
+
+SQL_DEDUP_CANONICALIZE_QUALITY = f"""
+WITH RECURSIVE pairs AS ({{jaccard}}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, comp) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+),
+components AS (SELECT node, MIN(comp) AS cluster_id FROM reach GROUP BY node),
+quality AS ({{quality}}),
+member AS (
+  SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id, q.quality
+  FROM quality q LEFT JOIN components c ON c.node = q.doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM member
+),
+canon AS (SELECT cluster_id, doc_id AS canonical_id FROM ranked WHERE rn = 1)
+SELECT m.doc_id, c.canonical_id, m.doc_id = c.canonical_id AS kept
+FROM member m JOIN canon c ON c.cluster_id = m.cluster_id
+"""
+
+
 def q_corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware train/val/test split: every member of a near-dup
     cluster lands in the SAME split (split key = the cluster's
@@ -4998,6 +5058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_canonicalize_quality": q_dedup_canonicalize_quality,
         "decontamination": q_decontamination,
         "docs_by_lang": q_docs_by_lang,
         "text_stats": q_text_stats,
@@ -5127,6 +5188,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "dedup_canonicalize_quality": SQL_DEDUP_CANONICALIZE_QUALITY.format(
+            jaccard=SQL_DEDUP_NGRAM_JACCARD, quality=SQL_TEXT_QUALITY),
         "decontamination": SQL_DECONTAMINATION,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "similarity_topk_ivf": SQL_SIMILARITY_TOPK_IVF,
