@@ -299,8 +299,23 @@ def drop_duplicated_spans(
     spans = toked.select("id", F.explode(wins).alias("w")) \
         .select("id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
 
-    span_df = spans.groupBy("h").agg(
-        F.count_distinct("id").alias("dfreq"), F.min("id").alias("keeper"))
+    # Per-doc array_distinct + plain count, NOT count_distinct(id): a
+    # distinct aggregate shuffles the expanded (h, id) rows BY H, so a
+    # span shared by every document (boilerplate headers — the exact
+    # thing this operator exists to remove) funnels the whole corpus's
+    # copies into one reduce task whose distinct set spills (measured
+    # super-linear at 10M docs sharing a prefix). In-row array_distinct
+    # makes (h, id) unique BEFORE the explode — zero extra shuffle —
+    # and the count/min agg then combines map-side to one row per h
+    # per partition, so no reduce key is hot at any multiplicity.
+    span_df = (
+        toked.select(
+            "id",
+            F.explode(F.array_distinct(
+                F.transform(wins, lambda w: w["h"]))).alias("h"))
+        .groupBy("h").agg(F.count("*").alias("dfreq"),
+                          F.min("id").alias("keeper"))
+    )
     # Window STARTS per doc, expanded to covered token positions with
     # per-row array ops — never an exploded token-position shuffle (a
     # dup-heavy corpus would otherwise shuffle n× the span count).
@@ -431,6 +446,7 @@ def incremental_minhash_dedup(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.5,
+    broadcast_batch: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup detection for an INCREMENTAL ingest batch against a
     persisted MinHash signature store — the production shape at corpus
@@ -450,20 +466,26 @@ def incremental_minhash_dedup(
       source of truth; this operator never mutates it).
 
     Scale shape: the store-side band keys are derived from stored
-    signatures (k longs per historical doc — no text touched); the
-    candidate join is keyed on band buckets so shuffle volume tracks
-    bucket overlap with the batch, not store size; verification joins
-    signatures only for candidate ids. A new batch is typically orders
-    of magnitude smaller than the store, so every per-batch frame
-    broadcasts.
+    signatures (k longs per historical doc — no text touched), and the
+    store is never SHUFFLED: with ``broadcast_batch`` (default) every
+    batch-derived frame carries an explicit broadcast hint, so the
+    candidate and verification joins stream the store past a hashed
+    copy of the batch. This must not be left to AQE — a 100k-doc
+    batch's frames sit just past the 10 MB auto-broadcast estimate, and
+    the silent fallback is a sort-merge join that shuffles ALL k
+    signature columns of the full store per ingest batch (measured
+    super-linear in store size at 100M store rows). Set
+    ``broadcast_batch=False`` only for backfill-sized batches that
+    genuinely can't broadcast, and expect store-shuffle cost.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    hint = F.broadcast if broadcast_batch else (lambda df: df)
     new_sigs = minhash_signature(new_docs, text_col, id_col, num_hashes, n).persist()
 
     banded_new = _banded_keys(new_sigs, num_hashes, bands)
     banded_store = _banded_keys(signature_store, num_hashes, bands)
-    nb = banded_new.alias("a")
+    nb = hint(banded_new).alias("a")
     cand_old = (
         nb.join(banded_store.alias("s"), F.col("a.band_key") == F.col("s.band_key"))
         .select(F.col("a.id").alias("id"), F.col("s.id").alias("other"))
@@ -484,7 +506,7 @@ def incremental_minhash_dedup(
         F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in mh_cols
     )
     matches = (
-        candidates.join(sig_a, "id").join(sig_b, "other")
+        hint(candidates.join(hint(sig_a), "id")).join(sig_b, "other")
         .withColumn("est_jaccard", F.round(agree / F.lit(num_hashes), 6))
         .where(F.col("est_jaccard") >= threshold)
         .groupBy("id")

@@ -272,6 +272,23 @@ class DatasetWarehouse:
                     os.unlink(old_path)
                 except OSError:
                     pass
+        # Crashed writers leave `.staging-*` dirs (invisible to reads
+        # but never re-used now that names carry a uuid): sweep any
+        # stale enough that no legitimate in-flight write can still own
+        # them. A snapshot write is seconds-to-minutes; one hour is
+        # orders of magnitude past that.
+        import time as _time
+
+        cutoff = _time.time() - 3600
+        for entry in os.listdir(vdir):
+            if not entry.startswith(".staging-"):
+                continue
+            stale = os.path.join(vdir, entry)
+            try:
+                if os.path.getmtime(stale) < cutoff:
+                    shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                pass
 
     # -- grow -------------------------------------------------------------
     def grow(

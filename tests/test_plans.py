@@ -901,6 +901,26 @@ class TestSnapshotIsolatedReads:
         assert snaps[-1][0] == 4  # 4 saves happened
         assert not any(n.startswith(".staging-") for n in os.listdir(vdir))
 
+    def test_crashed_staging_dirs_are_swept_when_stale(self, spark, tmp_path):
+        """A writer that died mid-save leaves a .staging-* dir; the next
+        save sweeps it once it's older than any legitimate in-flight
+        write could be — fresh staging dirs are left alone."""
+        import time as _time
+
+        warehouse = self._warehouse(spark, tmp_path)
+        ds = EntityDataset({"staging_gc": 1})
+        warehouse.grow(ds, self._seeder(range(2)))
+        vdir = warehouse._version_dir(ds, 1)
+        crashed = os.path.join(vdir, ".staging-deadbeef-main-s9.parquet")
+        fresh = os.path.join(vdir, ".staging-cafebabe-main-s9.parquet")
+        os.makedirs(crashed)
+        os.makedirs(fresh)
+        old = _time.time() - 7200
+        os.utime(crashed, (old, old))
+        warehouse.grow(ds, self._seeder([99]), retry=True)
+        assert not os.path.exists(crashed)
+        assert os.path.exists(fresh)
+
     def test_revise_clone_copies_only_latest_snapshot(self, spark, tmp_path):
         warehouse = self._warehouse(spark, tmp_path)
         ds = EntityDataset({"snap_clone": 1})
