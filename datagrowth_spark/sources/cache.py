@@ -73,8 +73,10 @@ Transport = Callable[[str, str, dict, Any], tuple[int, dict, str]]
 #: collected driver-side (tiny: 64-char strings) so both cache scans
 #: become partition-pruned point lookups instead of full-table scans.
 #: Above it, the lookup stays a join — no driver structure may scale
-#: with the crawl size.
-FETCH_PRUNE_THRESHOLD = 20_000
+#: with the crawl size, and past a few thousand signatures the 256
+#: sig_prefix partitions are saturated (no listing-level pruning left)
+#: while the literal isin() still bloats Catalyst time.
+FETCH_PRUNE_THRESHOLD = 4096
 
 
 def success_predicate(status: Column | str = "status") -> Column:
@@ -169,6 +171,13 @@ class ResourceCache:
         return not os.path.exists(self.path) or not any(
             not n.startswith((".", "_")) for n in os.listdir(self.path)
         )
+
+    def has_compacted(self) -> bool:
+        """True when a ``compact-*`` partitioned layout exists — the
+        precondition for signature-pruned lookups to pay for their
+        driver probe (pure listdir, no job)."""
+        return bool(os.path.exists(self.path) and any(
+            n.startswith("compact-") for n in os.listdir(self.path)))
 
     def _entries(self) -> tuple[list[str], list[str]]:
         """Committed entries, split by layout: (partitioned compact dirs,
@@ -434,17 +443,22 @@ def fetch(
         requests_df = requests_df.select(req_fields) \
             .dropDuplicates(["signature"]).persist()
     try:
-        # Driver-bounded request batches (the overwhelmingly common
-        # shape) collect their signature set once so the two cache scans
-        # below — hit lookup and final result — prune to the matching
-        # sig_prefix partitions instead of scanning the whole cache
-        # table. One job over the persisted requests frame; the LIMIT
-        # probe caps driver memory for huge seed frames, which fall
-        # back to the join path.
-        probe = (requests_df.select("signature")
-                 .limit(FETCH_PRUNE_THRESHOLD + 1).collect())
-        prune_sigs = ([r["signature"] for r in probe]
-                      if len(probe) <= FETCH_PRUNE_THRESHOLD else None)
+        # Driver-bounded request batches collect their signature set
+        # once so the two cache scans below — hit lookup and final
+        # result — prune to the matching sig_prefix partitions instead
+        # of scanning the whole cache table. GATED on the cache
+        # actually having a compacted (partitioned) layout: on a fresh
+        # flat cache pruning eliminates nothing, while the probe job
+        # plus a thousands-of-literals isin() at Catalyst time cost
+        # real seconds per fetch (measured 2.4x on the many-small-fetch
+        # growth chain). The LIMIT probe caps driver memory for huge
+        # seed frames, which fall back to the join path either way.
+        prune_sigs = None
+        if cache.has_compacted():
+            probe = (requests_df.select("signature")
+                     .limit(FETCH_PRUNE_THRESHOLD + 1).collect())
+            prune_sigs = ([r["signature"] for r in probe]
+                          if len(probe) <= FETCH_PRUNE_THRESHOLD else None)
         # Only SUCCESSFUL cached responses count as hits (reference
         # generic.py:133-135: a cached resource is returned only when
         # resource.success; failures are re-sent). Otherwise a transient
