@@ -467,16 +467,22 @@ def incremental_minhash_dedup(
 
     Scale shape: the store-side band keys are derived from stored
     signatures (k longs per historical doc — no text touched), and the
-    store is never SHUFFLED: with ``broadcast_batch`` (default) every
-    batch-derived frame carries an explicit broadcast hint, so the
-    candidate and verification joins stream the store past a hashed
-    copy of the batch. This must not be left to AQE — a 100k-doc
+    store is never SHUFFLED: with ``broadcast_batch`` (default) the
+    candidate join streams the store's band keys past a broadcast of
+    the batch's, and the verification join first reduces the store by
+    a broadcast SEMI join on the (id-only) touched-candidate set, so
+    the store's wide signature columns are read only for touched rows
+    and never repartitioned. This must not be left to AQE — a 100k-doc
     batch's frames sit just past the 10 MB auto-broadcast estimate, and
     the silent fallback is a sort-merge join that shuffles ALL k
     signature columns of the full store per ingest batch (measured
-    super-linear in store size at 100M store rows). Set
-    ``broadcast_batch=False`` only for backfill-sized batches that
-    genuinely can't broadcast, and expect store-shuffle cost.
+    super-linear in store size at 100M store rows). The candidate-pair
+    frame itself is deliberately NEVER broadcast: its size is governed
+    by store-side band-bucket density, not batch size, so a hot
+    boilerplate bucket must degrade to a (candidate-bounded) shuffle,
+    not a driver OOM. Set ``broadcast_batch=False`` only for
+    backfill-sized batches whose id set genuinely can't broadcast, and
+    expect store-shuffle cost.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     mh_cols = [f"mh_{i}" for i in range(num_hashes)]
@@ -505,8 +511,24 @@ def incremental_minhash_dedup(
     agree = sum(
         F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in mh_cols
     )
+    # Forced broadcasts stay on frames with a KNOWN bound: sig_a is
+    # batch-sized; `touched` is id-only (≤ one long per distinct
+    # candidate partner). The candidate-pair frame itself is NOT
+    # broadcast — its row count scales with store-side band-bucket
+    # density (hot boilerplate buckets can make it huge), so forcing it
+    # driver-side would trade a shuffle for an OOM. Instead the store
+    # is reduced by a broadcast SEMI join (streams past a hashed id
+    # set, zero store shuffle, zero wide columns), after which both
+    # join inputs are candidate-bounded and the verification join can
+    # shuffle safely.
+    cand_sig = candidates.join(hint(sig_a), "id")
+    touched = candidates.select(F.col("other").alias("id")).distinct()
+    sig_b_touched = (
+        sig_b.join(hint(touched), sig_b["other"] == F.col("id"), "semi")
+        if broadcast_batch else sig_b
+    )
     matches = (
-        hint(candidates.join(hint(sig_a), "id")).join(sig_b, "other")
+        cand_sig.join(sig_b_touched, "other")
         .withColumn("est_jaccard", F.round(agree / F.lit(num_hashes), 6))
         .where(F.col("est_jaccard") >= threshold)
         .groupBy("id")

@@ -275,8 +275,13 @@ class DatasetWarehouse:
         # Crashed writers leave `.staging-*` dirs (invisible to reads
         # but never re-used now that names carry a uuid): sweep any
         # stale enough that no legitimate in-flight write can still own
-        # them. A snapshot write is seconds-to-minutes; one hour is
-        # orders of magnitude past that.
+        # them. Staleness = one hour of INACTIVITY — the newest mtime
+        # anywhere under the dir, not the top-level dir's. A Spark
+        # parquet write keeps landing task files under _temporary/
+        # without touching the top-level mtime, so age-since-creation
+        # would rmtree a long-running (>1h) write mid-flight; a live
+        # write refreshes some file every few seconds, a crashed one
+        # never does.
         import time as _time
 
         cutoff = _time.time() - 3600
@@ -285,7 +290,16 @@ class DatasetWarehouse:
                 continue
             stale = os.path.join(vdir, entry)
             try:
-                if os.path.getmtime(stale) < cutoff:
+                newest = os.path.getmtime(stale)
+                for root, _dirs, files in os.walk(stale):
+                    newest = max(newest, os.path.getmtime(root))
+                    for name in files:
+                        # A file vanishing mid-walk (task commit renames)
+                        # raises OSError → outer except skips the sweep:
+                        # the dir is demonstrably active.
+                        newest = max(
+                            newest, os.path.getmtime(os.path.join(root, name)))
+                if newest < cutoff:
                     shutil.rmtree(stale, ignore_errors=True)
             except OSError:
                 pass

@@ -1472,29 +1472,37 @@ def q_dedup_canonicalize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster's BEST member (highest quality score, doc id as the total-
     order tiebreak), not merely the smallest id; singletons map to
     themselves. Composition: jaccard pairs → connected components →
-    per-cluster argmax via one groupBy struct-max (shuffle-lean: no
-    window over the corpus, the canonical table is cluster-count-sized
-    and broadcasts back)."""
+    per-cluster argmax via one groupBy struct-max. Scale contract: the
+    argmax runs ONLY over clustered members (rows that appear in a
+    dup pair), so the broadcast canonical table is bounded by the pair
+    count — singletons never enter it and resolve to themselves via
+    coalesce, keeping the broadcast side small on mostly-unique
+    corpora."""
     from datagrowth_spark.operators.graph import dedup_clusters
 
     docs = _t(spark, sf_dir, "documents")
     quality = docs.select("doc_id", TX.quality_score("text").alias("quality"))
     pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
     clusters = dedup_clusters(pairs).select("doc_id", "cluster_id")
-    member = (quality.join(clusters, "doc_id", "left")
-              .withColumn("cluster_id",
-                          F.coalesce("cluster_id", F.col("doc_id"))))
+    member = quality.join(clusters, "doc_id", "left")  # cluster_id null ⇒ singleton
     # struct-max = (quality DESC, doc_id ASC): negated id makes the
     # fieldwise max pick the smallest id among quality ties — identical
-    # to the oracle's ROW_NUMBER ordering.
-    best = member.groupBy("cluster_id").agg(
-        F.max(F.struct(F.col("quality"),
-                       (-F.col("doc_id")).alias("nid"),
-                       F.col("doc_id").alias("cid"))).alias("b"))
+    # to the oracle's ROW_NUMBER ordering. Only multi-member clusters
+    # participate; their count is ≤ the dup-pair count.
+    best = (member.filter(F.col("cluster_id").isNotNull())
+            .groupBy("cluster_id").agg(
+                F.max(F.struct(F.col("quality"),
+                               (-F.col("doc_id")).alias("nid"),
+                               F.col("doc_id").alias("cid"))).alias("b")))
     canon = best.select("cluster_id", F.col("b.cid").alias("canonical_id"))
-    return (member.join(F.broadcast(canon), "cluster_id")
-            .select("doc_id", "canonical_id",
-                    (F.col("doc_id") == F.col("canonical_id")).alias("kept")))
+    # Left join: null cluster_id never matches, so singletons fall to
+    # the coalesce and map to themselves without ever being shuffled
+    # into (or broadcast with) the canonical table.
+    return (member.join(F.broadcast(canon), "cluster_id", "left")
+            .select("doc_id",
+                    F.coalesce("canonical_id", F.col("doc_id")).alias("canonical_id"),
+                    (F.col("doc_id") ==
+                     F.coalesce("canonical_id", F.col("doc_id"))).alias("kept")))
 
 
 SQL_DEDUP_CANONICALIZE_QUALITY = f"""

@@ -78,6 +78,14 @@ Transport = Callable[[str, str, dict, Any], tuple[int, dict, str]]
 #: while the literal isin() still bloats Catalyst time.
 FETCH_PRUNE_THRESHOLD = 4096
 
+#: A flat (never-compacted) cache with at least this many committed
+#: batch dirs still benefits from the pushed ``signature IN`` predicate
+#: even without partition pruning: below it, the probe job plus the
+#: isin() literals cost more than the tiny scan they save (measured
+#: 2.4x on many-small-fetch growth chains); above it, an unpruned hit
+#: lookup windows over the entire multi-dir cache every fetch.
+FLAT_PRUNE_MIN_DIRS = 32
+
 
 def success_predicate(status: Column | str = "status") -> Column:
     """Success per the reference's Resource.success (2xx HTTP, 0 shell)."""
@@ -173,11 +181,22 @@ class ResourceCache:
         )
 
     def has_compacted(self) -> bool:
-        """True when a ``compact-*`` partitioned layout exists — the
-        precondition for signature-pruned lookups to pay for their
-        driver probe (pure listdir, no job)."""
-        return bool(os.path.exists(self.path) and any(
-            n.startswith("compact-") for n in os.listdir(self.path)))
+        """True when a ``compact-*`` partitioned layout exists (pure
+        listdir, no job). Delegates to :meth:`_entries` so there is ONE
+        source of truth for layout classification — a stray
+        non-directory ``compact-*`` entry counts as flat everywhere."""
+        return bool(self._entries()[0])
+
+    def wants_pruned_lookups(self) -> bool:
+        """True when a signature-pruned lookup pays for its driver
+        probe: either a compacted layout exists (partition pruning +
+        pushed predicate), or the flat cache has accumulated enough
+        batch dirs (``FLAT_PRUNE_MIN_DIRS``) that the pushed
+        ``signature IN`` beats windowing over the whole multi-dir scan
+        even without partition pruning. Small fresh caches — the
+        many-small-fetch growth-chain shape — skip the probe entirely."""
+        compacted, flat = self._entries()
+        return bool(compacted) or len(flat) >= FLAT_PRUNE_MIN_DIRS
 
     def _entries(self) -> tuple[list[str], list[str]]:
         """Committed entries, split by layout: (partitioned compact dirs,
@@ -446,15 +465,16 @@ def fetch(
         # Driver-bounded request batches collect their signature set
         # once so the two cache scans below — hit lookup and final
         # result — prune to the matching sig_prefix partitions instead
-        # of scanning the whole cache table. GATED on the cache
-        # actually having a compacted (partitioned) layout: on a fresh
-        # flat cache pruning eliminates nothing, while the probe job
-        # plus a thousands-of-literals isin() at Catalyst time cost
-        # real seconds per fetch (measured 2.4x on the many-small-fetch
+        # of scanning the whole cache table. GATED on the lookup paying
+        # for itself (compacted layout, or a flat cache grown past
+        # FLAT_PRUNE_MIN_DIRS): on a fresh flat cache pruning
+        # eliminates nothing, while the probe job plus a
+        # thousands-of-literals isin() at Catalyst time cost real
+        # seconds per fetch (measured 2.4x on the many-small-fetch
         # growth chain). The LIMIT probe caps driver memory for huge
         # seed frames, which fall back to the join path either way.
         prune_sigs = None
-        if cache.has_compacted():
+        if cache.wants_pruned_lookups():
             probe = (requests_df.select("signature")
                      .limit(FETCH_PRUNE_THRESHOLD + 1).collect())
             prune_sigs = ([r["signature"] for r in probe]

@@ -913,13 +913,23 @@ class TestSnapshotIsolatedReads:
         vdir = warehouse._version_dir(ds, 1)
         crashed = os.path.join(vdir, ".staging-deadbeef-main-s9.parquet")
         fresh = os.path.join(vdir, ".staging-cafebabe-main-s9.parquet")
+        active = os.path.join(vdir, ".staging-0ddba11-main-s9.parquet")
         os.makedirs(crashed)
         os.makedirs(fresh)
         old = _time.time() - 7200
         os.utime(crashed, (old, old))
+        # A >1h-running Spark write: top-level dir mtime is job-START
+        # time (task files land under _temporary/), but inner files are
+        # being touched — inactivity-based staleness must keep it.
+        tmp_inner = os.path.join(active, "_temporary", "0")
+        os.makedirs(tmp_inner)
+        with open(os.path.join(tmp_inner, "task-file.parquet"), "w") as fh:
+            fh.write("x")
+        os.utime(active, (old, old))
         warehouse.grow(ds, self._seeder([99]), retry=True)
         assert not os.path.exists(crashed)
         assert os.path.exists(fresh)
+        assert os.path.exists(active)  # fresh inner file ⇒ in-flight, kept
 
     def test_revise_clone_copies_only_latest_snapshot(self, spark, tmp_path):
         warehouse = self._warehouse(spark, tmp_path)

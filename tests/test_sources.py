@@ -1248,6 +1248,41 @@ class TestCacheCompaction:
         got = sorted(r["signature"] for r in cache.latest().collect())
         assert got == sorted(live)
 
+    def test_wants_pruned_lookups_gate(self, spark, tmp_path):
+        """The per-fetch signature probe runs only where it pays: a
+        compacted layout (partition pruning), or a flat cache past
+        FLAT_PRUNE_MIN_DIRS batch dirs (pushed IN beats a full multi-dir
+        window). Fresh small caches — the growth-chain shape — skip it."""
+        import os as _os
+        import shutil
+
+        from datagrowth_spark.sources.cache import FLAT_PRUNE_MIN_DIRS
+
+        cache = ResourceCache(spark, str(tmp_path / "c"))
+        assert not cache.wants_pruned_lookups()  # empty
+        cache.append(self._rows(spark, self._sigs(2, "a")))
+        assert not cache.wants_pruned_lookups()  # one flat dir: probe loses
+        # A long crawl's worth of flat batch dirs (fabricated cheaply by
+        # cloning the committed one) flips the gate even uncompacted.
+        src = next(p for p in _os.listdir(cache.path) if p.startswith("batch-"))
+        for i in range(FLAT_PRUNE_MIN_DIRS):
+            shutil.copytree(_os.path.join(cache.path, src),
+                            _os.path.join(cache.path, f"batch-clone{i:04d}"))
+        assert cache.wants_pruned_lookups()
+        # Compacted: always prune, regardless of dir count.
+        cache2 = ResourceCache(spark, str(tmp_path / "c2"))
+        cache2.append(self._rows(spark, self._sigs(2, "b")))
+        cache2.compact()
+        assert cache2.has_compacted() and cache2.wants_pruned_lookups()
+        # A stray compact-* FILE (not dir) is flat everywhere — the
+        # layout classifier has one source of truth (_entries).
+        cache3 = ResourceCache(spark, str(tmp_path / "c3"))
+        _os.makedirs(cache3.path)
+        with open(_os.path.join(cache3.path, "compact-bogus"), "w") as fh:
+            fh.write("")
+        assert not cache3.has_compacted()
+        assert not cache3.wants_pruned_lookups()
+
     def test_pruned_lookup_hits_partition_filter(self, spark, tmp_path):
         import re
 
