@@ -166,6 +166,39 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return shingles_from_tokens(toks, n)
 
 
+def winnow_fingerprints(grams: Column, window: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): from every sliding window of ``window`` consecutive
+    k-gram hashes keep the minimum; the sorted distinct selected hashes
+    are the document's fingerprint set. The guarantee that makes this
+    the standard sparse-fingerprint scheme: any shared token run of
+    ``window + k - 1`` tokens between two documents is caught by at
+    least one shared fingerprint, while the expected density is only
+    ``2 / (window + 1)`` of the grams — a tunable recall/size dial that
+    whole-corpus shingle schemes don't have.
+
+    Entirely in-row (transform / slice / array_min): fingerprinting a
+    100 TB corpus is a map-only projection with zero shuffle and zero
+    Python. Hash strings compare lexicographically, identical in Spark
+    and DuckDB, so the min-selection is engine-portable bit-for-bit.
+
+    ``grams`` MUST be a materialized column reference (not an inline
+    expression): the lambda body references it per element — see the
+    :func:`shingles_from_tokens` note. Documents shorter than one
+    window contribute their single global minimum (standard winnowing
+    edge rule); empty gram lists yield empty fingerprint sets.
+    """
+    g = F.size(grams)
+    idx = F.sequence(F.lit(1), F.greatest(g - (window - 1), F.lit(0)))
+    mins = (
+        F.when(g >= window,
+               F.transform(idx, lambda j: F.array_min(F.slice(grams, j, window))))
+        .when(g > 0, F.array(F.array_min(grams)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
 def char_pairs(word: Column | str) -> Column:
     """Adjacent character pairs of a word — the unit the first BPE merge
     iteration counts. ``sequence`` is guarded for words shorter than 2

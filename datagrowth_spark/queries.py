@@ -4943,6 +4943,271 @@ FROM events GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Round 6, second pass: crawl governance / sparse fingerprints / drift
+# ---------------------------------------------------------------------------
+
+# Synthetic raw-URL column (both engines build the identical string from
+# doc_id/source arithmetic): scheme case, host case, a leading www., a
+# default :80, unsorted params and a fragment all vary so that multiple
+# raw forms collapse onto one canonical URI.
+_RAW_URL_SPARK = None  # built inline in q_url_canonicalize
+
+_RAW_URL_SQL = """
+  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || upper(source) || '.Example.COM'
+        ELSE source || '.example.com' END) ||
+  (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END) ||
+  '/p/' || CAST(doc_id % 7 AS VARCHAR) ||
+  (CASE WHEN doc_id % 5 > 0
+        THEN '?b=' || CAST(doc_id % 5 AS VARCHAR) || '&a=' || CAST(doc_id % 7 AS VARCHAR)
+        ELSE '' END) ||
+  (CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END)
+"""
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + per-URI rollup — the reference's
+    ``uri_from_url`` cache-key normalization
+    (``datagrowth/resources/http/generic.py:631-642``: strip protocol,
+    sort query params) lifted to a corpus-scale relational operator,
+    extended with the standard crawl rules (host lowercase, ``www.``
+    and default-port strip, fragment drop). The canonicalization is a
+    map-only whole-stage-codegen projection (functions/urls.py — string
+    and array built-ins only, zero Python, zero shuffle); the rollup is
+    one hash aggregate, so at 100 TB the query is scan-bound. Raw URLs
+    are synthesized from doc arithmetic so several raw variants provably
+    collapse per URI."""
+    from datagrowth_spark.functions.urls import canonical_host, canonical_uri
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")), F.lit("://"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("WWW."), F.upper("source"), F.lit(".Example.COM")))
+         .otherwise(F.concat(F.col("source"), F.lit(".example.com"))),
+        F.when(d % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"), (d % 7).cast("string"),
+        F.when(d % 5 > 0,
+               F.concat(F.lit("?b="), (d % 5).cast("string"),
+                        F.lit("&a="), (d % 7).cast("string")))
+         .otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    canon = urls.select(
+        "doc_id", "url",
+        canonical_uri("url").alias("uri"),
+        canonical_host("url").alias("host"),
+    )
+    return canon.groupBy("uri", "host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("url").alias("n_raw_forms"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+SQL_URL_CANONICALIZE = f"""
+WITH u AS (SELECT doc_id, {_RAW_URL_SQL} AS url FROM documents),
+p AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+         regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''),
+                        '#.*$', '') AS defragged
+  FROM u),
+q AS (
+  SELECT *, split_part(defragged, '?', 1) AS auth_path,
+         CASE WHEN contains(defragged, '?') THEN split_part(defragged, '?', 2)
+              ELSE '' END AS raw_query
+  FROM p),
+r AS (
+  SELECT *, lower(split_part(auth_path, '/', 1)) AS host_port,
+         substr(auth_path, length(split_part(auth_path, '/', 1)) + 1) AS path
+  FROM q),
+s AS (
+  SELECT *, split_part(host_port, ':', 1) AS hostname,
+         CASE WHEN contains(host_port, ':') THEN split_part(host_port, ':', 2)
+              ELSE '' END AS port
+  FROM r),
+v AS (
+  SELECT doc_id, url,
+         CASE WHEN hostname LIKE 'www.%' THEN substr(hostname, 5)
+              ELSE hostname END AS norm_host,
+         CASE WHEN (scheme = 'http' AND port = '80')
+                OR (scheme = 'https' AND port = '443') OR port = ''
+              THEN '' ELSE ':' || port END AS norm_port,
+         CASE WHEN path = '' THEN '/' ELSE path END AS norm_path,
+         -- array_to_string([]) is NULL in DuckDB ('' in Spark): coalesce
+         coalesce(array_to_string(list_sort(list_filter(string_split(raw_query, '&'),
+                                                        x -> x <> '')), '&'),
+                  '') AS sorted_query
+  FROM s)
+SELECT norm_host || norm_port || norm_path ||
+         (CASE WHEN sorted_query = '' THEN '' ELSE '?' || sorted_query END) AS uri,
+       norm_host AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+       MIN(doc_id) AS min_doc_id
+FROM v
+GROUP BY 1, 2
+"""
+
+
+def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) sparse fingerprints per document: the minimum
+    3-gram hash of every sliding window of 4 grams, deduplicated — the
+    classic recall-guaranteed sparse alternative to full shingle sets
+    (any shared 6-token run is caught; expected density 2/(w+1)).
+    Entirely in-row (functions/text.py ``winnow_fingerprints``):
+    fingerprinting is a map-only projection, zero shuffle, zero Python —
+    the selection dial full-shingle schemes (``dedup_ngram_jaccard``)
+    lack at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", TX.tokens_col(F.lower(F.col("text"))).alias("toks"))
+    grammed = toked.select(
+        "doc_id",
+        F.transform(TX.shingles_from_tokens(F.col("toks"), 3),
+                    lambda s: F.md5(F.encode(s, "utf-8"))).alias("grams"))
+    fps = grammed.select(
+        "doc_id", F.size("grams").alias("n_grams"),
+        TX.winnow_fingerprints(F.col("grams"), 4).alias("fps"))
+    return fps.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.when(F.size("fps") > 0, F.element_at("fps", 1)).alias("fp_min"),
+    )
+
+
+SQL_TEXT_WINNOW_FINGERPRINTS = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(generate_series(1, len(toks) - 2),
+                   i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+         END AS grams
+  FROM t),
+w AS (
+  SELECT doc_id, len(grams) AS n_grams,
+         CASE WHEN len(grams) >= 4
+              THEN list_transform(generate_series(1, len(grams) - 3),
+                   j -> list_aggregate(grams[j:j+3], 'min'))
+              WHEN len(grams) > 0 THEN [list_aggregate(grams, 'min')]
+              ELSE CAST([] AS VARCHAR[])
+         END AS mins
+  FROM g)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(mins)) AS BIGINT) AS n_fingerprints,
+       list_sort(list_distinct(mins))[1] AS fp_min
+FROM w
+"""
+
+
+def q_corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two sub-corpora (English vs the
+    rest): per-token Jensen-Shannon divergence contributions under
+    Laplace smoothing — the distribution-shift audit run between crawl
+    snapshots or data-mix candidates before training. One explode + one
+    hash aggregate (map-side combine collapses the token distribution
+    before the single shuffle); the totals are a 1-row broadcast scalar,
+    every probability/log term is per-row arithmetic on exact integer
+    counts — no cross-row float accumulation, so the rounded output is
+    engine-portable. Scan-bound at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+        F.explode(TX.tokens_col(F.lower(F.col("text")))).alias("token"),
+    )
+    counts = ex.groupBy("token").agg(
+        F.sum("is_en").alias("c_en"),
+        F.sum(1 - F.col("is_en")).alias("c_other"),
+    ).persist()  # totals + join below both read it; one shuffle, not two
+    totals = counts.agg(
+        F.sum("c_en").alias("tot_en"),
+        F.sum("c_other").alias("tot_other"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    p_en = (F.col("c_en") + 1) / (F.col("tot_en") + F.col("vocab"))
+    p_ot = (F.col("c_other") + 1) / (F.col("tot_other") + F.col("vocab"))
+    m = (p_en + p_ot) / 2
+    contrib = F.round(
+        p_en * F.log(p_en / m) / 2 + p_ot * F.log(p_ot / m) / 2, 9)
+    return (
+        j.select(
+            "token",
+            F.col("c_en").cast("long").alias("c_en"),
+            F.col("c_other").cast("long").alias("c_other"),
+            contrib.alias("js_contribution"),
+        )
+        .orderBy(F.desc("js_contribution"), F.asc("token"))
+        .limit(25)
+    )
+
+
+SQL_CORPUS_TOKEN_DRIFT = f"""
+WITH ex AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+         unnest({_TOKS_SQL}) AS token
+  FROM documents),
+counts AS (
+  SELECT token, SUM(is_en) AS c_en, SUM(1 - is_en) AS c_other
+  FROM ex GROUP BY token),
+totals AS (
+  SELECT SUM(c_en) AS tot_en, SUM(c_other) AS tot_other,
+         COUNT(*) AS vocab
+  FROM counts),
+j AS (
+  SELECT token, c_en, c_other,
+         (c_en + 1) / CAST(tot_en + vocab AS DOUBLE) AS p_en,
+         (c_other + 1) / CAST(tot_other + vocab AS DOUBLE) AS p_ot
+  FROM counts CROSS JOIN totals)
+SELECT token, CAST(c_en AS BIGINT) AS c_en, CAST(c_other AS BIGINT) AS c_other,
+       round(p_en * ln(p_en / ((p_en + p_ot) / 2)) / 2
+             + p_ot * ln(p_ot / ((p_en + p_ot) / 2)) / 2, 9) AS js_contribution
+FROM j
+ORDER BY js_contribution DESC, token ASC
+LIMIT 25
+"""
+
+
+def q_source_quota_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl governance: drop blocklisted sources, then cap every
+    surviving source at its top-15 documents by quality (doc_id
+    tiebreak) — the per-domain quota that keeps one boilerplate-heavy
+    host from dominating a training mix. The ``rk <= k`` predicate over
+    a partitioned ROW_NUMBER triggers Spark's WindowGroupLimit: each
+    map task keeps only its local top-k per source BEFORE the shuffle,
+    so per-source state is k rows and the exchange carries
+    O(k × sources), not the corpus — with millions of hosts at 100 TB
+    the partition-by-source window is both balanced and tiny."""
+    docs = _t(spark, sf_dir, "documents")
+    allowed = docs.where(~F.col("source").isin("src7", "src13"))
+    scored = allowed.select(
+        "doc_id", "source", TX.quality_score("text").alias("quality"))
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 15)
+    )
+
+
+SQL_SOURCE_QUOTA_ENFORCE = """
+WITH tq AS ({quality}),
+j AS (
+  SELECT d.doc_id, d.source, tq.quality,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY tq.quality DESC, d.doc_id) AS rk
+  FROM documents d JOIN tq ON tq.doc_id = d.doc_id
+  WHERE d.source NOT IN ('src7', 'src13'))
+SELECT doc_id, source, quality, CAST(rk AS BIGINT) AS rk
+FROM j WHERE rk <= 15
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ordered for the driver's bounded correctness window.
 
@@ -4954,6 +5219,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     positions past 50. When adding a query, insert it near the top.
     """
     return {
+        # new in round 6, second pass
+        "url_canonicalize": q_url_canonicalize,
+        "text_winnow_fingerprints": q_text_winnow_fingerprints,
+        "corpus_token_drift": q_corpus_token_drift,
+        "source_quota_enforce": q_source_quota_enforce,
         # new in round 4, second pass
         "text_ngram_novelty": q_text_ngram_novelty,
         "events_retention": q_events_retention,
@@ -5091,6 +5361,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "url_canonicalize": SQL_URL_CANONICALIZE,
+        "text_winnow_fingerprints": SQL_TEXT_WINNOW_FINGERPRINTS,
+        "corpus_token_drift": SQL_CORPUS_TOKEN_DRIFT,
+        "source_quota_enforce": SQL_SOURCE_QUOTA_ENFORCE.format(
+            quality=SQL_TEXT_QUALITY),
         "text_ngram_novelty": SQL_TEXT_NGRAM_NOVELTY,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_anomaly": SQL_EVENTS_ANOMALY,

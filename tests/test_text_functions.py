@@ -33,3 +33,92 @@ class TestHashedLinear:
         again = {r["doc_id"]: r["s"] for r in
                  texts.select("doc_id", hashed_linear_score("text").alias("s")).collect()}
         assert scores == again
+
+
+class TestWinnowFingerprints:
+    """functions/text.py winnow_fingerprints — MOSS local-min selection."""
+
+    def _fps(self, spark, texts, k=3, w=4):
+        from datagrowth_spark.functions.text import (
+            shingles_from_tokens, tokens_col, winnow_fingerprints)
+
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        toked = df.select("doc_id", tokens_col(F.lower(F.col("text"))).alias("toks"))
+        grammed = toked.select(
+            "doc_id",
+            F.transform(shingles_from_tokens(F.col("toks"), k),
+                        lambda s: F.md5(F.encode(s, "utf-8"))).alias("grams"))
+        out = grammed.select(
+            "doc_id", winnow_fingerprints(F.col("grams"), w).alias("fps"))
+        return {r["doc_id"]: r["fps"] for r in out.collect()}
+
+    def test_edges(self, spark):
+        fps = self._fps(spark, [
+            (1, ""),                       # no tokens -> no fingerprints
+            (2, "a b"),                    # < k tokens -> no grams
+            (3, "a b c"),                  # one gram, shorter than window
+            (4, "a b c d e"),              # 3 grams < window -> global min only
+        ])
+        assert fps[1] == [] and fps[2] == []
+        assert len(fps[3]) == 1
+        assert len(fps[4]) == 1  # winnowing edge rule: single global min
+
+    def test_shared_run_shares_fingerprint(self, spark):
+        # Guarantee: any shared run of w + k - 1 = 6 tokens is caught by
+        # at least one shared fingerprint between the two documents.
+        shared = "q w e r t y"
+        fps = self._fps(spark, [
+            (1, f"one two three {shared} four five six"),
+            (2, f"{shared} seven eight nine ten eleven twelve"),
+        ])
+        assert set(fps[1]) & set(fps[2])
+
+    def test_density_below_full_shingles(self, spark):
+        text = " ".join(f"tok{i}" for i in range(200))
+        fps = self._fps(spark, [(1, text)])
+        n_grams = 200 - 2
+        # expected density 2/(w+1) = 0.4; allow slack but prove sparsity
+        assert 0 < len(fps[1]) < 0.6 * n_grams
+
+    def test_sorted_distinct(self, spark):
+        text = "a b c " * 30  # heavy repetition -> many duplicate minima
+        fps = self._fps(spark, [(1, text)])[1]
+        assert fps == sorted(set(fps))
+
+
+class TestCanonicalUrl:
+    """functions/urls.py — the reference's uri_from_url contract
+    (datagrowth/resources/http/generic.py:631-642) plus crawl rules."""
+
+    def _canon(self, spark, urls):
+        from datagrowth_spark.functions.urls import canonical_host, canonical_uri
+
+        df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                                   "i long, url string")
+        rows = df.select(canonical_uri("url").alias("u"),
+                         canonical_host("url").alias("h")).collect()
+        return [(r["u"], r["h"]) for r in rows]
+
+    def test_equivalence_classes_collapse(self, spark):
+        variants = [
+            "http://www.Example.COM:80/a/b?z=1&a=2#frag",
+            "HTTP://example.com/a/b?a=2&z=1",
+        ]
+        out = self._canon(spark, variants)
+        assert len({u for u, _ in out}) == 1
+        assert out[0] == ("example.com/a/b?a=2&z=1", "example.com")
+        # everything after '#' is fragment — a '?' inside it is NOT a query
+        frag = self._canon(spark, ["http://EXAMPLE.com:80/a/b#other?ignored"])
+        assert frag[0][0] == "example.com/a/b"
+
+    def test_https_default_port_and_empty_path(self, spark):
+        out = self._canon(spark, ["https://Host.org:443", "https://host.org/"])
+        assert out[0][0] == out[1][0] == "host.org/"
+
+    def test_non_default_port_kept(self, spark):
+        out = self._canon(spark, ["http://h.io:8080/x?b=2&a=1"])
+        assert out[0] == ("h.io:8080/x?a=1&b=2", "h.io")
+
+    def test_no_query_no_question_mark(self, spark):
+        out = self._canon(spark, ["http://a.b/c?", "http://a.b/c"])
+        assert out[0][0] == out[1][0] == "a.b/c"
