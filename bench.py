@@ -147,6 +147,12 @@ HEADLINE = [
     "sql_lateral_topn",
     "sql_in_subquery_having",
     "dedup_canonicalize_quality",
+    "url_canonicalize",
+    "text_winnow_fingerprints",
+    "corpus_token_drift",
+    "source_quota_enforce",
+    "decontamination_winnow",
+    "entity_match_blocks",
 ]
 
 

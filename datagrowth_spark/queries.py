@@ -5081,8 +5081,10 @@ def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TEXT_WINNOW_FINGERPRINTS = f"""
-WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+# Shared winnowing CTE chain (3-gram md5 hashes, window 4) — used by the
+# per-doc fingerprint query and the winnow-based decontamination query.
+_WINNOW_CTES = f"""
+t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
 g AS (
   SELECT doc_id,
          CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
@@ -5099,10 +5101,94 @@ w AS (
               ELSE CAST([] AS VARCHAR[])
          END AS mins
   FROM g)
+"""
+
+SQL_TEXT_WINNOW_FINGERPRINTS = f"""
+WITH {_WINNOW_CTES}
 SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST(len(list_distinct(mins)) AS BIGINT) AS n_fingerprints,
        list_sort(list_distinct(mins))[1] AS fp_min
 FROM w
+"""
+
+
+def q_decontamination_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination on WINNOWED fingerprints instead of
+    full shingle sets (compare ``decontamination``): the eval split
+    (every 97th doc) contributes its sparse fingerprints as a broadcast
+    set and corpus docs sharing any fingerprint are flagged with their
+    shared-fingerprint count. Same plan shape as the full-shingle
+    decontamination — eval side broadcast, corpus never self-joins —
+    but the exploded corpus volume is only ~2/(w+1) of the gram count,
+    which at 100 TB is the difference between shuffling the corpus's
+    entire shingle inventory and a 40% sample with a recall guarantee
+    (any shared 6-token run is still caught)."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", TX.tokens_col(F.lower(F.col("text"))).alias("toks"))
+    grammed = toked.select(
+        "doc_id",
+        F.transform(TX.shingles_from_tokens(F.col("toks"), 3),
+                    lambda s: F.md5(F.encode(s, "utf-8"))).alias("grams"))
+    fl = grammed.select(
+        "doc_id",
+        F.explode(TX.winnow_fingerprints(F.col("grams"), 4)).alias("fp"))
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_fps = fl.where(is_eval).select("fp").distinct()
+    return (
+        fl.where(~is_eval)
+        .join(F.broadcast(eval_fps), "fp")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("fp").alias("n_shared_fps"))
+    )
+
+
+SQL_DECONTAMINATION_WINNOW = f"""
+WITH {_WINNOW_CTES},
+fl AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w),
+ev AS (SELECT DISTINCT fp FROM fl WHERE doc_id % 97 = 0)
+SELECT doc_id, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_shared_fps
+FROM fl JOIN ev USING (fp)
+WHERE doc_id % 97 <> 0
+GROUP BY doc_id
+"""
+
+
+def q_entity_match_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution with blocking: distinct part names are matched
+    approximately (levenshtein ≤ 3) inside blocks keyed by their first
+    token — the standard ER shape (dedupe entities first, block, verify
+    pairwise only within blocks, enrich with entity weights). The
+    pairwise verify is quadratic ONLY in block size: the self-join is
+    on the block key, never all-pairs, and the name table is
+    distinct-entity-sized (row count collapses first through one hash
+    aggregate), so corpus scale enters the plan only through that
+    initial aggregate. Weights join back from the same aggregate."""
+    parts = _t(spark, sf_dir, "part")
+    names = (parts.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_rows"))
+             .withColumn("block", F.split("p_name", " ").getItem(0)))
+    a = names.select(F.col("p_name").alias("name_a"),
+                     F.col("n_rows").alias("n_a"), "block")
+    b = names.select(F.col("p_name").alias("name_b"),
+                     F.col("n_rows").alias("n_b"), "block")
+    return (
+        a.join(b, "block")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .where(F.col("dist") <= 3)
+        .select("block", "name_a", "name_b", "dist", "n_a", "n_b")
+    )
+
+
+SQL_ENTITY_MATCH_BLOCKS = """
+WITH names AS (
+  SELECT p_name, COUNT(*) AS n_rows, split_part(p_name, ' ', 1) AS block
+  FROM part GROUP BY p_name)
+SELECT a.block, a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       a.n_rows AS n_a, b.n_rows AS n_b
+FROM names a JOIN names b ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
 """
 
 
@@ -5224,6 +5310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
         "corpus_token_drift": q_corpus_token_drift,
         "source_quota_enforce": q_source_quota_enforce,
+        "decontamination_winnow": q_decontamination_winnow,
+        "entity_match_blocks": q_entity_match_blocks,
         # new in round 4, second pass
         "text_ngram_novelty": q_text_ngram_novelty,
         "events_retention": q_events_retention,
@@ -5366,6 +5454,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_token_drift": SQL_CORPUS_TOKEN_DRIFT,
         "source_quota_enforce": SQL_SOURCE_QUOTA_ENFORCE.format(
             quality=SQL_TEXT_QUALITY),
+        "decontamination_winnow": SQL_DECONTAMINATION_WINNOW,
+        "entity_match_blocks": SQL_ENTITY_MATCH_BLOCKS,
         "text_ngram_novelty": SQL_TEXT_NGRAM_NOVELTY,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_anomaly": SQL_EVENTS_ANOMALY,
