@@ -1275,7 +1275,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdicts, new_sigs = DD.incremental_minhash_dedup(
         batch, store_sigs, "text", "doc_id",
         num_hashes=_NUM_HASHES, bands=_BANDS, n=3, threshold=0.2)
-    new_sigs.unpersist()
+    # NO unpersist here: it would fire at construction time — before the
+    # caller materializes the returned frame — and (since the operator
+    # cascades its internal candidates cache into new_sigs.unpersist())
+    # force the store band-key pass to run twice at execution. The
+    # caches live for the session like store_sigs above; real ingest
+    # loops materialize verdicts first and then unpersist (see
+    # streaming/dedup.py process_batch for the correct order).
     return verdicts.select(
         F.col("id").alias("doc_id"), "is_dup", "dup_of", "est_jaccard")
 
