@@ -122,3 +122,25 @@ class TestCanonicalUrl:
     def test_no_query_no_question_mark(self, spark):
         out = self._canon(spark, ["http://a.b/c?", "http://a.b/c"])
         assert out[0][0] == out[1][0] == "a.b/c"
+
+    def test_variant_invariance_batch(self, spark):
+        """Property-style sweep: for many generated URLs, permuting the
+        params, flipping scheme/host case, adding the default port, a
+        www. prefix, or a fragment never changes the canonical URI."""
+        base, variants = [], []
+        for i in range(60):
+            host = f"h{i % 7}.example.org"
+            path = f"/p/{i % 5}"
+            params = [f"k{j}={i % 3}" for j in range(i % 4)]
+            q = "?" + "&".join(params) if params else ""
+            qrev = "?" + "&".join(reversed(params)) if params else ""
+            base.append((i, f"https://{host}{path}{q}"))
+            variants.append((i, f"HTTPS://www.{host.upper()}:443{path}{qrev}#f{i}"))
+        from datagrowth_spark.functions.urls import canonical_uri
+        b = spark.createDataFrame(base, "i long, url string") \
+            .select("i", canonical_uri("url").alias("u"))
+        v = spark.createDataFrame(variants, "i long, url string") \
+            .select("i", canonical_uri("url").alias("u"))
+        mism = b.alias("b").join(v.alias("v"), "i") \
+            .where(F.col("b.u") != F.col("v.u")).count()
+        assert mism == 0
