@@ -173,6 +173,28 @@ class TestIncrementalDedup:
         assert new_sigs.count() == 4
         new_sigs.unpersist()
 
+    def test_unpersist_cascade_empties_cache(self, spark):
+        """The operator persists its internal candidate-pair frame (the
+        plan references it twice); `new_sigs.unpersist()` must drop BOTH
+        caches — DataFrame caches live in the SQL CacheManager, a strong
+        driver-side ref the ContextCleaner never collects, so a leak
+        here accumulates one cache per ingest batch in a daemon."""
+        from datagrowth_spark.operators.dedup import (
+            incremental_minhash_dedup, minhash_signature)
+
+        spark.catalog.clearCache()  # caches are transparent; start clean
+        text = " ".join(f"w{i}" for i in range(30))
+        store_sigs = minhash_signature(_docs(spark, [(1, text)]),
+                                       num_hashes=16, n=3)
+        for batch_id in (10, 20):  # two ingest rounds, as a daemon would
+            batch = _docs(spark, [(batch_id, text)])
+            verdicts, new_sigs = incremental_minhash_dedup(
+                batch, store_sigs, num_hashes=16, bands=4, n=3)
+            verdicts.count()  # materialize BEFORE unpersist (the contract)
+            new_sigs.unpersist()
+        jcm = spark._jsparkSession.sharedState().cacheManager()
+        assert jcm.isEmpty(), "unpersist cascade leaked a cached plan"
+
 
 class TestContainment:
     def test_subset_doc_has_full_containment_tiny_jaccard(self, spark):
