@@ -32,42 +32,61 @@ _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 
 
 def _parts(url: Column | str) -> tuple[Column, Column, Column, Column]:
-    """(scheme, authority, path, sorted_query) — all lazily computed."""
+    """(scheme, host_port, path, sorted_query) — all lazily computed.
+
+    Parsing rules (RFC-shaped, chosen so the same rule is expressible
+    identically in DuckDB for the oracle): the query starts at the
+    FIRST ``?`` (a literal ``?`` inside a query value stays part of the
+    query); userinfo (``user:pw@``) is stripped from the authority
+    before host/port handling (``@`` cannot appear unencoded elsewhere
+    in an authority); the port is recognized only as a trailing
+    ``:digits`` run, which also leaves bracketed IPv6 hosts
+    (``[::1]:8080``) intact.
+    """
     url = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     defragged = F.regexp_replace(F.regexp_replace(url, _SCHEME_RE, ""), "#.*$", "")
     auth_path = F.substring_index(defragged, "?", 1)
+    # Everything after the FIRST '?' — NOT substring_index(-1), which
+    # would take the last and both diverge from the oracle and collapse
+    # distinct URLs whenever a query value contains a literal '?'.
     raw_query = F.when(
-        defragged.contains("?"), F.substring_index(defragged, "?", -1)
+        defragged.contains("?"),
+        F.substring(defragged, F.length(auth_path) + 2, F.lit(2 ** 30)),
     ).otherwise(F.lit(""))
     authority = F.substring_index(auth_path, "/", 1)
+    host_port = F.lower(F.regexp_replace(authority, "^[^@]*@", ""))
     path = F.substring(auth_path, F.length(authority) + 1, F.lit(2 ** 30))
     sorted_query = F.array_join(
         F.array_sort(F.filter(F.split(raw_query, "&"), lambda p: p != F.lit(""))),
         "&",
     )
-    return scheme, authority, path, sorted_query
+    return scheme, host_port, path, sorted_query
+
+
+def _host_and_port(host_port: Column) -> tuple[Column, Column]:
+    port = F.regexp_extract(host_port, ":([0-9]+)$", 1)
+    host = F.regexp_replace(host_port, ":[0-9]+$", "")
+    return host, port
 
 
 def canonical_host(url: Column | str) -> Column:
-    """Lowercased host, ``www.`` and port stripped — the crawl-pipeline
-    grouping key (per-domain quotas, blocklists, politeness buckets)."""
-    _, authority, _, _ = _parts(url)
-    host_port = F.lower(authority)
-    host = F.substring_index(host_port, ":", 1)
+    """Lowercased host, userinfo / ``www.`` / port stripped — the
+    crawl-pipeline grouping key (per-domain quotas, blocklists,
+    politeness buckets)."""
+    _, host_port, _, _ = _parts(url)
+    host, _ = _host_and_port(host_port)
     return F.when(host.startswith("www."), F.substring(host, 5, 2 ** 30)).otherwise(host)
 
 
 def canonical_uri(url: Column | str) -> Column:
     """Protocol-stripped, param-sorted lookup URI (the reference's
-    ``uri_from_url`` contract, plus default-port/``www.``/fragment
-    normalization). Two raw URLs that differ only in scheme case, host
-    case, ``www.``, a default port, parameter order, or a fragment map
-    to the same URI."""
-    scheme, authority, path, sorted_query = _parts(url)
-    host_port = F.lower(authority)
-    host = F.substring_index(host_port, ":", 1)
-    port = F.when(host_port.contains(":"), F.substring_index(host_port, ":", -1)).otherwise(F.lit(""))
+    ``uri_from_url`` contract, plus default-port/``www.``/fragment/
+    userinfo normalization). Two raw URLs that differ only in scheme
+    case, host case, ``www.``, a default port, userinfo, parameter
+    order, or a fragment map to the same URI."""
+    scheme, host_port, path, sorted_query = _parts(url)
+    host, port = _host_and_port(host_port)
     is_default = ((scheme == "http") & (port == "80")) | (
         (scheme == "https") & (port == "443")
     ) | (port == "")

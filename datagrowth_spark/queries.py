@@ -4957,8 +4957,6 @@ FROM events GROUP BY user_id
 # doc_id/source arithmetic): scheme case, host case, a leading www., a
 # default :80, unsorted params and a fragment all vary so that multiple
 # raw forms collapse onto one canonical URI.
-_RAW_URL_SPARK = None  # built inline in q_url_canonicalize
-
 _RAW_URL_SQL = """
   (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
   (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || upper(source) || '.Example.COM'
@@ -5023,18 +5021,22 @@ p AS (
                         '#.*$', '') AS defragged
   FROM u),
 q AS (
+  -- query = everything after the FIRST '?' (mirrors functions/urls.py)
   SELECT *, split_part(defragged, '?', 1) AS auth_path,
-         CASE WHEN contains(defragged, '?') THEN split_part(defragged, '?', 2)
+         CASE WHEN contains(defragged, '?')
+              THEN substr(defragged, length(split_part(defragged, '?', 1)) + 2)
               ELSE '' END AS raw_query
   FROM p),
 r AS (
-  SELECT *, lower(split_part(auth_path, '/', 1)) AS host_port,
+  -- userinfo stripped before host/port handling
+  SELECT *, lower(regexp_replace(split_part(auth_path, '/', 1),
+                                 '^[^@]*@', '')) AS host_port,
          substr(auth_path, length(split_part(auth_path, '/', 1)) + 1) AS path
   FROM q),
 s AS (
-  SELECT *, split_part(host_port, ':', 1) AS hostname,
-         CASE WHEN contains(host_port, ':') THEN split_part(host_port, ':', 2)
-              ELSE '' END AS port
+  -- port = trailing ':digits' only (IPv6 brackets stay in the host)
+  SELECT *, regexp_replace(host_port, ':[0-9]+$', '') AS hostname,
+         regexp_extract(host_port, ':([0-9]+)$', 1) AS port
   FROM r),
 v AS (
   SELECT doc_id, url,
@@ -5213,10 +5215,15 @@ def q_corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
         F.explode(TX.tokens_col(F.lower(F.col("text")))).alias("token"),
     )
+    # Session-lifetime cache, the house stance for rank/drift inputs
+    # (cf. q_epoch_shuffle, q_dedup_incremental): the totals aggregate
+    # and the join below both read it, so without the cache the
+    # explode+aggregate lineage runs twice. One vocab-sized entry per
+    # distinct sf_dir; caches are transparent to correctness.
     counts = ex.groupBy("token").agg(
         F.sum("is_en").alias("c_en"),
         F.sum(1 - F.col("is_en")).alias("c_other"),
-    ).persist()  # totals + join below both read it; one shuffle, not two
+    ).persist()
     totals = counts.agg(
         F.sum("c_en").alias("tot_en"),
         F.sum("c_other").alias("tot_other"),
