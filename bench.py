@@ -153,6 +153,8 @@ HEADLINE = [
     "source_quota_enforce",
     "decontamination_winnow",
     "entity_match_blocks",
+    "dedup_winnow_pairs",
+    "sql_time_range_window",
 ]
 
 

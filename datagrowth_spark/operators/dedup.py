@@ -156,6 +156,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = 64,
+) -> DataFrame:
+    """Near-dup candidate pairs from WINNOWED fingerprints — the sparse
+    counterpart of :func:`ngram_jaccard_pairs`: instead of posting every
+    shingle, each document posts only its winnowing-selected minima
+    (expected density ``2/(window+1)``), so the shuffled posting volume
+    and the per-bucket pair explosion shrink by the same factor while
+    any shared run of ``window + n - 1`` tokens still guarantees a
+    shared fingerprint. Same plan shape: distinct fingerprints per doc →
+    sorted posting list per fingerprint → in-row C(k,2) pair explode →
+    count per pair. ``max_fp_df`` is the boilerplate skew guard
+    (a fingerprint in more than N docs is dropped before the explode).
+    Output: (id_a, id_b, n_shared) with id_a < id_b,
+    n_shared ≥ ``min_shared``.
+    """
+    from datagrowth_spark.functions.text import (
+        shingles_from_tokens, tokens_col, winnow_fingerprints)
+
+    toked = df.select(F.col(id_col).alias("id"),
+                      tokens_col(F.lower(F.col(text_col))).alias("toks"))
+    grammed = toked.select(
+        "id",
+        F.transform(shingles_from_tokens(F.col("toks"), n),
+                    lambda s: F.md5(F.encode(s, "utf-8"))).alias("grams"))
+    fl = grammed.select(
+        "id", F.explode(winnow_fingerprints(F.col("grams"), window)).alias("fp"))
+    posts = fl.groupBy("fp").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    posts = posts.where(F.size("ids") > 1)
+    if max_fp_df is not None:
+        posts = posts.where(F.size("ids") <= max_fp_df)
+    pairs = posts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -5273,6 +5273,54 @@ LIMIT 25
 """
 
 
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from winnowed fingerprints: the sparse
+    posting-list dedup — each doc posts only its winnow-selected minima
+    (~2/(w+1) of its grams), so the shuffle and the per-bucket pair
+    explode shrink by the same factor vs ``dedup_ngram_jaccard`` while
+    shared ≥6-token runs are still guaranteed to collide. Boilerplate
+    fingerprints past the df cap are dropped before the explode (the
+    standard skew guard)."""
+    return DD.winnow_candidate_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, window=4, min_shared=2, max_fp_df=64)
+
+
+SQL_DEDUP_WINNOW_PAIRS = f"""
+WITH {_WINNOW_CTES},
+fl AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w),
+dfc AS (SELECT fp FROM fl GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 64)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fl a
+JOIN dfc USING (fp)
+JOIN fl b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+_SQL_TIME_RANGE_WINDOW = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cents_1h
+FROM events
+"""
+
+
+def q_sql_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-ANSI time-RANGE window frame (the sliding event-time
+    aggregate): the IDENTICAL text runs on Spark and DuckDB — interval
+    literal, timestamp RANGE frame, and integer-cent arithmetic so the
+    sliding sum is order-independent and bit-equal. Plan: one exchange
+    on user_id, per-user ordered frame — at 100 TB the partition key is
+    the user population, no corpus-wide ordering anywhere."""
+    _register_sql_views(spark, sf_dir)
+    return spark.sql(_SQL_TIME_RANGE_WINDOW)
+
+
 def q_source_quota_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl governance: drop blocklisted sources, then cap every
     surviving source at its top-15 documents by quality (doc_id
@@ -5325,6 +5373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota_enforce": q_source_quota_enforce,
         "decontamination_winnow": q_decontamination_winnow,
         "entity_match_blocks": q_entity_match_blocks,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "sql_time_range_window": q_sql_time_range_window,
         # new in round 4, second pass
         "text_ngram_novelty": q_text_ngram_novelty,
         "events_retention": q_events_retention,
@@ -5469,6 +5519,8 @@ def oracle_sql() -> dict[str, str]:
             quality=SQL_TEXT_QUALITY),
         "decontamination_winnow": SQL_DECONTAMINATION_WINNOW,
         "entity_match_blocks": SQL_ENTITY_MATCH_BLOCKS,
+        "dedup_winnow_pairs": SQL_DEDUP_WINNOW_PAIRS,
+        "sql_time_range_window": _SQL_TIME_RANGE_WINDOW,
         "text_ngram_novelty": SQL_TEXT_NGRAM_NOVELTY,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_anomaly": SQL_EVENTS_ANOMALY,
