@@ -169,6 +169,28 @@ def main() -> None:
                 ((F.col("id") * 2654435761 + 40503) % nn))).alias("dst"))
         pagerank(g, iterations=5).write.format("noop").mode("overwrite").save()
 
+    @bench("winnow_pairs_2m_docs")
+    def _():
+        # 2M docs, ~5% of them collapsing into ~40k dup keys (≈2-3
+        # copies each): the sparse posting-list dedup — winnow selection
+        # is in-row/zero-shuffle, so the only shuffle is the
+        # ~40%-density fingerprint posting aggregate; df cap bounds the
+        # per-bucket pair explode. One decade past the bench corpus.
+        from datagrowth_spark.operators.dedup import winnow_candidate_pairs
+        nd = n // 5
+        key = F.when(F.col("id") % 20 == 0, F.col("id") % (nd // 50)) \
+            .otherwise(F.col("id"))
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda j: F.concat(F.lit("w"), ((key * 31 + j * 7)
+                                            % 200_000).cast("string")),
+        )
+        corpus = spark.range(nd).select(
+            F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text"))
+        winnow_candidate_pairs(corpus, "text", "doc_id", n=3, window=4,
+                               min_shared=2, max_fp_df=64) \
+            .select(F.count(F.lit(1))).write.format("noop").mode("overwrite").save()
+
     @bench("ngram_novelty_2m_docs")
     def _():
         # 2M docs × 24 tokens from a 200k vocab → ~40M exploded grams
