@@ -307,3 +307,117 @@ class TestHtmlExtraction:
             {"label": "one", "url": "/r/1"},
             {"label": "two", "url": "/r/2"},
         ]
+
+
+class TestReferenceParity:
+    """The reference's OWN HTML/XML fixtures and objective expressions,
+    verbatim (tests/django_project/processors/tests/transformation.py:62-84,
+    project/mocks/data.py:39-92) — proof the mini-soup subset covers
+    every soup expression the reference repo actually evaluates."""
+
+    MOCK_HTML = """
+<!doctype html>
+<html>
+
+<head>
+    <title>Test</title>
+</head>
+
+<body>
+
+</body>
+
+<div id="content">
+    <p>
+        A list with links:
+        <ul>
+            <li><a href="/test">test</a></li>
+            <li><a href="/test2">test 2</a></li>
+            <li><a href="/test3">test 3</a></li>
+            <li>That's it!</li>
+        </ul>
+    </p>
+</div>
+
+</html>
+"""
+
+    MOCK_XML = """
+<xml>
+    <meta>
+        <title>Test</title>
+    </meta>
+
+    <results>
+        <result>
+            <label>test</label>
+            <url>/test</url>
+        </result>
+        <result>
+            <label>test 2</label>
+            <url>/test2</url>
+        </result>
+        <result>
+            <label>test 3</label>
+            <url>/test3</url>
+        </result>
+    </results>
+</xml>
+"""
+
+    MOCK_SCRAPE_DATA = [
+        {"text": "test", "link": "/test", "page": "Test"},
+        {"text": "test 2", "link": "/test2", "page": "Test"},
+        {"text": "test 3", "link": "/test3", "page": "Test"},
+    ]
+
+    def test_html_string_expressions(self):
+        processor = ExtractProcessor(objective={
+            "@": "soup.find_all('a')",
+            "text": "el.text",
+            "link": "el['href']",
+            "#page": "soup.find('title').text",
+        })
+        assert list(processor.extract("text/html", self.MOCK_HTML)) == \
+            self.MOCK_SCRAPE_DATA
+
+    def test_xml_callables(self):
+        def get_xml_elements(soup):
+            return soup.find_all("result")
+
+        def get_xml_link(soup, el):
+            return el.find("url").text
+
+        def get_page_text(soup):
+            return soup.find("title").text
+
+        processor = ExtractProcessor(objective={
+            "@": get_xml_elements,
+            "text": "el.find('label').text",
+            "link": get_xml_link,
+            "#page": get_page_text,
+        })
+        assert list(processor.extract("text/xml", self.MOCK_XML)) == \
+            self.MOCK_SCRAPE_DATA
+
+    def test_xml_generator_callback(self):
+        from collections import namedtuple
+
+        Info = namedtuple("Info", ["label", "url"])
+        processor = ExtractProcessor(objective={
+            "@": lambda soup: (Info(label, url) for label, url in
+                               zip(soup.find_all("label"), soup.find_all("url"))),
+            "text": "el.label.text",
+            "link": "el.url.text",
+        })
+        rows = list(processor.extract("application/xml", self.MOCK_XML))
+        assert [r["text"] for r in rows] == ["test", "test 2", "test 3"]
+        assert [r["link"] for r in rows] == ["/test", "/test2", "/test3"]
+
+    def test_xml_list_callback(self):
+        processor = ExtractProcessor(objective={
+            "@": lambda soup: soup.find_all("url"),
+            "link": "el.text",
+        })
+        rows = list(processor.extract("text/xml", self.MOCK_XML))
+        assert [r["link"] for r in rows] == ["/test", "/test2", "/test3"]
