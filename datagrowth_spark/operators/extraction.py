@@ -120,9 +120,26 @@ class ExtractProcessor:
             # yield one garbage row per character.
             nodes = [nodes]
         for node in nodes:
-            row = {k: self._eval(v, node) for k, v in self._objective.items()}
-            row.update(context)
+            # Context first, objective values overwrite on key clash
+            # (reference extraction.py:151-154: result = copy(context),
+            # then result[name] = ...).
+            row = dict(context)
+            for k, v in self._objective.items():
+                row[k] = self._eval(v, node)
             yield row
+
+    @staticmethod
+    def _eval_extraction(name: str, objective: Any, soup: Any, el: Any = None) -> Any:
+        """Mirror reference extraction.py:156-163: context/`@` callables get
+        ``objective(soup)``, per-element callables get ``objective(soup, el)``;
+        string objectives eval with ``soup``/``el`` in scope; eval failures
+        wrap in ValueError naming the objective key."""
+        if callable(objective):
+            return objective(soup) if el is None else objective(soup, el)
+        try:
+            return eval(objective, {"soup": soup, "el": el}) if objective else None  # noqa: S307 — mirrors reference semantics
+        except Exception as exc:
+            raise ValueError(f"Can't extract '{name}'") from exc
 
     def text_html(self, data: Any) -> Iterator[dict]:
         if HAS_BS4:
@@ -133,17 +150,20 @@ class ExtractProcessor:
             from datagrowth_spark.operators.html import mini_soup
 
             soup = mini_soup(data)
+        # Reference _extract_soup (extraction.py:165-181).
         context = {
-            k: v(soup) if callable(v) else eval(v, {"soup": soup})  # noqa: S307 — mirrors reference semantics
+            k: self._eval_extraction(k, v, soup)
             for k, v in self._context.items()
         }
-        elements = self._at(soup) if callable(self._at) else eval(self._at, {"soup": soup})
+        at = elements = self._eval_extraction("@", self._at, soup)
+        if not isinstance(at, (list, GeneratorType)):
+            elements = [at]
         for el in elements:
-            row = {
-                k: v(el) if callable(v) else eval(v, {"soup": soup, "el": el})
-                for k, v in self._objective.items()
-            }
-            row.update(context)
+            row = dict(context)
+            for k, v in self._objective.items():
+                if not v:
+                    continue
+                row[k] = self._eval_extraction(k, v, soup, el)
             yield row
 
     @staticmethod

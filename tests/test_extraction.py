@@ -288,8 +288,8 @@ class TestHtmlExtraction:
     def test_html_objective_callables(self):
         processor = ExtractProcessor(objective={
             "@": lambda soup: soup.find_all("a"),
-            "text": lambda el: el.text,
-            "link": lambda el: el["href"],
+            "text": lambda soup, el: el.text,
+            "link": lambda soup, el: el["href"],
             "#page": lambda soup: soup.find("title").text,
         })
         rows = list(processor.extract("text/html", PAGE_HTML))
@@ -421,3 +421,60 @@ class TestReferenceParity:
         })
         rows = list(processor.extract("text/xml", self.MOCK_XML))
         assert [r["link"] for r in rows] == ["/test", "/test2", "/test3"]
+
+    def test_single_element_at_wraps(self):
+        # Reference _extract_soup (extraction.py:171-173): a non-list '@'
+        # result becomes a single-element iteration, not char iteration.
+        processor = ExtractProcessor(objective={
+            "@": "soup.find('title')",
+            "text": "el.text",
+        })
+        rows = list(processor.extract("text/xml", self.MOCK_XML))
+        assert rows == [{"text": "Test"}]
+
+    def test_falsy_objective_skipped_soup(self):
+        # Reference extraction.py:177-178: falsy per-element objectives are
+        # skipped entirely (key absent), not evaluated to None.
+        processor = ExtractProcessor(objective={
+            "@": "soup.find_all('result')",
+            "text": "el.find('label').text",
+            "nothing": "",
+        })
+        rows = list(processor.extract("text/xml", self.MOCK_XML))
+        assert all("nothing" not in r for r in rows)
+        assert [r["text"] for r in rows] == ["test", "test 2", "test 3"]
+
+    def test_eval_error_wraps_value_error(self):
+        # Reference extraction.py:160-163: eval failures raise
+        # ValueError("Can't extract '<name>'") chained from the cause.
+        processor = ExtractProcessor(objective={
+            "@": "soup.find_all('result')",
+            "boom": "el.find('missing').text",
+        })
+        with pytest.raises(ValueError, match="Can't extract 'boom'"):
+            list(processor.extract("text/xml", self.MOCK_XML))
+
+
+class TestKeyClashPrecedence:
+    """Objective values overwrite context values on a `#key`/plain-key
+    clash — reference extraction.py:141-154 and :176-181 build the row
+    from copy(context) then assign objective keys."""
+
+    def test_json_objective_wins_over_context(self):
+        processor = ExtractProcessor(objective={
+            "@": "$.items",
+            "name": "$.name",
+            "#name": "$.page_title",
+        })
+        data = {"page_title": "CTX", "items": [{"name": "a"}, {"name": "b"}]}
+        rows = list(processor.extract("application/json", data))
+        assert [r["name"] for r in rows] == ["a", "b"]
+
+    def test_soup_objective_wins_over_context(self):
+        processor = ExtractProcessor(objective={
+            "@": "soup.find_all('result')",
+            "text": "el.find('label').text",
+            "#text": "soup.find('title').text",
+        })
+        rows = list(processor.extract("text/xml", TestReferenceParity.MOCK_XML))
+        assert [r["text"] for r in rows] == ["test", "test 2", "test 3"]
