@@ -489,6 +489,34 @@ def _banded_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     return banded
 
 
+class IncrementalDedupResult:
+    """Result handle for :func:`incremental_minhash_dedup`.
+
+    Unpacks as the historical ``(verdicts, new_sigs)`` 2-tuple;
+    :meth:`cleanup` drops BOTH persisted frames the operator created
+    (the batch signatures and the internal candidate-pair cache).
+    Callers must materialize ``verdicts`` before calling it. One-shot
+    callers that never clean up leak two cached plans until the session
+    ends — fine for a query, wrong for a per-batch ingest daemon.
+    """
+
+    __slots__ = ("verdicts", "new_sigs", "_caches")
+
+    def __init__(self, verdicts: DataFrame, new_sigs: DataFrame,
+                 caches: list[DataFrame]) -> None:
+        self.verdicts = verdicts
+        self.new_sigs = new_sigs
+        self._caches = caches
+
+    def __iter__(self):
+        return iter((self.verdicts, self.new_sigs))
+
+    def cleanup(self, blocking: bool = False) -> None:
+        """Unpersist every frame this operator cached."""
+        for frame in self._caches:
+            frame.unpersist(blocking)
+
+
 def incremental_minhash_dedup(
     new_docs: DataFrame,
     signature_store: DataFrame,
@@ -499,7 +527,8 @@ def incremental_minhash_dedup(
     n: int = 3,
     threshold: float = 0.5,
     broadcast_batch: bool = True,
-) -> tuple[DataFrame, DataFrame]:
+    broadcast_touched_limit: int = 4_000_000,
+) -> IncrementalDedupResult:
     """Near-dup detection for an INCREMENTAL ingest batch against a
     persisted MinHash signature store — the production shape at corpus
     scale: the historical corpus is never re-shingled or re-joined
@@ -508,7 +537,9 @@ def incremental_minhash_dedup(
 
     Checks each new document against (a) the store and (b) earlier new
     documents in the same batch (smaller id wins, so batch-internal
-    dups resolve deterministically). Returns ``(verdicts, new_sigs)``:
+    dups resolve deterministically). Returns an
+    :class:`IncrementalDedupResult` (unpacks as ``(verdicts,
+    new_sigs)``; ``.cleanup()`` drops the operator's caches):
 
     * ``verdicts`` — one row per new document:
       (id, is_dup, dup_of, est_jaccard); ``dup_of`` is the smallest
@@ -560,12 +591,11 @@ def incremental_minhash_dedup(
     # signature): measured +60% per ingest at a 10M-row store. The
     # frame is candidate-bounded (pair rows, two longs each); the
     # broadcast-exchange job populates it and the main stages read it.
-    # Lifetime rides the existing caller contract: DataFrame caches
-    # live in the SQL CacheManager (a strong driver-side ref the
-    # ContextCleaner never GCs), so `new_sigs.unpersist()` — which
-    # every caller already invokes once verdicts are materialized —
-    # is extended below to drop this cache too; a per-batch ingest
-    # daemon therefore cannot accumulate candidate caches.
+    # Lifetime: DataFrame caches live in the SQL CacheManager (a strong
+    # driver-side ref the ContextCleaner never GCs), so the result
+    # handle's cleanup() owns both this cache and new_sigs — a
+    # per-batch ingest daemon calls it once verdicts materialize and
+    # cannot accumulate candidate caches.
     candidates = cand_old.unionByName(cand_new).distinct().persist()
 
     all_sigs = signature_store.select("id", *mh_cols).unionByName(
@@ -588,8 +618,19 @@ def incremental_minhash_dedup(
     # shuffle safely.
     cand_sig = candidates.join(hint(sig_a), "id")
     touched = candidates.select(F.col("other").alias("id")).distinct()
+    # `touched`'s size is governed by store-side band-bucket density —
+    # the same hot-boilerplate-bucket growth that forbids broadcasting
+    # `candidates` — so its broadcast is gated on a bounded count. The
+    # count() runs on the persisted candidate frame (materializing a
+    # cache the main job needs anyway) and bounds |touched| from above.
+    # Past the limit the semi join degrades to a shuffle of the
+    # candidate-bounded id set, never a driver/executor OOM.
+    touched_bounded = (
+        broadcast_batch and candidates.count() <= broadcast_touched_limit
+    )
     sig_b_touched = (
-        sig_b.join(hint(touched), sig_b["other"] == F.col("id"), "semi")
+        sig_b.join(F.broadcast(touched) if touched_bounded else touched,
+                   sig_b["other"] == F.col("id"), "semi")
         if broadcast_batch else sig_b
     )
     matches = (
@@ -610,19 +651,7 @@ def incremental_minhash_dedup(
         )
     )
 
-    # Cascade cache cleanup: callers own new_sigs' lifetime and call
-    # its unpersist() after materializing verdicts; the internal
-    # candidates cache must die at the same moment (see comment at its
-    # persist() above). Instance-attribute shadowing keeps the public
-    # (verdicts, new_sigs) contract unchanged.
-    _sigs_unpersist = new_sigs.unpersist
-
-    def _unpersist_both(blocking: bool = False):
-        candidates.unpersist(blocking)
-        return _sigs_unpersist(blocking)
-
-    new_sigs.unpersist = _unpersist_both  # type: ignore[method-assign]
-    return verdicts, new_sigs
+    return IncrementalDedupResult(verdicts, new_sigs, [candidates, new_sigs])
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -440,6 +440,17 @@ def multi_rank_plans(
         raise ValueError(
             "multi_rank_plans: all specs must share num_shards "
             f"(got {sorted(map(str, shard_counts))})")
+    # Same collision guard as eager_rank_plan: a generated qkey column
+    # already present in the input would silently shadow real data in
+    # the shard projection and yield wrong sub-shard offsets.
+    for name in specs:
+        qkey_col = f"_dg_qkey_{name}"
+        if qkey_col in df.columns or (
+                stats_df is not None and qkey_col in stats_df.columns):
+            raise ValueError(
+                f"multi_rank_plans: generated qkey_col {qkey_col!r} "
+                "collides with an input column; rename the pass or the "
+                "column")
     contexts = {
         name: _plan_context(
             df, spec["key"], tuple(spec.get("tiebreaks", ())),
@@ -822,7 +833,8 @@ def add_global_rank(
             mismatches = [
                 f"{field}: plan={plan[field]!r} != arg={arg!r}"
                 for field, arg in (("key", key), ("descending", descending),
-                                   ("num_shards", num_shards))
+                                   ("num_shards", num_shards),
+                                   ("tiebreaks", tuple(tiebreaks)))
                 if field in plan and plan[field] != arg
             ]
             if mismatches:

@@ -255,10 +255,22 @@ class DatasetWarehouse:
         collection.df.write.mode("overwrite").parquet(tmp)
         try:
             os.replace(tmp, path)
-        except OSError:
-            # The other retry-grow published this K first. Its snapshot
-            # is a committed, complete write of the same version — drop
-            # ours and read theirs (never half-visible either way).
+        except OSError as exc:
+            # Only a rename onto an EXISTING non-empty target means "the
+            # other retry-grow published this K first" (its snapshot is
+            # a committed, complete write of the same version — drop
+            # ours and read theirs; never half-visible either way).
+            # Every other rename failure (EACCES, EXDEV, EIO...) is an
+            # infrastructure fault: swallowing it would discard the
+            # fresh snapshot AND repoint the collection at a path that
+            # does not exist, failing later with a misleading read
+            # error. Verify the winner actually exists for the same
+            # reason.
+            import errno
+
+            if exc.errno not in (errno.ENOTEMPTY, errno.EEXIST) \
+                    or not os.path.exists(path):
+                raise
             shutil.rmtree(tmp, ignore_errors=True)
         collection._df = self.spark.read.parquet(path)
         # GC everything older than the PREVIOUS snapshot: readers pinned

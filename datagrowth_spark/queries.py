@@ -1272,17 +1272,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table so the band branches don't re-shingle the corpus per branch.
     store_sigs = DD.minhash_signature(store_docs, "text", "doc_id",
                                       num_hashes=_NUM_HASHES, n=3).persist()
-    verdicts, new_sigs = DD.incremental_minhash_dedup(
+    result = DD.incremental_minhash_dedup(
         batch, store_sigs, "text", "doc_id",
         num_hashes=_NUM_HASHES, bands=_BANDS, n=3, threshold=0.2)
-    # NO unpersist here: it would fire at construction time — before the
-    # caller materializes the returned frame — and (since the operator
-    # cascades its internal candidates cache into new_sigs.unpersist())
-    # force the store band-key pass to run twice at execution. The
-    # caches live for the session like store_sigs above; real ingest
-    # loops materialize verdicts first and then unpersist (see
-    # streaming/dedup.py process_batch for the correct order).
-    return verdicts.select(
+    # Deliberate one-shot leak: result.cleanup() would fire at
+    # construction time — before the caller materializes the returned
+    # frame — forcing the store band-key pass to run twice at
+    # execution. The operator's two caches live for the session like
+    # store_sigs above; real ingest loops materialize verdicts first
+    # and then cleanup (see streaming/dedup.py process_batch).
+    return result.verdicts.select(
         F.col("id").alias("doc_id"), "is_dup", "dup_of", "est_jaccard")
 
 

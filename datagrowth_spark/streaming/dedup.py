@@ -99,16 +99,16 @@ class StreamingNearDupIndex:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from datagrowth_spark.operators.dedup import incremental_minhash_dedup
 
-        verdicts, new_sigs = incremental_minhash_dedup(
+        result = incremental_minhash_dedup(
             batch_df, self.store, self.text_col, self.id_col,
             num_hashes=self.num_hashes, bands=self.bands, n=self.n,
             threshold=self.threshold)
-        # Materialize BEFORE unpersisting the batch signatures both
-        # frames still reference.
-        verdicts = self._bounded(verdicts)
+        # Materialize (localCheckpoint) BEFORE cleanup() drops the
+        # operator's caches both frames still reference.
+        verdicts = self._bounded(result.verdicts)
         self.store = self._bounded(
-            self.store.unionByName(new_sigs.select(self.store.columns)))
-        new_sigs.unpersist()
+            self.store.unionByName(result.new_sigs.select(self.store.columns)))
+        result.cleanup()
         self.verdicts = (
             verdicts if self.verdicts is None
             else self._bounded(self.verdicts.unionByName(verdicts))

@@ -150,10 +150,10 @@ def main() -> None:
             *[(F.abs(F.xxhash64("id", F.lit(i))) % 4294967311).alias(f"mh_{i}")
               for i in range(16)])
         batch = docs.where(F.col("doc_id") < 100_000)
-        verdicts, sigs = incremental_minhash_dedup(batch, store, "text", "doc_id",
-                                                   num_hashes=16, bands=4, n=3)
-        verdicts.write.format("noop").mode("overwrite").save()
-        sigs.unpersist()
+        result = incremental_minhash_dedup(batch, store, "text", "doc_id",
+                                           num_hashes=16, bands=4, n=3)
+        result.verdicts.write.format("noop").mode("overwrite").save()
+        result.cleanup()
 
     @bench("pagerank_5m_edges")
     def _():

@@ -945,6 +945,66 @@ class TestSnapshotIsolatedReads:
         assert [k for k, _ in snaps] == [1, 2]
         assert len(warehouse.load_collection(ds, 2)) == 4  # 0,1,7 + 8
 
+    def test_save_reraises_non_race_rename_failures(self, spark, tmp_path,
+                                                    monkeypatch):
+        """Only ENOTEMPTY/EEXIST (a concurrent retry-grow won the
+        publish) may swallow the staged snapshot; an EACCES/EXDEV/EIO
+        rename failure must raise instead of repointing the collection
+        at a path that does not exist (ADVICE r6)."""
+        import errno
+
+        warehouse = self._warehouse(spark, tmp_path)
+        ds = EntityDataset({"snap_errno": 1})
+        warehouse.grow(ds, self._seeder(range(2)))
+        coll = warehouse.load_collection(ds, 1)
+        coll.add([{"id": 9, "name": "later"}])
+
+        def deny(src, dst):
+            raise PermissionError(errno.EACCES, "denied", dst)
+
+        monkeypatch.setattr(os, "replace", deny)
+        with pytest.raises(PermissionError):
+            warehouse.save_collection(ds, 1, coll)
+        monkeypatch.undo()
+        # The infra fault did not corrupt state: a plain retry succeeds.
+        warehouse.save_collection(ds, 1, coll)
+        assert len(warehouse.load_collection(ds, 1)) == 3
+
+    def test_save_race_loser_adopts_winner_snapshot(self, spark, tmp_path,
+                                                    monkeypatch):
+        """The legitimate race path: rename fails ENOTEMPTY because the
+        other retry-grow already published this K — the loser drops its
+        staged dir and reads the winner's committed snapshot."""
+        import errno
+
+        warehouse = self._warehouse(spark, tmp_path)
+        ds = EntityDataset({"snap_race": 1})
+        warehouse.grow(ds, self._seeder(range(2)))
+        winner = warehouse.load_collection(ds, 1)
+        winner.add([{"id": 7, "name": "winner"}])
+        warehouse.save_collection(ds, 1, winner)  # publishes s2
+
+        loser = warehouse.load_collection(ds, 1)
+        real_replace = os.replace
+
+        def contended(src, dst):
+            if ".staging-" in src:
+                raise OSError(errno.ENOTEMPTY, "not empty", dst)
+            return real_replace(src, dst)
+
+        # Force the loser to compute the same K as an in-flight winner
+        # would: point it at the pre-publish snapshot list.
+        vdir = warehouse._version_dir(ds, 1)
+        snaps = warehouse._snapshots(vdir, "main")
+        monkeypatch.setattr(warehouse, "_snapshots",
+                            lambda *a, **k: snaps[:-1])
+        monkeypatch.setattr(os, "replace", contended)
+        warehouse.save_collection(ds, 1, loser)
+        monkeypatch.undo()
+        # Loser adopted the winner's s2 content; no staging debris.
+        assert {r["name"] for r in loser.content()} >= {"winner"}
+        assert not [p for p in os.listdir(vdir) if p.startswith(".staging-")]
+
     def test_legacy_flat_layout_reads_as_snapshot_zero(self, spark, tmp_path):
         warehouse = self._warehouse(spark, tmp_path)
         ds = EntityDataset({"snap_legacy": 1})

@@ -298,10 +298,11 @@ def test_incremental_dedup_consistent_with_full_lsh(spark):
     batch = df.where(F.col("doc_id") % 3 == 0)
 
     store_sigs = minhash_signature(store_docs, num_hashes=16, n=3)
-    verdicts, new_sigs = incremental_minhash_dedup(
+    result = incremental_minhash_dedup(
         batch, store_sigs, num_hashes=16, bands=4, n=3, threshold=0.4)
-    got = {r["id"]: (r["dup_of"], r["est_jaccard"]) for r in verdicts.collect()}
-    new_sigs.unpersist()
+    got = {r["id"]: (r["dup_of"], r["est_jaccard"])
+           for r in result.verdicts.collect()}
+    result.cleanup()
 
     full = minhash_lsh_pairs(df, num_hashes=16, bands=4, n=3, threshold=0.4).collect()
     batch_ids = {r["doc_id"] for r in batch.collect()}

@@ -467,8 +467,28 @@ def test_plan_arg_mismatch_raises(spark):
         want = add_global_rank(df, "a", ("id",), out="r", num_shards=8)
         assert {r["id"]: r["r"] for r in ok.collect()} == \
             {r["id"]: r["r"] for r in want.collect()}
+        # Tiebreaks are part of the plan identity too: offsets computed
+        # under one tie order are wrong inside heavy tie groups under
+        # another (ADVICE r6).
+        with pytest.raises(ValueError, match="tiebreaks"):
+            add_global_rank(df, "a", (), out="r", num_shards=8,
+                            plan=plans["a"], offset_counts=counts["a"])
     finally:
         df.unpersist()
+
+
+def test_multi_rank_plans_qkey_collision_raises(spark):
+    """multi_rank_plans must refuse inputs that already carry one of
+    its generated _dg_qkey_<name> columns (same guard as
+    eager_rank_plan), instead of silently shadowing real data."""
+    from datagrowth_spark.operators.ranking import multi_rank_plans
+
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 3).cast("double").alias("a"),
+        F.lit(0.0).alias("_dg_qkey_a"))
+    with pytest.raises(ValueError, match="_dg_qkey_a.*collides"):
+        multi_rank_plans(df, {"a": {"key": "a", "tiebreaks": ("id",),
+                                    "num_shards": 8}}, stats_df=df)
 
 
 def test_empty_offsets_map_fails_loudly_on_rows(spark):

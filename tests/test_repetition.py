@@ -160,8 +160,9 @@ class TestIncrementalDedup:
             (13, " ".join(f"q{i}" for i in range(30))),
         ])
         store_sigs = minhash_signature(store_docs, num_hashes=16, n=3)
-        verdicts, new_sigs = incremental_minhash_dedup(
+        result = incremental_minhash_dedup(
             batch, store_sigs, num_hashes=16, bands=4, n=3, threshold=0.5)
+        verdicts, new_sigs = result  # handle unpacks as the 2-tuple
         got = {r["id"]: r for r in verdicts.collect()}
         assert got[10]["is_dup"] and got[10]["dup_of"] == 1
         assert got[10]["est_jaccard"] == 1.0
@@ -171,14 +172,15 @@ class TestIncrementalDedup:
         # new_sigs append-compatible with the store
         assert set(new_sigs.columns) == set(store_sigs.columns)
         assert new_sigs.count() == 4
-        new_sigs.unpersist()
+        result.cleanup()
 
-    def test_unpersist_cascade_empties_cache(self, spark):
-        """The operator persists its internal candidate-pair frame (the
-        plan references it twice); `new_sigs.unpersist()` must drop BOTH
-        caches — DataFrame caches live in the SQL CacheManager, a strong
-        driver-side ref the ContextCleaner never collects, so a leak
-        here accumulates one cache per ingest batch in a daemon."""
+    def test_cleanup_empties_cache(self, spark):
+        """The operator persists the batch signatures AND an internal
+        candidate-pair frame (the plan references it twice); the result
+        handle's cleanup() must drop BOTH — DataFrame caches live in the
+        SQL CacheManager, a strong driver-side ref the ContextCleaner
+        never collects, so a leak here accumulates one cache per ingest
+        batch in a daemon."""
         from datagrowth_spark.operators.dedup import (
             incremental_minhash_dedup, minhash_signature)
 
@@ -188,12 +190,33 @@ class TestIncrementalDedup:
                                        num_hashes=16, n=3)
         for batch_id in (10, 20):  # two ingest rounds, as a daemon would
             batch = _docs(spark, [(batch_id, text)])
-            verdicts, new_sigs = incremental_minhash_dedup(
+            result = incremental_minhash_dedup(
                 batch, store_sigs, num_hashes=16, bands=4, n=3)
-            verdicts.count()  # materialize BEFORE unpersist (the contract)
-            new_sigs.unpersist()
+            result.verdicts.count()  # materialize BEFORE cleanup (the contract)
+            result.cleanup()
         jcm = spark._jsparkSession.sharedState().cacheManager()
-        assert jcm.isEmpty(), "unpersist cascade leaked a cached plan"
+        assert jcm.isEmpty(), "cleanup leaked a cached plan"
+
+    def test_cleanup_safe_after_derived_frames(self, spark):
+        """Deriving new frames from new_sigs before cleanup must not
+        leak: the handle owns the original persisted frames, not
+        whatever the caller last touched (the monkey-patch design this
+        replaced broke exactly here)."""
+        from datagrowth_spark.operators.dedup import (
+            incremental_minhash_dedup, minhash_signature)
+
+        spark.catalog.clearCache()
+        text = " ".join(f"w{i}" for i in range(30))
+        store_sigs = minhash_signature(_docs(spark, [(1, text)]),
+                                       num_hashes=16, n=3)
+        result = incremental_minhash_dedup(
+            _docs(spark, [(10, text)]), store_sigs, num_hashes=16, bands=4, n=3)
+        appended = result.new_sigs.select(store_sigs.columns)  # derived frame
+        result.verdicts.count()
+        assert appended.count() == 1
+        result.cleanup()
+        jcm = spark._jsparkSession.sharedState().cacheManager()
+        assert jcm.isEmpty(), "cleanup leaked a cached plan"
 
 
 class TestContainment:
