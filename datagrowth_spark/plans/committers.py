@@ -29,7 +29,10 @@ The storage primitive for the object-store path is
 :class:`ConditionalStore` — ``get`` returns ``(bytes, generation)`` and
 ``put_if`` atomically writes iff the stored generation still matches.
 :class:`InMemoryConditionalStore` implements it for tests and as the
-executable spec; a production binding maps it 1:1 onto the boto3 /
+executable spec; :class:`FileConditionalStore` implements it against a
+real filesystem (hard-link CAS — atomic across processes, not just
+threads) so the full race suite runs on two genuinely different
+mediums; a production binding maps it 1:1 onto the boto3 /
 google-cloud-storage calls named above (not imported here — this repo
 has no cloud SDK dependency).
 """
@@ -90,6 +93,106 @@ class InMemoryConditionalStore(ConditionalStore):
             new_gen = (current_gen or 0) + 1
             self._data[key] = (data, new_gen)
             return new_gen
+
+
+class FileConditionalStore(ConditionalStore):
+    """Filesystem-backed :class:`ConditionalStore` that emulates object
+    -store generation semantics with hard links — a third race-suite
+    backend (and a real cross-PROCESS one: the in-memory spec's lock
+    only serializes threads, while ``os.link`` is atomic across any
+    writers sharing the filesystem).
+
+    Layout: each key is a directory holding immutable generation files
+    ``g<N>``. ``put_if(expected=N)`` writes a hidden temp file, then
+    ``os.link``\\ s it to ``g<N+1>`` — link-into-place either creates
+    the name or fails ``EEXIST`` atomically, so exactly one writer per
+    generation wins; the loser maps ``EEXIST`` to
+    :class:`StorePreconditionFailed` exactly like a conditional PUT's
+    412. ``get`` reads the highest generation file (never modified
+    after link, so reads are torn-write-free without any locking).
+
+    Old generations are pruned behind a keep-window. Pruning re-opens
+    an ABA hazard — a very slow writer could link a BELOW-max
+    generation number whose file was pruned — so after linking, the
+    writer re-lists and self-reverts if any higher generation exists
+    (its own file is below max, hence invisible to readers and to other
+    writers' expected-generation reads: the unlink races nothing).
+    """
+
+    #: generations retained behind the max; deep enough that a reader's
+    #: chosen max is never pruned out from under its open().
+    KEEP_GENERATIONS = 8
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    def _dir(self, key: str) -> str:
+        return os.path.join(self.root, key)
+
+    @staticmethod
+    def _gens(d: str) -> list[int]:
+        try:
+            names = os.listdir(d)
+        except FileNotFoundError:
+            return []
+        return sorted(int(n[1:]) for n in names
+                      if n.startswith("g") and n[1:].isdigit())
+
+    def get(self, key: str) -> tuple[bytes, int] | None:
+        d = self._dir(key)
+        gens = self._gens(d)
+        if not gens:
+            return None
+        n = gens[-1]
+        with open(os.path.join(d, f"g{n}"), "rb") as fh:
+            return fh.read(), n
+
+    def put_if(self, key: str, data: bytes, expected: int | None) -> int:
+        import uuid as _uuid
+
+        d = self._dir(key)
+        os.makedirs(d, exist_ok=True)
+        gens = self._gens(d)
+        current = gens[-1] if gens else None
+        if current != expected:
+            raise StorePreconditionFailed(
+                f"{key}: generation {current} != expected {expected}")
+        new_gen = (current or 0) + 1
+        tmp = os.path.join(d, f".tmp-{_uuid.uuid4().hex}")
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        target = os.path.join(d, f"g{new_gen}")
+        try:
+            os.link(tmp, target)
+        except FileExistsError as exc:
+            raise StorePreconditionFailed(
+                f"{key}: generation {new_gen} already committed") from exc
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+        # Post-link staleness check (see class docstring): if a higher
+        # generation already exists, our link landed on a pruned-out
+        # number below max — revert and fail the precondition.
+        latest = self._gens(d)
+        if latest and latest[-1] > new_gen:
+            try:
+                os.unlink(target)
+            except OSError:
+                pass
+            raise StorePreconditionFailed(
+                f"{key}: generation advanced past {new_gen} "
+                f"(now {latest[-1]})")
+        for g in latest:
+            if g < new_gen - self.KEEP_GENERATIONS:
+                try:
+                    os.unlink(os.path.join(d, f"g{g}"))
+                except OSError:
+                    pass
+        return new_gen
 
 
 def _empty_meta(signature: str) -> dict:

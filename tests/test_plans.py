@@ -672,11 +672,28 @@ class TestCommitLockTiming:
         assert not _os.path.exists(path + ".lock")
 
 
+def _make_cond_store(kind, tmp_path):
+    from datagrowth_spark.plans.committers import (
+        FileConditionalStore, InMemoryConditionalStore)
+
+    if kind == "memory":
+        return InMemoryConditionalStore()
+    return FileConditionalStore(str(tmp_path / "objstore"))
+
+
+@pytest.fixture(params=["memory", "file"])
+def cond_store(request, tmp_path):
+    """Both ConditionalStore backends: the in-memory executable spec
+    and the hard-link filesystem emulation — every race shape below
+    runs against each (VERDICT r6 item 5's third backend)."""
+    return _make_cond_store(request.param, tmp_path)
+
+
 class TestObjectStoreCommitter:
     """The warehouse commit protocol on the object-store backend (r5
     verdict item 1): same generation CAS, but the whole commit is one
     conditional put — validated with the same race shapes the POSIX
-    backend is tested under."""
+    backend is tested under, against BOTH ConditionalStore backends."""
 
     @staticmethod
     def _warehouse(spark, tmp_path, store=None):
@@ -691,10 +708,10 @@ class TestObjectStoreCommitter:
             spark, str(tmp_path / "wh"), registry=registry,
             committer=ObjectStoreMetaCommitter(store))
 
-    def test_cas_rejects_stale_generation(self, spark, tmp_path):
+    def test_cas_rejects_stale_generation(self, spark, tmp_path, cond_store):
         from datagrowth_spark.plans.dataset import DGConcurrentWrite
 
-        warehouse = self._warehouse(spark, tmp_path)
+        warehouse = self._warehouse(spark, tmp_path, store=cond_store)
         ds = EntityDataset({"cas_os": 1})
         meta_a = warehouse.read_meta(ds)
         meta_b = warehouse.read_meta(ds)
@@ -750,14 +767,15 @@ class TestObjectStoreCommitter:
         # both our version 2 AND the competitor's version 99 survive
         assert [v["version"] for v in final["versions"]] == [1, 2, 99]
 
-    def test_concurrent_grows_keep_both_versions(self, spark, tmp_path):
+    def test_concurrent_grows_keep_both_versions(self, spark, tmp_path,
+                                                 cond_store):
         """The interleaved-grow race test, identical in shape to the
         POSIX one, against the conditional-put backend."""
         import threading
 
         from datagrowth_spark.plans.dataset import GrowthStrategy
 
-        warehouse = self._warehouse(spark, tmp_path)
+        warehouse = self._warehouse(spark, tmp_path, store=cond_store)
         ds = EntityDataset({"race_os_grow": 1})
         barrier = threading.Barrier(2, timeout=60)
         errors = []
@@ -825,12 +843,12 @@ class TestObjectStoreCommitter:
         assert store.races == 3
         assert [v["version"] for v in final["versions"]] == [7]
 
-    def test_many_writers_stress(self, spark, tmp_path):
+    def test_many_writers_stress(self, spark, tmp_path, cond_store):
         """8 threads each CAS-commit a distinct version entry; every
         one must survive (no lost updates under sustained contention)."""
         import threading
 
-        warehouse = self._warehouse(spark, tmp_path)
+        warehouse = self._warehouse(spark, tmp_path, store=cond_store)
         ds = EntityDataset({"stress_os": 1})
         errors = []
 
@@ -851,6 +869,112 @@ class TestObjectStoreCommitter:
         assert not errors, errors
         meta = warehouse.read_meta(ds)
         assert [v["version"] for v in meta["versions"]] == list(range(1, 9))
+
+
+class TestFileConditionalStore:
+    """Unit semantics of the hard-link generation CAS itself (the
+    warehouse-level races run via the cond_store fixture above)."""
+
+    @staticmethod
+    def _store(tmp_path):
+        from datagrowth_spark.plans.committers import FileConditionalStore
+
+        return FileConditionalStore(str(tmp_path / "store"))
+
+    def test_generation_semantics(self, tmp_path):
+        from datagrowth_spark.plans.committers import StorePreconditionFailed
+
+        store = self._store(tmp_path)
+        assert store.get("k") is None
+        assert store.put_if("k", b"v1", expected=None) == 1
+        assert store.get("k") == (b"v1", 1)
+        with pytest.raises(StorePreconditionFailed):
+            store.put_if("k", b"again", expected=None)  # must-not-exist
+        with pytest.raises(StorePreconditionFailed):
+            store.put_if("k", b"stale", expected=0)
+        assert store.put_if("k", b"v2", expected=1) == 2
+        assert store.get("k") == (b"v2", 2)
+
+    def test_put_if_is_atomic_under_thread_hammer(self, tmp_path):
+        import threading
+
+        from datagrowth_spark.plans.committers import StorePreconditionFailed
+
+        store = self._store(tmp_path)
+        store.put_if("k", b"0", expected=None)
+        wins, errors = [], []
+        barrier = threading.Barrier(8, timeout=30)
+
+        def racer(i):
+            barrier.wait()
+            try:
+                store.put_if("k", f"winner-{i}".encode(), expected=1)
+                wins.append(i)
+            except StorePreconditionFailed:
+                pass
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        threads = [threading.Thread(target=racer, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errors, errors
+        assert len(wins) == 1  # exactly one link-into-place succeeds
+        data, gen = store.get("k")
+        assert gen == 2 and data == f"winner-{wins[0]}".encode()
+
+    def test_pruning_keeps_window_and_reverts_stale_low_link(self, tmp_path):
+        import os as _os
+
+        from datagrowth_spark.plans.committers import StorePreconditionFailed
+
+        store = self._store(tmp_path)
+        gen = None
+        for i in range(store.KEEP_GENERATIONS + 5):
+            gen = store.put_if("k", str(i).encode(), expected=gen)
+        d = store._dir("k")
+        gens = store._gens(d)
+        assert gens[-1] == store.KEEP_GENERATIONS + 5
+        assert gens[0] >= gens[-1] - store.KEEP_GENERATIONS
+        # ABA guard: a writer whose expected-generation view went stale
+        # (its listdir predates newer commits AND the pruning of its
+        # target slot) links a below-max number — the post-link re-list
+        # must self-revert and fail the precondition.
+        real_gens = store._gens
+        low = gens[-1] - 2
+        _os.unlink(_os.path.join(d, f"g{low + 1}"))  # simulate pruning
+        stale = [True]
+
+        def stale_gens(path):
+            if stale:  # first call: the writer's pre-link listdir
+                stale.pop()
+                return [low]
+            return real_gens(path)
+
+        store._gens = stale_gens
+        with pytest.raises(StorePreconditionFailed, match="advanced past"):
+            store.put_if("k", b"stale", expected=low)
+        store._gens = real_gens
+        # The reverted link left no below-max file behind...
+        assert (low + 1) not in real_gens(d)
+        # ...current state is unharmed, and a fresh-read CAS still works.
+        data, g = store.get("k")
+        assert g == gens[-1]
+        assert store.put_if("k", b"next", expected=g) == g + 1
+
+    def test_no_temp_debris_after_contention(self, tmp_path):
+        from datagrowth_spark.plans.committers import StorePreconditionFailed
+
+        store = self._store(tmp_path)
+        store.put_if("k", b"a", expected=None)
+        with pytest.raises(StorePreconditionFailed):
+            store.put_if("k", b"b", expected=None)
+        leftovers = [n for n in os.listdir(store._dir("k"))
+                     if n.startswith(".tmp-")]
+        assert leftovers == []
 
 
 class TestSnapshotIsolatedReads:
