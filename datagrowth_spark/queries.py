@@ -5365,7 +5365,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     positions past 50. When adding a query, insert it near the top.
     """
     return {
-        # new in round 6, second pass
+        # never driver-checked (r6 verdict item 4)
+        "streaming_seed_merge": q_streaming_seed_merge,
+        "dedup_canonicalize_quality": q_dedup_canonicalize_quality,
+        "docs_quality_rank": q_docs_quality_rank,
+        "docs_length_percentile": q_docs_length_percentile,
+        "docs_zorder_layout": q_docs_zorder_layout,
+        # last driver-checked round 2
+        "customer_order_merge": q_customer_order_merge,
+        "orders_rollup": q_orders_rollup,
+        "order_count_distribution": q_order_count_distribution,
+        "big_orders": q_big_orders,
+        "rich_idle_customers": q_rich_idle_customers,
+        "promo_share_monthly": q_promo_share_monthly,
+        # last driver-checked round 3
+        "quality_unigram_lm": q_quality_unigram_lm,
+        "corpus_mix_temperature": q_corpus_mix_temperature,
+        "events_heavy_hitters": q_events_heavy_hitters,
+        "corpus_chunks": q_corpus_chunks,
+        "embedding_centroids": q_embedding_centroids,
+        "embedding_assign": q_embedding_assign,
+        "streaming_dedup_exact": q_streaming_dedup_exact,
+        "streaming_sessionize": q_streaming_sessionize,
+        "similarity_topk_ivf": q_similarity_topk_ivf,
+        "embedding_near_dups": q_embedding_near_dups,
+        "media_decode": q_media_decode,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
+        "media_features": q_media_features,
+        "pipeline_seed_merge": q_pipeline_seed_merge,
+        "pipeline_growth_enrich": q_pipeline_growth_enrich,
+        "streaming_events_hourly": q_streaming_events_hourly,
+        "events_daily": q_events_daily,
+        "events_sessionize": q_events_sessionize,
+        "events_json_props": q_events_json_props,
+        "events_value_quantiles": q_events_value_quantiles,
+        "events_asof_orders": q_events_asof_orders,
+        "events_value_bands": q_events_value_bands,
+        "events_rolling": q_events_rolling,
+        "customer_rfm": q_customer_rfm,
+        "similarity_topk": q_similarity_topk,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "decontamination": q_decontamination,
+        "docs_by_lang": q_docs_by_lang,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_language_id": q_text_language_id,
+        "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "corpus_vocab": q_corpus_vocab,
+        "corpus_pack": q_corpus_pack,
+        "corpus_split_stratified": q_corpus_split_stratified,
+        "corpus_mix_rebalance": q_corpus_mix_rebalance,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "quality_threshold_by_lang": q_quality_threshold_by_lang,
+        "pii_scan": q_pii_scan,
+        "corpus_sample": q_corpus_sample,
+        # last driver-checked round 4
+        "supplier_diversity": q_supplier_diversity,
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "nation_revenue": q_nation_revenue,
+        "returned_items": q_returned_items,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "customers_without_orders": q_customers_without_orders,
+        "active_suppliers": q_active_suppliers,
+        # last driver-checked round 5
+        "html_extract": q_html_extract,
+        "pipeline_growth_chain": q_pipeline_growth_chain,
+        "quality_linear_classifier": q_quality_linear_classifier,
+        "nation_pair_revenue": q_nation_pair_revenue,
+        "sole_supplier_orders": q_sole_supplier_orders,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "corpus_budget_select": q_corpus_budget_select,
+        "dataset_version_diff": q_dataset_version_diff,
+        "streaming_click_attribution": q_streaming_click_attribution,
+        "curation_pipeline": q_curation_pipeline,
+        "finished_not_pending_custs": q_finished_not_pending_custs,
+        "order_priority_check": q_order_priority_check,
+        # last driver-checked round 6
         "url_canonicalize": q_url_canonicalize,
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
         "corpus_token_drift": q_corpus_token_drift,
@@ -5374,7 +5459,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_match_blocks": q_entity_match_blocks,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "sql_time_range_window": q_sql_time_range_window,
-        # new in round 4, second pass
         "text_ngram_novelty": q_text_ngram_novelty,
         "events_retention": q_events_retention,
         "events_anomaly": q_events_anomaly,
@@ -5388,12 +5472,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_stats": q_streaming_user_stats,
         "customer_set_ops": q_customer_set_ops,
         "link_triangles": q_link_triangles,
-        # oracle changed this session (128-bit span hash) — keep in window
         "dedup_spans_crossdoc": q_dedup_spans_crossdoc,
         "text_self_dedup": q_text_self_dedup,
         "text_char_entropy": q_text_char_entropy,
         "sql_frontend": q_sql_frontend,
-        # new in round 5: verbatim-ANSI SQL front-end breadth
         "sql_window_topn": q_sql_window_topn,
         "sql_exists_suppliers": q_sql_exists_suppliers,
         "sql_not_exists_customers": q_sql_not_exists_customers,
@@ -5405,7 +5487,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_pack": q_curriculum_pack,
         "epoch_shuffle": q_epoch_shuffle,
         "length_bucket_batches": q_length_bucket_batches,
-        # new in round 4
         "dedup_span_rewrite": q_dedup_span_rewrite,
         "dedup_incremental": q_dedup_incremental,
         "streaming_dedup_incremental": q_streaming_dedup_incremental,
@@ -5420,92 +5501,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_bigram_lm": q_quality_bigram_lm,
         "embedding_quantize": q_embedding_quantize,
         "events_funnel": q_events_funnel,
-        "html_extract": q_html_extract,
-        "pipeline_growth_chain": q_pipeline_growth_chain,
-        "quality_linear_classifier": q_quality_linear_classifier,
-        "nation_pair_revenue": q_nation_pair_revenue,
-        "sole_supplier_orders": q_sole_supplier_orders,
-        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
-        "corpus_budget_select": q_corpus_budget_select,
-        "dataset_version_diff": q_dataset_version_diff,
-        "streaming_click_attribution": q_streaming_click_attribution,
-        # not in the round-3 window (last checked round 2) — rotate in
-        "curation_pipeline": q_curation_pipeline,
-        "finished_not_pending_custs": q_finished_not_pending_custs,
-        "order_priority_check": q_order_priority_check,
-        "supplier_diversity": q_supplier_diversity,
-        "pricing_summary": q_pricing_summary,
-        "top_orders": q_top_orders,
-        "nation_revenue": q_nation_revenue,
-        "returned_items": q_returned_items,
-        "top_parts_per_brand": q_top_parts_per_brand,
-        "customers_without_orders": q_customers_without_orders,
-        "active_suppliers": q_active_suppliers,
-        "customer_order_merge": q_customer_order_merge,
-        "orders_rollup": q_orders_rollup,
-        "order_count_distribution": q_order_count_distribution,
-        "big_orders": q_big_orders,
-        "rich_idle_customers": q_rich_idle_customers,
-        "promo_share_monthly": q_promo_share_monthly,
-        # checked green in the round-3 window — absorb overflow positions
-        "quality_unigram_lm": q_quality_unigram_lm,
-        "corpus_mix_temperature": q_corpus_mix_temperature,
-        "events_heavy_hitters": q_events_heavy_hitters,
-        "corpus_chunks": q_corpus_chunks,
-        # never driver-checked before round 3
-        "embedding_centroids": q_embedding_centroids,
-        "embedding_assign": q_embedding_assign,
-        "streaming_dedup_exact": q_streaming_dedup_exact,
-        "streaming_sessionize": q_streaming_sessionize,
-        # checked in round 1 only (fell past the window in round 2)
-        "similarity_topk_ivf": q_similarity_topk_ivf,
-        "embedding_near_dups": q_embedding_near_dups,
-        "media_decode": q_media_decode,
-        "media_resize": q_media_resize,
-        "media_frames": q_media_frames,
-        "media_features": q_media_features,
-        "pipeline_seed_merge": q_pipeline_seed_merge,
-        "streaming_seed_merge": q_streaming_seed_merge,
-        "pipeline_growth_enrich": q_pipeline_growth_enrich,
-        "streaming_events_hourly": q_streaming_events_hourly,
-        # failed round 2 on the events ts dtype bug — need a green row
-        "events_daily": q_events_daily,
-        "events_sessionize": q_events_sessionize,
-        "events_json_props": q_events_json_props,
-        "events_value_quantiles": q_events_value_quantiles,
-        "events_asof_orders": q_events_asof_orders,
-        "events_value_bands": q_events_value_bands,
-        "events_rolling": q_events_rolling,
-        # the rest of the operator surface
-        "customer_rfm": q_customer_rfm,
-        "similarity_topk": q_similarity_topk,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_canonicalize_quality": q_dedup_canonicalize_quality,
-        "decontamination": q_decontamination,
-        "docs_by_lang": q_docs_by_lang,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "docs_quality_rank": q_docs_quality_rank,
-        "docs_length_percentile": q_docs_length_percentile,
-        "docs_zorder_layout": q_docs_zorder_layout,
-        "text_language_id": q_text_language_id,
-        "text_fingerprint": q_text_fingerprint,
-        "text_repetition": q_text_repetition,
-        "corpus_vocab": q_corpus_vocab,
-        "corpus_pack": q_corpus_pack,
-        "corpus_split_stratified": q_corpus_split_stratified,
-        "corpus_mix_rebalance": q_corpus_mix_rebalance,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "quality_threshold_by_lang": q_quality_threshold_by_lang,
-        "pii_scan": q_pii_scan,
-        "corpus_sample": q_corpus_sample,
     }
 
 
