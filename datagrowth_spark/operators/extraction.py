@@ -66,16 +66,31 @@ class ExtractProcessor:
     config_namespace = "extract_processor"
 
     def __init__(self, config=None, objective: dict | None = None) -> None:
-        from datagrowth_spark.core.config import ConfigurationType
+        from datagrowth_spark.core.config import ConfigurationType, create_config
 
+        if isinstance(config, dict):
+            # Reference construction style: TransformProcessor(
+            # config={"objective": ...}) (transformation tests :62-101).
+            config = create_config(self.config_namespace, config)
         self.config = config or ConfigurationType(namespace=self.config_namespace)
-        objective = objective or self.config.get("objective", default={}, raise_on_missing=False) or {}
-        self.load_objective(objective)
-
-    def load_objective(self, objective: dict) -> None:
         self._at = None
         self._context: dict[str, Any] = {}
         self._objective: dict[str, Any] = {}
+        if objective is None:
+            objective = self.config.get("objective", default=None,
+                                        raise_on_missing=False)
+        # Mirrors reference __init__ (extraction.py:44-50): the
+        # objective loads (and validates) only when one was configured.
+        if objective:
+            self.load_objective(objective)
+
+    def load_objective(self, objective: dict) -> None:
+        """Split an objective into '@'/context/per-node parts, with the
+        reference's validity asserts (extraction.py:52-72)."""
+        assert isinstance(objective, dict), "An objective should be a dict."
+        self._at = None
+        self._context = {}
+        self._objective = {}
         for key, value in objective.items():
             if key == "@":
                 self._at = value
@@ -83,17 +98,48 @@ class ExtractProcessor:
                 self._context[key[1:]] = value
             else:
                 self._objective[key] = value
+        assert self._objective or self._context, \
+            f"No objectives loaded from objective {objective}"
+        if self._objective:
+            assert self._at, (
+                "ExtractProcessor did not load elements to start with from "
+                f"its objective {objective}. Make sure that '@' is specified")
+
+    # -- resource conveniences (reference extraction.py:74-108) ------------
+    def pass_resource_through(self, resource) -> Any:
+        """Return a resource's data as-is, no transformation."""
+        mime_type, data = resource.content
+        return data
+
+    def extract_from_resource(self, resource) -> Iterator[dict]:
+        """Extract from a resource's (content_type, data) tuple using
+        THIS processor's objective."""
+        return self.transform(*resource.content)
+
+    def transform_resource(self, resource) -> Iterator[dict]:
+        """Alias of :meth:`extract_from_resource` under the transform
+        name."""
+        return self.transform(*resource.content)
 
     # -- core -------------------------------------------------------------
-    def extract(self, content_type: str | None, data: Any) -> Iterator[dict]:
+    def extract(self, content_type: str | None, data: Any):
+        return self.transform(content_type, data)
+
+    def transform(self, content_type: str | None, data: Any):
+        """Dispatch on content type via a same-named method (reference
+        extraction.py:110-135: ``application/pdf`` would call an
+        ``application_pdf`` method — subclasses extend by adding one)."""
         if content_type is None or data is None:
-            return iter([])
+            return []
         content_type = content_type.split(";")[0].strip()
         if is_json_mimetype(content_type):
-            return self.application_json(data)
-        if content_type in ("text/html", "text/xml", "application/xml"):
-            return self.text_html(data)
-        raise TypeError(f"Unsupported content type: {content_type}")
+            content_type = "application/json"
+        method = getattr(self, content_type.replace("/", "_"), None)
+        if method is None:
+            raise TypeError(
+                f"Transform processor does not support content_type "
+                f"{content_type}")
+        return method(data)
 
     def _eval(self, spec: Any, node: Any) -> Any:
         if callable(spec):
@@ -141,15 +187,21 @@ class ExtractProcessor:
         except Exception as exc:
             raise ValueError(f"Can't extract '{name}'") from exc
 
-    def text_html(self, data: Any) -> Iterator[dict]:
+    def _make_soup(self, data: Any) -> Any:
+        """Raw markup parses (bs4 when installed, mini-soup otherwise);
+        anything already parsed — the reference's resource layer hands
+        soups straight to text_html/text_xml — passes through."""
+        if not isinstance(data, (str, bytes)):
+            return data
         if HAS_BS4:
-            soup = bs4.BeautifulSoup(data, "html.parser")
-        else:
-            # stdlib fallback: call-compatible find/find_all/.text subset
-            # (operators/html.py) so objectives work without bs4.
-            from datagrowth_spark.operators.html import mini_soup
+            return bs4.BeautifulSoup(data, "html.parser")
+        # stdlib fallback: call-compatible find/find_all/.text subset
+        # (operators/html.py) so objectives work without bs4.
+        from datagrowth_spark.operators.html import mini_soup
 
-            soup = mini_soup(data)
+        return mini_soup(data)
+
+    def _extract_soup(self, soup: Any) -> Iterator[dict]:
         # Reference _extract_soup (extraction.py:165-181).
         context = {
             k: self._eval_extraction(k, v, soup)
@@ -166,12 +218,14 @@ class ExtractProcessor:
                 row[k] = self._eval_extraction(k, v, soup, el)
             yield row
 
-    @staticmethod
-    def extract_from_resource(resource) -> Iterator[dict]:
-        """Extract from a resource's (content_type, data) tuple."""
-        content_type, data = resource.content if hasattr(resource, "content") else resource
-        processor = ExtractProcessor(objective={})
-        return processor.extract(content_type, data)
+    def text_html(self, data: Any) -> Iterator[dict]:
+        yield from self._extract_soup(self._make_soup(data))
+
+    def text_xml(self, data: Any) -> Iterator[dict]:
+        yield from self._extract_soup(self._make_soup(data))
+
+    def application_xml(self, data: Any) -> Iterator[dict]:
+        yield from self._extract_soup(self._make_soup(data))
 
 
 _EXTRACT_OUT_SCHEMA = T.StructType([T.StructField("properties", PROPERTIES_TYPE)])
@@ -279,4 +333,7 @@ def _wrap_schema_for_path(path: str | None, leaf: T.DataType) -> T.DataType:
 
 class TransformProcessor(ExtractProcessor):
     """Alias of ExtractProcessor under the transform name (E3, reference
-    datagrowth/processors/input/transform.py:5-15)."""
+    datagrowth/processors/input/transform.py:5-15); its config lives in
+    its own namespace (reference transformation tests :139-141)."""
+
+    config_namespace = "transform_processor"

@@ -129,6 +129,48 @@ def cosine_topk_ivf(
     )
 
 
+def cosine_hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining: per query, the top-k most similar corpus
+    vectors carrying a DIFFERENT label — the contrastive-training
+    negative-selection step (highest-similarity wrong-class neighbors
+    are the informative negatives).
+
+    Scale shape mirrors :func:`cosine_topk`: the query set broadcasts,
+    the corpus streams past it (no corpus shuffle), the label
+    inequality prunes before scoring, and the per-query window is a
+    map-side WindowGroupLimit top-k. Ties broken by corpus id.
+    Output: (query_id, vec_id, cos_sim, rank).
+    """
+    q = F.broadcast(queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    ))
+    scored = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"),
+            F.col(label_col).alias("c_label"),
+        )
+        .crossJoin(q)
+        .where(F.col("c_label") != F.col("q_label"))
+        .withColumn("cos_sim", cosine(F.col("c_vec"), F.col("q_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
 def unit_normalize(vec: Column) -> Column:
     """L2-normalize a vector column.
 

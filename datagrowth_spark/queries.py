@@ -2114,7 +2114,7 @@ def q_pipeline_seed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "strategy": "merge",
             "retrieve_data": {"request_template": _entity_detail_request},
             "contribute_data": {
-                "objective": {"id": "$.id", "detail": "$.detail", "score": "$.score"},
+                "objective": {"@": "$", "id": "$.id", "detail": "$.detail", "score": "$.score"},
                 "merge_on": "id",
             },
         },
@@ -2272,7 +2272,7 @@ def q_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "strategy": "merge",
             "retrieve_data": {"request_template": _entity_detail_request},
             "contribute_data": {
-                "objective": {"id": "$.id", "detail": "$.detail", "score": "$.score"},
+                "objective": {"@": "$", "id": "$.id", "detail": "$.detail", "score": "$.score"},
                 "merge_on": "id",
                 "composition_to": "extra",
             },
@@ -2371,7 +2371,7 @@ def q_pipeline_growth_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "retrieve_data": {"request_template": {
             "uri_template": "http://testclient/analyze/{}", "args": ["$.doc_id"],
         }},
-        "contribute_data": {"objective": {"score": "$.score", "flag": "$.flag"}},
+        "contribute_data": {"objective": {"@": "$", "score": "$.score", "flag": "$.flag"}},
     }
     GrowthProcessor(config, transport=TC.testclient_transport)(coll, cache)
 
@@ -2540,13 +2540,13 @@ def q_pipeline_growth_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "retrieve_data": {"request_template": {
             "uri_template": "http://testclient/analyze/{}", "args": ["$.doc_id"],
         }},
-        "contribute_data": {"objective": {"score": "$.score", "flag": "$.flag"}},
+        "contribute_data": {"objective": {"@": "$", "score": "$.score", "flag": "$.flag"}},
     }
     tier = {
         "growth_phase": "tier",
         "depends_on": "analyze",
         "retrieve_data": {"request_template": _tier_request},
-        "contribute_data": {"objective": {"tier": "$.tier"}},
+        "contribute_data": {"objective": {"@": "$", "tier": "$.tier"}},
     }
     GrowthProcessor(analyze, transport=TC.testclient_transport)(coll, cache)
     # Snapshot between rounds, exactly like the task-DAG fixpoint loop

@@ -478,3 +478,198 @@ class TestKeyClashPrecedence:
         })
         rows = list(processor.extract("text/xml", TestReferenceParity.MOCK_XML))
         assert [r["text"] for r in rows] == ["test", "test 2", "test 3"]
+
+
+class TestReferenceTransformParity:
+    """The reference's TransformProcessor test corpus, verbatim
+    (tests/django_project/processors/tests/transformation.py:36-302,
+    project/mocks/data.py:7-36): resource pass-through, getattr
+    dispatch, objective splitting, JSON records / object-values /
+    from-dict, nested generator/list callbacks, and the
+    ExtractProcessor alias contract."""
+
+    MOCK_DATA = {
+        "dict": {
+            "test": "nested value",
+            "list": ["nested value 0", "nested value 1", "nested value 2"],
+            "dict": {"test": "test"},
+        },
+        "list": ["value 0", "value 1", "value 2"],
+        "dotted.key": "another value",
+        "unicode": ["überhaupt"],
+    }
+    RECORDS = [
+        {"id": 1, "record": "Hallelujah"},
+        {"id": 2, "record": "The Beatles"},
+        {"id": 3, "record": "The Stones"},
+    ]
+    JSON_CONTEXT = {"unicode": "überhaupt", "goal": "test"}
+
+    @classmethod
+    def data_with_records(cls):
+        d = json.loads(json.dumps(cls.MOCK_DATA))
+        d["records"] = json.loads(json.dumps(cls.RECORDS))
+        return d
+
+    @classmethod
+    def data_with_keys(cls):
+        d = json.loads(json.dumps(cls.MOCK_DATA))
+        d["keys"] = {str(r["id"]): dict(r) for r in cls.RECORDS}
+        return d
+
+    @classmethod
+    def expected_json(cls):
+        return [dict(r, **cls.JSON_CONTEXT) for r in cls.RECORDS]
+
+    def get_json_processor(self, callables=False, object_values=False,
+                           from_dict=False):
+        from datagrowth_spark.operators.extraction import TransformProcessor
+
+        if not object_values and not from_dict:
+            at = "$.records" if not callables else \
+                (lambda root: root.get("records", []))
+        elif from_dict:
+            at = "$.records.0" if not callables else \
+                (lambda root: root.get("records")[0])
+        else:
+            at = "$.keys" if not callables else \
+                (lambda root: root.get("keys", []))
+        uni = "$.unicode.0" if not callables else \
+            (lambda root: root.get("unicode", [None])[0])
+        rid = "$.id" if not callables else (lambda node: node.get("id"))
+        objective = {
+            "@": at,
+            "#unicode": uni,
+            "#goal": "$.dict.dict.test",
+            "id": rid,
+            "record": "$.record",
+        }
+        return TransformProcessor(config={
+            "objective": objective,
+            "extract_from_object_values": object_values})
+
+    def test_backward_compatibility(self):
+        from datagrowth_spark.operators.extraction import (
+            ExtractProcessor, TransformProcessor)
+
+        assert issubclass(TransformProcessor, ExtractProcessor)
+        assert ExtractProcessor.config_namespace == "extract_processor"
+        assert TransformProcessor.config_namespace == "transform_processor"
+        prc = self.get_json_processor()
+        data = self.data_with_records()
+        assert list(prc.transform("application/json", data)) == \
+            list(prc.extract("application/json", data))
+
+        class Res:
+            content = ("application/json", data)
+
+        assert list(prc.transform_resource(Res())) == \
+            list(prc.extract_from_resource(Res()))
+
+    def test_init_and_load_objective(self):
+        from datagrowth_spark.operators.extraction import TransformProcessor
+
+        prc = TransformProcessor(config={"objective": {
+            "@": "soup.find_all('a')",
+            "text": "el.text",
+            "link": "el['href']",
+            "#page": "soup.find('title').text",
+        }})
+        assert prc._at == "soup.find_all('a')"
+        assert prc._context == {"page": "soup.find('title').text"}
+        assert prc._objective == {"text": "el.text", "link": "el['href']"}
+
+    def test_load_objective_asserts(self):
+        from datagrowth_spark.operators.extraction import ExtractProcessor
+
+        with pytest.raises(AssertionError, match="should be a dict"):
+            ExtractProcessor(objective=["@"])
+        with pytest.raises(AssertionError, match="No objectives loaded"):
+            ExtractProcessor(objective={"@": "$.records"})
+        with pytest.raises(AssertionError, match="'@' is specified"):
+            ExtractProcessor(objective={"id": "$.id"})
+
+    def test_transform_dispatch(self):
+        from datagrowth_spark.operators.extraction import TransformProcessor
+
+        prc = self.get_json_processor()
+        for ct in ("text/html", "text/xml", "application/xml"):
+            assert hasattr(prc, ct.replace("/", "_"))
+        with pytest.raises(TypeError, match="application/quantum"):
+            prc.transform("application/quantum", {"test": "test"})
+        assert prc.transform(None, None) == []
+
+        class PdfProcessor(TransformProcessor):
+            def application_pdf(self, data):
+                return [{"pdf": data}]
+
+        sub = PdfProcessor(config={"objective": {"@": "$", "x": "$.x"}})
+        assert sub.transform("application/pdf", "raw") == [{"pdf": "raw"}]
+
+    def test_pass_resource_through(self):
+        data = self.data_with_records()
+
+        class Res:
+            content = ("application/json", data)
+
+        prc = self.get_json_processor()
+        assert prc.pass_resource_through(Res()) is data
+
+    @pytest.mark.parametrize("callables", [False, True])
+    def test_application_json_records(self, callables):
+        from types import GeneratorType
+
+        prc = self.get_json_processor(callables=callables)
+        rsl = prc.application_json(self.data_with_records())
+        assert isinstance(rsl, GeneratorType)
+        assert list(rsl) == self.expected_json()
+
+    @pytest.mark.parametrize("callables", [False, True])
+    def test_application_json_object_values(self, callables):
+        prc = self.get_json_processor(callables=callables,
+                                      object_values=True)
+        got = sorted(prc.application_json(self.data_with_keys()),
+                     key=lambda r: r["id"])
+        assert got == self.expected_json()
+
+    @pytest.mark.parametrize("callables", [False, True])
+    def test_application_json_from_dict(self, callables):
+        prc = self.get_json_processor(callables=callables, from_dict=True)
+        assert list(prc.application_json(self.data_with_records())) == \
+            [self.expected_json()[0]]
+
+    def test_application_json_nested_transformation(self):
+        from datagrowth_spark.operators.extraction import TransformProcessor
+
+        data = self.data_with_records()
+        for at in (
+            lambda d: (v for rec in d for v in rec["list"]),   # generator
+            lambda d: [v for rec in d for v in rec["list"]],   # list
+        ):
+            prc = TransformProcessor(config={"objective": {
+                "@": at, "value": "$"}})
+            out = list(prc.application_json([data, data]))
+            assert [r["value"] for r in out] == \
+                ["value 0", "value 1", "value 2"] * 2
+            assert all(len(r) == 1 for r in out)
+
+    def test_soup_methods_accept_parsed_soup(self):
+        """The reference's resource layer hands PARSED soups to
+        text_html/text_xml (transformation tests :204-224); raw markup
+        must also keep working."""
+        from types import GeneratorType
+
+        from datagrowth_spark.operators.extraction import TransformProcessor
+        from datagrowth_spark.operators.html import mini_soup
+
+        prc = TransformProcessor(config={"objective": {
+            "@": "soup.find_all('result')",
+            "text": "el.find('label').text",
+            "#page": "soup.find('title').text",
+        }})
+        raw = TestReferenceParity.MOCK_XML
+        parsed = mini_soup(raw)
+        for rsl in (prc.text_xml(raw), prc.text_xml(parsed),
+                    prc.application_xml(parsed), prc.text_html(parsed)):
+            assert isinstance(rsl, GeneratorType)
+            assert [r["text"] for r in rsl] == ["test", "test 2", "test 3"]

@@ -79,7 +79,7 @@ class TestSeeding:
                 "strategy": "merge",
                 "retrieve_data": {"request_template": _detail_request},
                 "contribute_data": {
-                    "objective": {"id": "$.id", "detail": "$.detail", "score": "$.score"},
+                    "objective": {"@": "$", "id": "$.id", "detail": "$.detail", "score": "$.score"},
                     "merge_on": "id",
                 },
             },
@@ -100,7 +100,7 @@ class TestSeeding:
                 "strategy": "merge",
                 "retrieve_data": {"request_template": _detail_request},
                 "contribute_data": {
-                    "objective": {"id": "$.id", "detail": "$.detail"},
+                    "objective": {"@": "$", "id": "$.id", "detail": "$.detail"},
                     "merge_on": "id",
                     "composition_to": "meta",
                 },
@@ -173,7 +173,7 @@ class TestGrowth:
         config = {
             "growth_phase": "detail",
             "retrieve_data": {"request_template": _detail_request},
-            "contribute_data": {"objective": {"detail": "$.detail", "score": "$.score"}},
+            "contribute_data": {"objective": {"@": "$", "detail": "$.detail", "score": "$.score"}},
         }
         config.update(over)
         return config
@@ -615,7 +615,7 @@ class TestGrowthJvmPaths:
                 "retrieve_data": {"request_template": {
                     "uri_template": "http://mockapi/entities/{}", "args": ["$.id"],
                 }},
-                "contribute_data": {"objective": {"detail": "$.detail", "score": "$.score"}},
+                "contribute_data": {"objective": {"@": "$", "detail": "$.detail", "score": "$.score"}},
             }, transport=mock_api_transport)
             if force_python:
                 gp._extract_contributions_jvm = lambda joined: None
