@@ -155,6 +155,11 @@ HEADLINE = [
     "entity_match_blocks",
     "dedup_winnow_pairs",
     "sql_time_range_window",
+    "bpe_pair_counts",
+    "embedding_hard_negatives",
+    "boilerplate_prefixes",
+    "mixture_token_plan",
+    "lm_heldout_perplexity",
 ]
 
 

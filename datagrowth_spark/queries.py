@@ -5354,6 +5354,277 @@ FROM j WHERE rk <= 15
 """
 
 
+# ---------------------------------------------------------------------------
+# Round 7: tokenizer induction, hard-negative mining, boilerplate prefixes,
+# token-budget mixture planning, held-out LM scoring
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge step's statistics: the 100 most frequent ADJACENT
+    token pairs across the corpus (pair_count) with their document
+    frequency — the core aggregate a distributed tokenizer-induction
+    loop re-runs per merge.
+
+    Scale shape: pairs are built per row from the token array (zero
+    shuffle), then aggregated TWICE — per-(doc, pair) first, so the hot
+    pairs ("of the"-class) never funnel a distinct-set onto one reduce
+    task, then per-pair with map-side combine on pre-counted rows. The
+    global top-100 is TakeOrderedAndProject (no single-partition
+    window); the rank attaches on the 100-row result only.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", TX.normalized_tokens(F.col("text")).alias("toks"))
+    pairs = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                                  F.element_at("toks", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (
+        toks.select("doc_id", F.explode(pairs).alias("pair"))
+        .groupBy("doc_id", "pair").agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = per_doc.groupBy("pair").agg(
+        F.sum("c").alias("pair_count"),
+        F.count(F.lit(1)).alias("doc_count"))
+    top = agg.orderBy(F.desc("pair_count"), F.asc("pair")).limit(100)
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))  # 100 rows
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+SQL_BPE_PAIR_COUNTS = f"""
+WITH t AS (
+  SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents
+),
+p AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+         ELSE list_transform(generate_series(1, len(toks) - 1),
+              i -> concat_ws(' ', toks[i], toks[i + 1])) END) AS pair
+  FROM t
+),
+d AS (SELECT doc_id, pair, COUNT(*) AS c FROM p GROUP BY doc_id, pair),
+a AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS pair_count,
+             CAST(COUNT(*) AS BIGINT) AS doc_count FROM d GROUP BY pair),
+r AS (SELECT pair, pair_count, doc_count,
+             ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair ASC) AS rnk
+      FROM a)
+SELECT pair, pair_count, doc_count, rnk FROM r WHERE rnk <= 100
+"""
+
+
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for 10 fixed query vectors: top-5 cosine
+    neighbors with a DIFFERENT label (operators/similarity.py
+    cosine_hard_negatives — broadcast queries, corpus never shuffles)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label")
+    return SIM.cosine_hard_negatives(emb, queries_df, k=5)
+
+
+SQL_EMBEDDING_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS a_vec, label AS q_label
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS b_vec, label AS c_label FROM embeddings
+), scored AS (
+  SELECT query_id, vec_id, {_cos_sql("a_vec", "b_vec")} AS cos_sim
+  FROM q CROSS JOIN c
+  WHERE c_label <> q_label
+), ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style leading-boilerplate detection: documents sharing their
+    first two normalized tokens with other documents (prefix document
+    frequency) get flagged — the cheap screen that catches cookie
+    banners / nav headers repeated across a crawl.
+
+    Scale shape: one shuffle on the (short, fixed-width) prefix string
+    for the window count; no joins, no distinct over a hot key.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    pref = docs.select(
+        "doc_id",
+        F.array_join(F.slice(TX.normalized_tokens(F.col("text")), 1, 2), " ")
+        .alias("prefix"))
+    w = Window.partitionBy("prefix")
+    return (
+        pref.withColumn("prefix_docs", F.count(F.lit(1)).over(w))
+        .select("doc_id", "prefix", "prefix_docs",
+                (F.col("prefix_docs") >= 2).alias("is_boilerplate"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_BOILERPLATE_PREFIXES = f"""
+WITH t AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
+p AS (
+  SELECT doc_id, coalesce(array_to_string(toks[1:2], ' '), '') AS prefix
+  FROM t
+),
+c AS (
+  SELECT doc_id, prefix,
+         COUNT(*) OVER (PARTITION BY prefix) AS prefix_docs
+  FROM p
+)
+SELECT doc_id, prefix, CAST(prefix_docs AS BIGINT) AS prefix_docs,
+       prefix_docs >= 2 AS is_boilerplate
+FROM c ORDER BY doc_id
+"""
+
+
+def q_mixture_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture plan: given per-source TOKEN counts (not
+    doc counts — sources with long documents weigh more) and a
+    temperature-flattened target (alpha=0.5), compute each source's
+    share of a 1M-token training budget and the oversampling factor
+    (epochs) needed to fill it — the planning step before an epoch-
+    aware pre-training data loader.
+
+    Determinism contract (house rule): weights round to 6dp then cast
+    DECIMAL(20,6) so the normalizer is an exact order-independent sum;
+    only final ratios return to double. Dimension-sized aggregates and
+    one-row broadcasts only.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(TX.normalized_tokens(F.col("text")))).alias("n_tokens"))
+    total = per_source.agg(F.sum("n_tokens").alias("n_total"))
+    powed = per_source.crossJoin(F.broadcast(total)).withColumn(
+        "w",
+        F.round(F.pow(F.col("n_tokens") / F.col("n_total"), 0.5), 6)
+        .cast("decimal(20,6)"))
+    z = powed.agg(F.sum("w").alias("z"))
+    mix_rate = F.round(F.col("w").cast("double") / F.col("z").cast("double"), 6)
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .withColumn("mix_rate", mix_rate)
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "mix_rate",
+            F.round(F.lit(1_000_000) * F.col("mix_rate") / F.col("n_tokens"), 6)
+            .alias("epochs"))
+        .orderBy("source")
+    )
+
+
+SQL_MIXTURE_TOKEN_PLAN = f"""
+WITH t AS (
+  SELECT source, CAST(SUM(len({_NORM_TOKS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+total AS (SELECT SUM(n_tokens) AS n_total FROM t),
+powed AS (
+  SELECT source, n_tokens,
+         CAST(round(pow(n_tokens / CAST(n_total AS DOUBLE), 0.5), 6)
+              AS DECIMAL(20,6)) AS w
+  FROM t, total
+),
+z AS (SELECT SUM(w) AS z FROM powed),
+m AS (
+  SELECT source, n_tokens,
+         round(CAST(w AS DOUBLE) / CAST(z AS DOUBLE), 6) AS mix_rate
+  FROM powed, z
+)
+SELECT source, n_tokens, mix_rate,
+       round(1000000 * mix_rate / n_tokens, 6) AS epochs
+FROM m ORDER BY source
+"""
+
+
+def q_lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out cross-entropy per language under an add-one-smoothed
+    unigram LM trained on the other 80% of documents — the
+    train/validation form of the CCNet perplexity filter
+    (quality_unigram_lm scores in-corpus; this one scores documents
+    the model never saw, the right shape for contamination-free
+    quality gates).
+
+    Scale shape: two passes over the token stream (train counts, held
+    -out term frequencies), both collapsing to per-token aggregates
+    with map-side combine before any join; the score join shuffles on
+    token (vocabulary-sized, tiny vs corpus). Determinism: per-token
+    log-probs and per-document averages round to 6dp then cast
+    DECIMAL(20,6) so the cross-document sums are exact.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(TX.normalized_tokens(F.col("text"))).alias("token"))
+    train = (toks.where(F.col("doc_id") % 5 != 0)
+             .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
+    nv = train.agg(F.sum("cnt").alias("n_train"),
+                   F.count(F.lit(1)).alias("v"))
+    held = (toks.where(F.col("doc_id") % 5 == 0)
+            .groupBy("doc_id", "lang", "token")
+            .agg(F.count(F.lit(1)).alias("tf")))
+    lp = F.round(
+        F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+              / (F.col("n_train") + F.col("v")).cast("double")), 6
+    ).cast("decimal(20,6)")
+    per_doc = (
+        held.join(train, "token", "left")
+        .crossJoin(F.broadcast(nv))
+        .select("doc_id", "lang", "tf", (F.col("tf") * lp).alias("contrib"))
+        .groupBy("doc_id", "lang")
+        .agg(F.round(
+            F.sum("contrib").cast("double") / F.sum("tf"), 6
+        ).cast("decimal(20,6)").alias("avg_lp"))
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(-F.sum("avg_lp").cast("double") / F.count(F.lit(1)), 6)
+             .alias("cross_entropy"))
+        .orderBy("lang")
+    )
+
+
+SQL_LM_HELDOUT_PERPLEXITY = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_NORM_TOKS_SQL}) AS token FROM documents
+),
+train AS (
+  SELECT token, COUNT(*) AS cnt FROM toks WHERE doc_id % 5 <> 0 GROUP BY token
+),
+nv AS (SELECT SUM(cnt) AS n_train, COUNT(*) AS v FROM train),
+held AS (
+  SELECT doc_id, lang, token, COUNT(*) AS tf
+  FROM toks WHERE doc_id % 5 = 0 GROUP BY doc_id, lang, token
+),
+j AS (
+  SELECT h.doc_id, h.lang, h.tf,
+         CAST(round(ln((coalesce(t.cnt, 0) + 1)
+                       / CAST(n_train + v AS DOUBLE)), 6)
+              AS DECIMAL(20,6)) AS lp
+  FROM held h LEFT JOIN train t USING (token), nv
+),
+d AS (
+  SELECT doc_id, lang,
+         CAST(round(CAST(SUM(tf * lp) AS DOUBLE) / SUM(tf), 6)
+              AS DECIMAL(20,6)) AS avg_lp
+  FROM j GROUP BY doc_id, lang
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(-CAST(SUM(avg_lp) AS DOUBLE) / COUNT(*), 6) AS cross_entropy
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ordered for the driver's bounded correctness window.
 
@@ -5365,6 +5636,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     positions past 50. When adding a query, insert it near the top.
     """
     return {
+        # new in round 7 (never driver-checked)
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "embedding_hard_negatives": q_embedding_hard_negatives,
+        "boilerplate_prefixes": q_boilerplate_prefixes,
+        "mixture_token_plan": q_mixture_token_plan,
+        "lm_heldout_perplexity": q_lm_heldout_perplexity,
         # never driver-checked (r6 verdict item 4)
         "streaming_seed_merge": q_streaming_seed_merge,
         "dedup_canonicalize_quality": q_dedup_canonicalize_quality,
@@ -5506,6 +5783,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
+        "embedding_hard_negatives": SQL_EMBEDDING_HARD_NEGATIVES,
+        "boilerplate_prefixes": SQL_BOILERPLATE_PREFIXES,
+        "mixture_token_plan": SQL_MIXTURE_TOKEN_PLAN,
+        "lm_heldout_perplexity": SQL_LM_HELDOUT_PERPLEXITY,
         "url_canonicalize": SQL_URL_CANONICALIZE,
         "text_winnow_fingerprints": SQL_TEXT_WINNOW_FINGERPRINTS,
         "corpus_token_drift": SQL_CORPUS_TOKEN_DRIFT,
