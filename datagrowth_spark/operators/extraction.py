@@ -228,6 +228,19 @@ class ExtractProcessor:
         yield from self._extract_soup(self._make_soup(data))
 
 
+def content_iterator(resource_iterator, objective: dict) -> Iterator[dict]:
+    """Flat-map an iterator of resources through one ExtractProcessor
+    (reference processors/input/iterators.py:5-13, E5's pure-Python
+    form — :func:`extract_df` is the distributed one). Error resources
+    whose ``content`` is ``(None, None)`` contribute zero rows."""
+    from datagrowth_spark.core.config import create_config
+
+    config = create_config("extract_processor", {"objective": objective})
+    extractor = ExtractProcessor(config=config)
+    for resource in resource_iterator:
+        yield from extractor.extract_from_resource(resource)
+
+
 _EXTRACT_OUT_SCHEMA = T.StructType([T.StructField("properties", PROPERTIES_TYPE)])
 
 

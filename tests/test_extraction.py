@@ -673,3 +673,45 @@ class TestReferenceTransformParity:
                     prc.application_xml(parsed), prc.text_html(parsed)):
             assert isinstance(rsl, GeneratorType)
             assert [r["text"] for r in rsl] == ["test", "test 2", "test 3"]
+
+
+class TestContentIterator:
+    """content_iterator parity (reference processors/tests/iterators.py:
+    34-80): generator composition over a resource stream, one extractor
+    instance, error resources yield nothing."""
+
+    class Res:
+        def __init__(self, content):
+            self.content = content
+
+    OBJECTIVE = {"@": "$.list", "value": "$"}
+
+    def _page(self, values):
+        return self.Res(("application/json", {"list": values}))
+
+    def test_success_stream(self):
+        from types import GeneratorType
+
+        from datagrowth_spark.operators.extraction import content_iterator
+
+        resources = [self._page([f"value {i}" for i in range(3)]),
+                     self._page([f"value {i}" for i in range(3, 6)])]
+        contents = content_iterator(iter(resources), self.OBJECTIVE)
+        assert isinstance(contents, GeneratorType)
+        rows = list(contents)
+        assert [r["value"] for r in rows] == [f"value {i}" for i in range(6)]
+        assert all(len(r) == 1 for r in rows)
+
+    def test_error_resources_yield_nothing(self):
+        from datagrowth_spark.operators.extraction import content_iterator
+
+        resources = [self.Res((None, None)), self.Res((None, None))]
+        assert list(content_iterator(iter(resources), self.OBJECTIVE)) == []
+
+    def test_mixed_stream_skips_errors(self):
+        from datagrowth_spark.operators.extraction import content_iterator
+
+        resources = [self._page(["value 0"]), self.Res((None, None)),
+                     self._page(["value 1"])]
+        rows = list(content_iterator(iter(resources), self.OBJECTIVE))
+        assert [r["value"] for r in rows] == ["value 0", "value 1"]
