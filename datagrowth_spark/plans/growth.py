@@ -35,7 +35,14 @@ reference's datagrowth.yml):
   ``mapInPandas``.
 * ``to_property`` — route the contribution into ``properties[key]``
   instead of derivatives (reference "field/prop" spec)
-* ``reduce`` — "first" (default): one contribution per document
+* ``reduce`` — "first" (default), or a callable folding a contribution
+  list into one dict (the reference's ``reduce_contributions`` hook)
+* ``extractor`` — pluggable extractor spec; supports
+  ``ExtractProcessor.pass_resource_through`` (whole parsed body) and
+  registry-resolvable custom specs (reference config key)
+* ``apply_resource_to`` — document columns that take the resource's
+  status string at fan-in (the reference's ``document.apply_resource``
+  hook shape)
 
 With a declarative template AND a flat objective, the only Python in
 the whole growth pipeline is the fetch worker for cache *misses* — the
@@ -77,7 +84,26 @@ class GrowthProcessor:
         self.request_template: Callable[[dict], dict] = config["retrieve_data"]["request_template"]
         self.objective: dict = config.get("contribute_data", {}).get("objective", {})
         self.to_property: str | None = config.get("to_property")
-        self.reduce: str = config.get("reduce", "first")
+        #: "first" (default), or a callable(list[dict]) -> dict — the
+        #: reference's overridable ``reduce_contributions`` hook
+        #: (resources/growth.py:31-32, :135): when one document's
+        #: resources extract several contributions, fold them into one.
+        self.reduce = config.get("reduce", "first")
+        #: "ExtractProcessor.extract_from_resource" (default) or
+        #: "ExtractProcessor.pass_resource_through" — the pluggable
+        #: extractor spec (reference resources/growth.py:93,
+        #: config key ``extractor``). pass_resource_through hands the
+        #: PARSED body straight to the contribution fold.
+        self.extractor: str = config.get(
+            "extractor", "ExtractProcessor.extract_from_resource")
+        #: Document columns that take the resource's status (as string)
+        #: at fan-in — the Spark form of ``document.apply_resource``
+        #: (reference resources/growth.py:117-120 and the growth test's
+        #: app hook setting ``reference = str(resource.status)``,
+        #: tests/.../growth/http.py:189-212). Columns must exist in the
+        #: document schema.
+        self.apply_resource_to: list[str] = list(
+            config.get("apply_resource_to", []))
         self.transport = transport
 
     # -- E8: the pending predicate ---------------------------------------
@@ -153,7 +179,8 @@ class GrowthProcessor:
     def _flat_objective(self) -> dict[str, str] | None:
         """The objective as key->``$.path`` when it is JVM-compilable."""
         obj = self.objective
-        if not obj or self.reduce != "first":
+        if not obj or self.reduce != "first" or \
+                self.extractor != "ExtractProcessor.extract_from_resource":
             return None
         if any(k.startswith(("@", "#")) or not isinstance(p, str) or not p.startswith("$.")
                for k, p in obj.items()):
@@ -200,13 +227,49 @@ class GrowthProcessor:
             return jvm
         objective = self.objective
         reduce_mode = self.reduce
+        extractor_spec = self.extractor
+        allow_simple = bool(self.to_property)
+
+        def fold(extracted: Any) -> list:
+            """Normalize one resource's extraction into a contribution
+            list (reference resources/growth.py:69-86
+            extract_contributions): generator drains, list passes, None
+            empties, dict wraps, simple values wrap as {"value": x}
+            unless a to_property routes them verbatim."""
+            from types import GeneratorType
+
+            if isinstance(extracted, GeneratorType):
+                extracted = list(extracted)
+            if isinstance(extracted, list):
+                return extracted
+            if extracted is None:
+                return []
+            if isinstance(extracted, dict) or allow_simple:
+                return [extracted]
+            if isinstance(extracted, (str, int, float)):
+                return [{"value": extracted}]
+            raise ValueError(f"Unknown contribution type: {type(extracted)}")
 
         def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
             import pandas as pd
 
+            from datagrowth_spark.core.registry import Registry
             from datagrowth_spark.datatypes.document import encode_properties
 
             processor = ExtractProcessor(objective=objective)
+            if extractor_spec == "ExtractProcessor.extract_from_resource":
+                extract_method = processor.extract_from_resource
+            elif extractor_spec == "ExtractProcessor.pass_resource_through":
+                extract_method = processor.pass_resource_through
+            else:
+                extract_method = Registry().resolve(extractor_spec)
+
+            class _Resource:
+                __slots__ = ("content",)
+
+                def __init__(self, content):
+                    self.content = content
+
             for batch in batches:
                 rows = []
                 for rec in batch.to_dict("records"):
@@ -215,11 +278,18 @@ class GrowthProcessor:
                     contribution = encoded = None
                     if ok and rec["body"]:
                         try:
-                            extracted = list(processor.extract("application/json", rec["body"]))
+                            extracted = extract_method(
+                                _Resource(("application/json",
+                                           json.loads(rec["body"])
+                                           if extractor_spec.endswith("pass_resource_through")
+                                           else rec["body"])))
+                            contributions = fold(extracted)
                         except DGNoContent:
-                            extracted = []
-                        if extracted:
-                            value = extracted[0] if reduce_mode == "first" else extracted
+                            contributions = []
+                        if contributions:
+                            value = (reduce_mode(contributions)
+                                     if callable(reduce_mode)
+                                     else contributions[0])
                             if not isinstance(value, dict):
                                 # scalar contributions wrap as {"value": x}
                                 # (reference growth.py:131-136)
@@ -300,5 +370,18 @@ class GrowthProcessor:
             out = out.withColumn("derivatives", new_derivatives)
 
         out = out.withColumn("task_results", new_task_results)
+        # apply_resource_to: listed document columns take the resource's
+        # status string for every document that had a resource this run
+        # (success or not — the reference applies the resource before
+        # inspecting contributions, resources/growth.py:117-120).
+        for col in self.apply_resource_to:
+            if col not in df.columns:
+                raise ValueError(
+                    f"apply_resource_to column {col!r} is not a document "
+                    f"column (have {df.columns})")
+            out = out.withColumn(
+                col,
+                F.when(F.col("__cid").isNotNull() & F.col("__status").isNotNull(),
+                       F.col("__status").cast("string")).otherwise(F.col(col)))
         collection._df = out.drop("__cid", "__success", "__contribution", "__cenc", "__status")
         return collection

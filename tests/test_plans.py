@@ -202,6 +202,78 @@ class TestGrowth:
         contents = {c["id"]: c for c in coll.content()}
         assert contents[1]["enriched"] == {"detail": "detail 1", "score": 0.1}
 
+    def test_growth_pass_resource_through_extractor(self, seeded):
+        """extractor='ExtractProcessor.pass_resource_through' hands the
+        whole parsed body to the contribution fold (reference growth
+        test test_synchronous_pass_resource_through, growth/http.py:
+        253-280)."""
+        coll, cache = seeded
+        processor = GrowthProcessor(
+            self.growth_config(
+                extractor="ExtractProcessor.pass_resource_through",
+                contribute_data={}),
+            transport=mock_api_transport)
+        processor(coll, cache)
+        contents = {c["id"]: c for c in coll.content()}
+        # whole body (id/detail/score) landed, not an objective subset
+        assert contents[2]["detail"] == "detail 2"
+        assert contents[2]["score"] == 0.2
+
+    def test_growth_error_resources_yield_no_derivatives(self, spark, tmp_path):
+        """Error resources with pass_resource_through contribute
+        nothing (reference test_synchronous_error_resources)."""
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        coll = Collection(spark, name="entities", identifier="id")
+        coll.add([{"id": 999}])  # 404 from the mock API
+        processor = GrowthProcessor(
+            self.growth_config(
+                extractor="ExtractProcessor.pass_resource_through",
+                contribute_data={}),
+            transport=mock_api_transport)
+        processor(coll, cache)
+        row = coll.df.collect()[0]
+        assert row["derivatives"] is None or "detail" not in row["derivatives"]
+        assert json.loads(row["task_results"]["detail"])["success"] is False
+
+    def test_growth_reduce_contributions_callable(self, spark, tmp_path):
+        """A callable reduce folds multiple extracted contributions into
+        one (reference test_synchronous_multi_contributions's
+        reduce_contributions override, growth/http.py:282-323)."""
+        def multi_transport(method, url, headers, data):
+            return 200, {"content-type": "application/json"}, json.dumps(
+                {"items": [{"extra": "test 1"}, {"extra": "test 2"}]})
+
+        def reduce_contributions(contributions):
+            return {"extra": " & ".join(c["extra"] for c in contributions)}
+
+        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        coll = Collection(spark, name="entities", identifier="id")
+        coll.add([{"id": 1}])
+        processor = GrowthProcessor(
+            self.growth_config(
+                contribute_data={"objective": {"@": "$.items",
+                                               "extra": "$.extra"}},
+                reduce=reduce_contributions),
+            transport=multi_transport)
+        processor(coll, cache)
+        contents = {c["id"]: c for c in coll.content()}
+        assert contents[1]["extra"] == "test 1 & test 2"
+
+    def test_growth_apply_resource_to(self, seeded):
+        """apply_resource_to columns take the resource status string
+        (reference test_synchronous_apply_resource_to)."""
+        coll, cache = seeded
+        processor = GrowthProcessor(
+            self.growth_config(apply_resource_to=["reference"]),
+            transport=mock_api_transport)
+        processor(coll, cache)
+        rows = coll.df.collect()
+        assert all(r["reference"] == "200" for r in rows)
+        with pytest.raises(ValueError, match="not a document column"):
+            GrowthProcessor(
+                self.growth_config(apply_resource_to=["nope"]),
+                transport=mock_api_transport)(coll, cache)
+
     def test_growth_failure_recorded(self, spark, tmp_path):
         cache = ResourceCache(spark, str(tmp_path / "cache"))
         coll = Collection(spark, name="entities", identifier="id")
