@@ -160,6 +160,10 @@ HEADLINE = [
     "boilerplate_prefixes",
     "mixture_token_plan",
     "lm_heldout_perplexity",
+    "sql_volume_shipping",
+    "sql_market_share",
+    "gopher_quality_rules",
+    "ccnet_perplexity_buckets",
 ]
 
 

@@ -5625,6 +5625,173 @@ FROM d GROUP BY lang ORDER BY lang
 """
 
 
+# Verbatim dialect-shared ANSI, TPC-H Q7/Q8 shapes (round 7): the same
+# text runs unchanged on spark.sql() and DuckDB. Revenue volumes follow
+# the house DECIMAL(18,4) convention; EXTRACT(YEAR ...) pins to INT.
+
+_SQL_VOLUME_SHIPPING = """
+WITH shipping AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations by year),
+    verbatim ANSI on both engines. Catalyst reorders the 6-table join
+    and broadcasts both nation dims; the nation-pair disjunction prunes
+    before the fact-fact join."""
+    _register_sql_views(spark, sf_dir)
+    return spark.sql(_SQL_VOLUME_SHIPPING)
+
+
+_SQL_MARKET_SHARE = """
+WITH shipping AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS volume,
+         n2.n_name AS supp_nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+       region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+    AND p_type = 'PROMO'
+)
+SELECT o_year,
+       round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM shipping
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (one nation's market share inside a region for a
+    part type, by order year), verbatim ANSI on both engines. The part
+    -type filter pushes into the part scan, dims broadcast, and the
+    share is an exact DECIMAL sum ratio rounded once."""
+    _register_sql_views(spark, sf_dir)
+    return spark.sql(_SQL_MARKET_SHARE)
+
+
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule bundle (Rae et al. 2021 §A1.1, simplified to
+    the SQL-expressible core): per document — word count bounds, mean
+    word length bounds, alphabetic-character ratio, and a stopword-hit
+    minimum; ``keep`` is the conjunction. Pure Catalyst, zero shuffles
+    beyond the final deterministic sort.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda t: t != F.lit(""))
+    n_words = F.size("toks")
+    char_sum = F.aggregate("toks", F.lit(0),
+                           lambda acc, t: acc + F.length(t))
+    mean_len = F.round(char_sum.cast("double") / n_words, 6)
+    alpha_chars = F.length(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""))
+    alpha_ratio = F.round(
+        alpha_chars.cast("double") / F.length("text"), 6)
+    stops = F.array(*[F.lit(s) for s in
+                      ("the", "be", "to", "of", "and", "a", "in", "that")])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(F.col("toks")),
+                                         stops))
+    out = (
+        docs.where(F.length("text") > 0)
+        .select("doc_id", "text", toks.alias("toks"))
+        .select(
+            "doc_id",
+            n_words.cast("long").alias("n_words"),
+            mean_len.alias("mean_word_len"),
+            alpha_ratio.alias("alpha_ratio"),
+            stop_hits.cast("long").alias("stop_hits"))
+    )
+    keep = ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+            & (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+            & (F.col("alpha_ratio") >= 0.8) & (F.col("stop_hits") >= 2))
+    return out.withColumn("keep", keep).orderBy("doc_id")
+
+
+SQL_GOPHER_QUALITY_RULES = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+  WHERE len(text) > 0
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / len(toks), 6) AS mean_word_len,
+         round(CAST(len(regexp_replace(lower(text), '[^a-z ]', '', 'g'))
+                    AS DOUBLE) / len(text), 6) AS alpha_ratio,
+         CAST(len(list_intersect(list_distinct(toks),
+              ['the', 'be', 'to', 'of', 'and', 'a', 'in', 'that']))
+              AS BIGINT) AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, alpha_ratio, stop_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3 AND mean_word_len <= 10
+        AND alpha_ratio >= 0.8 AND stop_hits >= 2) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus bucketing: score every document
+    with the in-corpus unigram LM, cut the corpus into 3 exact
+    perplexity terciles, and report each bucket's size and score range
+    — the aggregate that drives CCNet's per-bucket sampling rates.
+
+    The tercile is the SHARDED exact ntile (operators/ranking.py), not
+    a single-partition NTILE window; (avg_logprob DESC, doc_id) is a
+    total order so the oracle's global NTILE reproduces it exactly.
+    """
+    from datagrowth_spark.operators.ranking import add_ntile
+
+    scored = q_quality_unigram_lm(spark, sf_dir).persist()
+    tiled = add_ntile(scored, 3, "avg_logprob", ("doc_id",),
+                      descending=True, out="bucket")
+    return (
+        tiled.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.max("avg_logprob").alias("best_logprob"),
+             F.min("avg_logprob").alias("worst_logprob"))
+        .select(F.col("bucket").cast("int").alias("bucket"),
+                "n_docs", "best_logprob", "worst_logprob")
+        .orderBy("bucket")
+    )
+
+
+SQL_CCNET_PERPLEXITY_BUCKETS = f"""
+WITH scored AS ({SQL_QUALITY_UNIGRAM_LM}),
+tiled AS (
+  SELECT doc_id, avg_logprob,
+         NTILE(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS bucket
+  FROM scored
+)
+SELECT CAST(bucket AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MAX(avg_logprob) AS best_logprob, MIN(avg_logprob) AS worst_logprob
+FROM tiled GROUP BY bucket ORDER BY bucket
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ordered for the driver's bounded correctness window.
 
@@ -5637,6 +5804,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # new in round 7 (never driver-checked)
+        "sql_volume_shipping": q_sql_volume_shipping,
+        "sql_market_share": q_sql_market_share,
+        "gopher_quality_rules": q_gopher_quality_rules,
+        "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
         "bpe_pair_counts": q_bpe_pair_counts,
         "embedding_hard_negatives": q_embedding_hard_negatives,
         "boilerplate_prefixes": q_boilerplate_prefixes,
@@ -5783,6 +5954,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sql_volume_shipping": _SQL_VOLUME_SHIPPING,
+        "sql_market_share": _SQL_MARKET_SHARE,
+        "gopher_quality_rules": SQL_GOPHER_QUALITY_RULES,
+        "ccnet_perplexity_buckets": SQL_CCNET_PERPLEXITY_BUCKETS,
         "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
         "embedding_hard_negatives": SQL_EMBEDDING_HARD_NEGATIVES,
         "boilerplate_prefixes": SQL_BOILERPLATE_PREFIXES,
