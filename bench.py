@@ -155,7 +155,7 @@ HEADLINE = [
     "entity_match_blocks",
     "dedup_winnow_pairs",
     "sql_time_range_window",
-    "bpe_pair_counts",
+    "token_bigram_topk",
     "embedding_hard_negatives",
     "boilerplate_prefixes",
     "mixture_token_plan",

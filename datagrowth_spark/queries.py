@@ -5360,7 +5360,7 @@ FROM j WHERE rk <= 15
 # ---------------------------------------------------------------------------
 
 
-def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_token_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE merge step's statistics: the 100 most frequent ADJACENT
     token pairs across the corpus (pair_count) with their document
     frequency — the core aggregate a distributed tokenizer-induction
@@ -5396,7 +5396,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w))
 
 
-SQL_BPE_PAIR_COUNTS = f"""
+SQL_TOKEN_BIGRAM_TOPK = f"""
 WITH t AS (
   SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents
 ),
@@ -5808,7 +5808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_market_share": q_sql_market_share,
         "gopher_quality_rules": q_gopher_quality_rules,
         "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
-        "bpe_pair_counts": q_bpe_pair_counts,
+        "token_bigram_topk": q_token_bigram_topk,
         "embedding_hard_negatives": q_embedding_hard_negatives,
         "boilerplate_prefixes": q_boilerplate_prefixes,
         "mixture_token_plan": q_mixture_token_plan,
@@ -5958,7 +5958,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_market_share": _SQL_MARKET_SHARE,
         "gopher_quality_rules": SQL_GOPHER_QUALITY_RULES,
         "ccnet_perplexity_buckets": SQL_CCNET_PERPLEXITY_BUCKETS,
-        "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
+        "token_bigram_topk": SQL_TOKEN_BIGRAM_TOPK,
         "embedding_hard_negatives": SQL_EMBEDDING_HARD_NEGATIVES,
         "boilerplate_prefixes": SQL_BOILERPLATE_PREFIXES,
         "mixture_token_plan": SQL_MIXTURE_TOKEN_PLAN,
