@@ -114,9 +114,16 @@ class FileConditionalStore(ConditionalStore):
     Old generations are pruned behind a keep-window. Pruning re-opens
     an ABA hazard — a very slow writer could link a BELOW-max
     generation number whose file was pruned — so after linking, the
-    writer re-lists and self-reverts if any higher generation exists
-    (its own file is below max, hence invisible to readers and to other
-    writers' expected-generation reads: the unlink races nothing).
+    writer re-lists and self-reverts, but ONLY when the slot was
+    provably pruned out (``max > new_gen + KEEP_GENERATIONS``: a vacant
+    below-max slot can only come from pruning, which keeps a full
+    window above it). A mere ``max > new_gen`` is a fast follower that
+    already chained from this writer's committed generation — reverting
+    then would falsely fail a durable, observed write (ADVICE r7). In
+    the true pruned-slot case the file is below the keep window, hence
+    invisible to readers and to other writers' expected-generation
+    reads: the unlink races nothing except a reader's listing, which
+    :meth:`get` handles by retrying on FileNotFoundError.
     """
 
     #: generations retained behind the max; deep enough that a reader's
@@ -140,12 +147,22 @@ class FileConditionalStore(ConditionalStore):
 
     def get(self, key: str) -> tuple[bytes, int] | None:
         d = self._dir(key)
-        gens = self._gens(d)
-        if not gens:
-            return None
-        n = gens[-1]
-        with open(os.path.join(d, f"g{n}"), "rb") as fh:
-            return fh.read(), n
+        # Retry on FileNotFoundError (ADVICE r7): between listing and
+        # open a concurrent writer's pruned-slot revert can unlink the
+        # file this reader chose; re-list and pick the new max. Bounded:
+        # generations only grow, so a retry always sees progress.
+        for _ in range(8):
+            gens = self._gens(d)
+            if not gens:
+                return None
+            n = gens[-1]
+            try:
+                with open(os.path.join(d, f"g{n}"), "rb") as fh:
+                    return fh.read(), n
+            except FileNotFoundError:
+                continue
+        raise StorePreconditionFailed(
+            f"{key}: max generation kept vanishing across 8 re-lists")
 
     def put_if(self, key: str, data: bytes, expected: int | None) -> int:
         import uuid as _uuid
@@ -174,18 +191,25 @@ class FileConditionalStore(ConditionalStore):
                 os.unlink(tmp)
             except OSError:
                 pass
-        # Post-link staleness check (see class docstring): if a higher
-        # generation already exists, our link landed on a pruned-out
-        # number below max — revert and fail the precondition.
+        # Post-link staleness check (see class docstring): revert ONLY
+        # when the slot was provably pruned out from under us. A vacant
+        # below-max slot implies pruning, which requires
+        # max >= new_gen + KEEP_GENERATIONS + 1 — merely seeing
+        # latest[-1] > new_gen means a fast follower already chained
+        # from OUR committed generation (it read g{new_gen} as max),
+        # and unlinking it would falsely fail a durable, observed write
+        # (caller retry double-applies) and crash readers that chose it
+        # (ADVICE r7, high). Never unlink a generation that was max at
+        # link time.
         latest = self._gens(d)
-        if latest and latest[-1] > new_gen:
+        if latest and latest[-1] > new_gen + self.KEEP_GENERATIONS:
             try:
                 os.unlink(target)
             except OSError:
                 pass
             raise StorePreconditionFailed(
-                f"{key}: generation advanced past {new_gen} "
-                f"(now {latest[-1]})")
+                f"{key}: generation {new_gen} landed on a pruned slot "
+                f"(max now {latest[-1]})")
         for g in latest:
             if g < new_gen - self.KEEP_GENERATIONS:
                 try:

@@ -167,9 +167,21 @@ class ResourceCache:
     do not run it concurrently with appenders or another compactor.
     """
 
-    def __init__(self, spark: SparkSession, path: str) -> None:
+    def __init__(self, spark: SparkSession, path: str,
+                 now_fn: Callable[[], "object"] | None = None) -> None:
         self.spark = spark
         self.path = path
+        # Injectable clock for deterministic TTL tests (r7 verdict item
+        # 1): when set, expiry compares purge_at against this callable's
+        # value (a datetime, re-evaluated at every plan build) instead
+        # of the cluster wall clock. Production leaves it None.
+        self.now_fn = now_fn
+
+    def _now_expr(self):
+        """Column used as "now" in TTL-expiry predicates."""
+        if self.now_fn is None:
+            return F.current_timestamp()
+        return F.lit(self.now_fn()).cast("timestamp")
 
     def is_empty(self) -> bool:
         """True when no parquet has ever been committed — a pure driver
@@ -258,7 +270,7 @@ class ResourceCache:
         df = self._scan(compacted, flat, prune_signatures)
         # TTL purge predicate (reference: purge_at checked on every
         # validate_request, resources/base.py:47-53).
-        return df.where(F.col("purge_at").isNull() | (F.col("purge_at") > F.current_timestamp()))
+        return df.where(F.col("purge_at").isNull() | (F.col("purge_at") > self._now_expr()))
 
     def append(self, responses: DataFrame) -> None:
         """Commit one response batch atomically (stage hidden, rename to
@@ -298,7 +310,7 @@ class ResourceCache:
             return 0
         df = self._scan(compacted, flat).where(
             F.col("purge_at").isNull()
-            | (F.col("purge_at") > F.current_timestamp()))
+            | (F.col("purge_at") > self._now_expr()))
         if latest_only:
             from pyspark.sql.window import Window
 
@@ -355,6 +367,7 @@ def _fetch_worker(
     interval_duration: float,
     purge_after_seconds: float | None,
     follow: tuple[Callable[[dict], dict | None], int] | None = None,
+    now_fn: Callable[[], "object"] | None = None,
 ):
     """Build the mapInPandas worker for cache misses.
 
@@ -393,7 +406,8 @@ def _fetch_worker(
                             break
                         time.sleep(delay)
                         status, head, body = transport(req["method"], req["url"], headers, data)
-                    now = pd.Timestamp.utcnow().tz_localize(None)
+                    now = (pd.Timestamp(now_fn()) if now_fn is not None
+                           else pd.Timestamp.utcnow().tz_localize(None))
                     row = {
                         **req,
                         "status": status,
@@ -427,6 +441,7 @@ def fetch(
     fetch_partitions: int | None = None,
     follow: tuple[Callable[[dict], dict | None], int] | None = None,
     return_responses: bool = True,
+    now_fn: Callable[[], "object"] | None = None,
 ) -> DataFrame | None:
     """The cached fetch operator: requests in, responses out.
 
@@ -522,7 +537,8 @@ def fetch(
                 fetched = misses_parts.mapInPandas(
                     _fetch_worker(transport,
                                   backoff_delays if backoff_delays is not None else [2, 4, 8, 16],
-                                  interval_duration, purge_after_seconds, follow),
+                                  interval_duration, purge_after_seconds, follow,
+                                  now_fn=now_fn if now_fn is not None else cache.now_fn),
                     schema=RESPONSE_SCHEMA,
                 )
                 if follow is not None and return_responses:

@@ -1013,11 +1013,13 @@ class TestFileConditionalStore:
         assert gens[0] >= gens[-1] - store.KEEP_GENERATIONS
         # ABA guard: a writer whose expected-generation view went stale
         # (its listdir predates newer commits AND the pruning of its
-        # target slot) links a below-max number — the post-link re-list
-        # must self-revert and fail the precondition.
+        # target slot) links a below-the-keep-window number — the
+        # post-link re-list must self-revert and fail the precondition.
+        # The target slot sits where real pruning vacates slots: below
+        # max - KEEP (ADVICE r7 narrowed the revert to exactly this).
         real_gens = store._gens
-        low = gens[-1] - 2
-        _os.unlink(_os.path.join(d, f"g{low + 1}"))  # simulate pruning
+        low = gens[0] - 3          # writer's stale max (long pruned)
+        assert (low + 1) not in gens  # its target slot is vacant
         stale = [True]
 
         def stale_gens(path):
@@ -1027,15 +1029,66 @@ class TestFileConditionalStore:
             return real_gens(path)
 
         store._gens = stale_gens
-        with pytest.raises(StorePreconditionFailed, match="advanced past"):
+        with pytest.raises(StorePreconditionFailed, match="pruned slot"):
             store.put_if("k", b"stale", expected=low)
         store._gens = real_gens
-        # The reverted link left no below-max file behind...
+        # The reverted link left no below-window file behind...
         assert (low + 1) not in real_gens(d)
         # ...current state is unharmed, and a fresh-read CAS still works.
         data, g = store.get("k")
         assert g == gens[-1]
         assert store.put_if("k", b"next", expected=g) == g + 1
+
+    def test_fast_follower_does_not_revert_committed_write(self, tmp_path):
+        """ADVICE r7 (high): writer A links g2 (true max); follower B
+        lists before A's re-list, sees g2, commits g3. A must NOT
+        unlink its own committed-and-observed g2 — that would falsely
+        fail a durable write B already chained from."""
+        import os as _os
+
+        store = self._store(tmp_path)
+        store.put_if("k", b"base", expected=None)  # g1
+        d = store._dir("k")
+        real_gens = store._gens
+        calls = []
+
+        def gens_with_follower(path):
+            calls.append(1)
+            if len(calls) == 2:
+                # Between A's link of g2 and its re-list, a fast
+                # follower read g2 as max and committed g3.
+                with open(_os.path.join(d, "g3"), "wb") as fh:
+                    fh.write(b"follower")
+            return real_gens(path)
+
+        store._gens = gens_with_follower
+        assert store.put_if("k", b"mine", expected=1) == 2
+        store._gens = real_gens
+        # A's durable write is intact (the follower's chain base holds)
+        # and the keep window has no hole.
+        assert real_gens(d) == [1, 2, 3]
+        assert store.get("k") == (b"follower", 3)
+        assert store.put_if("k", b"v4", expected=3) == 4
+
+    def test_get_retries_when_chosen_max_vanishes(self, tmp_path):
+        """ADVICE r7: a reader whose chosen max file vanishes between
+        the listing and the open (a concurrent pruned-slot revert)
+        re-lists instead of crashing with FileNotFoundError."""
+        store = self._store(tmp_path)
+        store.put_if("k", b"v1", expected=None)
+        store.put_if("k", b"v2", expected=1)
+        real_gens = store._gens
+        first = [True]
+
+        def phantom_gens(path):
+            if first:
+                first.pop()
+                return real_gens(path) + [99]  # unlinked before open
+            return real_gens(path)
+
+        store._gens = phantom_gens
+        assert store.get("k") == (b"v2", 2)
+        store._gens = real_gens
 
     def test_no_temp_debris_after_contention(self, tmp_path):
         from datagrowth_spark.plans.committers import StorePreconditionFailed

@@ -754,12 +754,25 @@ class TestFetchFaultInjection:
     def test_purge_expiry_races_read_then_refetch(self, spark, tmp_path):
         """A row whose purge_at passes between two reads must drop out
         of the served set and be refetched — never served stale, never
-        half-removed."""
-        import time as _time
+        half-removed. Deterministic (r7 verdict item 1): the TTL clock
+        is INJECTED, so expiry is advanced explicitly instead of racing
+        wall-clock Spark job latency against a 1 s TTL (the r5-era
+        version failed reliably on a loaded box)."""
+        import datetime
 
         from mock_transports import counting_transport, transport_calls
 
-        cache = ResourceCache(spark, str(tmp_path / "cache"))
+        class _Clock:
+            """Mutable frozen clock; the cache re-reads it per plan."""
+
+            def __init__(self, t):
+                self.t = t
+
+            def __call__(self):
+                return self.t
+
+        clock = _Clock(datetime.datetime(2026, 1, 1, 12, 0, 0))
+        cache = ResourceCache(spark, str(tmp_path / "cache"), now_fn=clock)
         url = "http://mockapi/item/9"
         log1 = str(tmp_path / "calls1")
         fetch(self._reqs(spark, [url]), cache,
@@ -767,13 +780,14 @@ class TestFetchFaultInjection:
         assert len(transport_calls(log1)) == 1
         assert cache.read().count() == 1  # still live
 
-        # Replay inside the TTL: served from cache, no transport.
+        # Replay inside the TTL: served from cache, no transport —
+        # however slow the box is, the clock has not moved.
         log2 = str(tmp_path / "calls2")
         fetch(self._reqs(spark, [url]), cache,
               transport=counting_transport(log2)).collect()
         assert transport_calls(log2) == []
 
-        _time.sleep(1.3)  # TTL passes
+        clock.t += datetime.timedelta(seconds=2)  # TTL passes
         assert cache.read().count() == 0  # expired row filtered at read
 
         log3 = str(tmp_path / "calls3")
