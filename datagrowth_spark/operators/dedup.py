@@ -527,7 +527,7 @@ def incremental_minhash_dedup(
     n: int = 3,
     threshold: float = 0.5,
     broadcast_batch: bool = True,
-    broadcast_touched_limit: int = 4_000_000,
+    broadcast_touched_limit: int = 1_000_000,
 ) -> IncrementalDedupResult:
     """Near-dup detection for an INCREMENTAL ingest batch against a
     persisted MinHash signature store — the production shape at corpus
@@ -566,6 +566,17 @@ def incremental_minhash_dedup(
     not a driver OOM. Set ``broadcast_batch=False`` only for
     backfill-sized batches whose id set genuinely can't broadcast, and
     expect store-shuffle cost.
+
+    NOTE (construction-time work, ADVICE r7): with ``broadcast_batch``
+    this function runs the candidate-generation job EAGERLY — a
+    ``count()`` on the persisted candidate-pair frame gates the touched
+    broadcast, so the heavy store band-key pass fires when the operator
+    is BUILT, not when the caller first executes ``verdicts``. The
+    count doubles as the cache materialization the main job needs
+    anyway, so no work is wasted — but batch schedulers should expect
+    Spark jobs at construction. ``broadcast_touched_limit`` defaults to
+    1M ids (~8 MB of longs; the executor-side hash relation runs
+    several times that) — raise it only with executor memory to spare.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     mh_cols = [f"mh_{i}" for i in range(num_hashes)]

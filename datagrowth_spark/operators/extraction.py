@@ -125,16 +125,26 @@ class ExtractProcessor:
     def extract(self, content_type: str | None, data: Any):
         return self.transform(content_type, data)
 
+    #: Dispatchable mime-handler method names. Content-Type is
+    #: SERVER-CONTROLLED input, so ``transform`` only dispatches to
+    #: names registered here (ADVICE r7: a bare getattr let a response
+    #: typed e.g. ``load/objective`` invoke arbitrary public methods).
+    #: Subclasses adding a handler (reference extraction.py:110-135:
+    #: ``application/pdf`` -> ``application_pdf``) extend this set:
+    #: ``content_handlers = ExtractProcessor.content_handlers | {"application_pdf"}``.
+    content_handlers: frozenset[str] = frozenset(
+        {"application_json", "text_html", "text_xml", "application_xml"})
+
     def transform(self, content_type: str | None, data: Any):
-        """Dispatch on content type via a same-named method (reference
-        extraction.py:110-135: ``application/pdf`` would call an
-        ``application_pdf`` method — subclasses extend by adding one)."""
+        """Dispatch on content type via a same-named method from the
+        :attr:`content_handlers` allowlist."""
         if content_type is None or data is None:
             return []
         content_type = content_type.split(";")[0].strip()
         if is_json_mimetype(content_type):
             content_type = "application/json"
-        method = getattr(self, content_type.replace("/", "_"), None)
+        name = content_type.replace("/", "_")
+        method = getattr(self, name, None) if name in self.content_handlers else None
         if method is None:
             raise TypeError(
                 f"Transform processor does not support content_type "

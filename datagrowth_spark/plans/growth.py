@@ -182,8 +182,18 @@ class GrowthProcessor:
         if not obj or self.reduce != "first" or \
                 self.extractor != "ExtractProcessor.extract_from_resource":
             return None
-        if any(k.startswith(("@", "#")) or not isinstance(p, str) or not p.startswith("$.")
-               for k, p in obj.items()):
+        # A root "@" selector ("$") is flat-compatible: the JVM path
+        # already extracts each key against the whole body, which IS
+        # the root object (ADVICE r7 — reference-valid objectives carry
+        # "@" since load_objective asserts it, and rejecting it here
+        # silently demoted every such objective to Python mapInPandas).
+        obj = dict(obj)
+        root = obj.pop("@", None)
+        if root is not None and root != "$":
+            return None
+        if not obj or any(
+                k.startswith(("@", "#")) or not isinstance(p, str) or not p.startswith("$.")
+                for k, p in obj.items()):
             return None
         return obj
 
@@ -278,10 +288,17 @@ class GrowthProcessor:
                     contribution = encoded = None
                     if ok and rec["body"]:
                         try:
+                            # Exactly the BUILTIN pass-through spec gets
+                            # a parsed body; registry extractors always
+                            # receive the raw string (ADVICE r7: suffix
+                            # matching gave a custom
+                            # 'MyProc.pass_resource_through' a parsed
+                            # body, inconsistent with every other
+                            # registry extractor).
                             extracted = extract_method(
                                 _Resource(("application/json",
                                            json.loads(rec["body"])
-                                           if extractor_spec.endswith("pass_resource_through")
+                                           if extractor_spec == "ExtractProcessor.pass_resource_through"
                                            else rec["body"])))
                             contributions = fold(extracted)
                         except DGNoContent:

@@ -600,11 +600,24 @@ class TestReferenceTransformParity:
         assert prc.transform(None, None) == []
 
         class PdfProcessor(TransformProcessor):
+            content_handlers = (TransformProcessor.content_handlers
+                                | {"application_pdf"})
+
             def application_pdf(self, data):
                 return [{"pdf": data}]
 
         sub = PdfProcessor(config={"objective": {"@": "$", "x": "$.x"}})
         assert sub.transform("application/pdf", "raw") == [{"pdf": "raw"}]
+
+    def test_transform_only_dispatches_registered_handlers(self):
+        """Content-Type is server-controlled (ADVICE r7): a hostile
+        type that maps onto a real public method must NOT invoke it —
+        only names in content_handlers dispatch."""
+        prc = self.get_json_processor()
+        for hostile in ("load/objective", "extract/from_resource",
+                        "transform/x", "_eval/x"):
+            with pytest.raises(TypeError, match="does not support"):
+                prc.transform(hostile, "{}")
 
     def test_pass_resource_through(self):
         data = self.data_with_records()

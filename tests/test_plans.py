@@ -691,6 +691,12 @@ class TestGrowthJvmPaths:
             }, transport=mock_api_transport)
             if force_python:
                 gp._extract_contributions_jvm = lambda joined: None
+            else:
+                # The root "@" selector must stay JVM-compilable
+                # (ADVICE r7): otherwise this parity test degenerates
+                # to Python == Python.
+                assert gp._flat_objective() == {
+                    "detail": "$.detail", "score": "$.score"}
             gp(c, cache)
             return {r["identity"]: r.asDict() for r in c.df.collect()}
 
