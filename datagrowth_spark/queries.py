@@ -35,6 +35,39 @@ from datagrowth_spark.operators import similarity as SIM
 from datagrowth_spark.sources import testclient as TC
 
 
+#: Frames persisted by query functions, released by :func:`release_caches`.
+_SESSION_CACHES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` AND register it for :func:`release_caches`.
+
+    Query functions persist intermediates that multiple passes read
+    (rank sketch construction, vocab joins). DataFrame caches live in
+    the SQL CacheManager — a strong driver-side reference the
+    ContextCleaner never GCs — so a long-lived session running the full
+    surface would otherwise accumulate one cached frame per persisting
+    query (r7 verdict item 6). Per-query driver sessions never notice;
+    library consumers call :func:`release_caches` between queries."""
+    df = df.persist()
+    _SESSION_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every frame the query functions cached this session;
+    returns how many were released. Safe to call at any time — the
+    next action on a released plan recomputes instead of erroring."""
+    n = len(_SESSION_CACHES)
+    for df in _SESSION_CACHES:
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session may already be stopped
+            pass
+    _SESSION_CACHES.clear()
+    return n
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -813,11 +846,11 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r4 ADVICE): plan-only callers never run a job, lineage stays
     # recoverable after executor loss, and the first action
     # materializes the cache for every later pass.
-    per = orders.groupBy("o_custkey").agg(
+    per = _persist(orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("freq"),
         _dec_sum("o_totalprice").alias("monetary"),
-    ).persist()
+    ))
     # ONE cuts aggregate feeds all three metrics (r4 verdict item 3):
     # three raw percentile sketches in a single corpus pass — collected
     # once (bounded: 3 x num_shards doubles) and handed to the eager
@@ -966,8 +999,8 @@ def q_docs_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the eager sharded rank's bounded driver collects (cuts sketch,
     # offset counts) would otherwise re-run the full quality-scoring
     # pipeline once per action.
-    scored = docs.select(
-        "doc_id", TX.quality_score("text").alias("quality")).persist()
+    scored = _persist(docs.select(
+        "doc_id", TX.quality_score("text").alias("quality")))
     ranked = add_global_rank(scored, "quality", ("doc_id",), descending=True,
                              out="rank")
     return ranked.select("doc_id", "quality",
@@ -1041,8 +1074,9 @@ def q_docs_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # Persist (house pattern): the rank construction's sketch/counts
     # jobs would otherwise re-run the tokenize scan lineage per job.
-    d = docs.select("doc_id", "n_chars",
-                    TX.token_count("text").cast("long").alias("n_toks")).persist()
+    d = _persist(docs.select(
+        "doc_id", "n_chars",
+        TX.token_count("text").cast("long").alias("n_toks")))
     z = add_zorder_key(d, ["n_chars", "n_toks"], ("doc_id",), bits=_Z_BITS)
     return z.select("doc_id", "n_chars", "n_toks", "zkey")
 
@@ -1270,17 +1304,20 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The store is a MATERIALIZED table in production (that's the point
     # of the operator); persist stands in for the parquet signature
     # table so the band branches don't re-shingle the corpus per branch.
-    store_sigs = DD.minhash_signature(store_docs, "text", "doc_id",
-                                      num_hashes=_NUM_HASHES, n=3).persist()
+    store_sigs = _persist(DD.minhash_signature(store_docs, "text", "doc_id",
+                                               num_hashes=_NUM_HASHES, n=3))
     result = DD.incremental_minhash_dedup(
         batch, store_sigs, "text", "doc_id",
         num_hashes=_NUM_HASHES, bands=_BANDS, n=3, threshold=0.2)
-    # Deliberate one-shot leak: result.cleanup() would fire at
-    # construction time — before the caller materializes the returned
-    # frame — forcing the store band-key pass to run twice at
-    # execution. The operator's two caches live for the session like
-    # store_sigs above; real ingest loops materialize verdicts first
-    # and then cleanup (see streaming/dedup.py process_batch).
+    # The operator's internal caches are registered with the session
+    # release hook instead of cleanup() (see the leak note below).
+    _SESSION_CACHES.extend(result._caches)
+    # result.cleanup() here would fire at construction time — before
+    # the caller materializes the returned frame — forcing the store
+    # band-key pass to run twice at execution. The operator's caches
+    # (registered above) live until release_caches(), like store_sigs;
+    # real ingest loops materialize verdicts first and then cleanup
+    # (see streaming/dedup.py process_batch).
     return result.verdicts.select(
         F.col("id").alias("doc_id"), "is_dup", "dup_of", "est_jaccard")
 
@@ -3154,11 +3191,11 @@ def q_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datagrowth_spark.operators.ranking import add_global_rank
 
     docs = _t(spark, sf_dir, "documents")
-    scored = docs.select(
+    scored = _persist(docs.select(
         "doc_id",
         TX.quality_score("text").alias("quality"),
         TX.token_count("text").cast("long").alias("n_toks"),
-    ).where(F.col("n_toks") > 0).persist()
+    ).where(F.col("n_toks") > 0))
     ranked = add_global_rank(scored, "quality", ("doc_id",),
                              descending=True, out="rnk")
     layout = PK.pack_layout(ranked.select("rnk", "n_toks"),
@@ -3214,7 +3251,7 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist (house pattern, ADVICE r5): the eager rank's construction-
     # time sketch collect would otherwise re-run the md5 scan lineage
     # once per construction job in addition to the final job.
-    keyed = docs.select("doc_id", key.alias("shuffle_key")).persist()
+    keyed = _persist(docs.select("doc_id", key.alias("shuffle_key")))
     ranked = add_global_rank(keyed, "shuffle_key", ("doc_id",),
                              out="position")
     return ranked.select("doc_id", F.col("position").cast("long").alias("position"))
@@ -3250,9 +3287,9 @@ def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.length(F.expr("bin(n_toks)")).cast("long")
     # Persist (house pattern, ADVICE r5): the eager sketch collect and
     # the final job otherwise each re-run the tokenize scan lineage.
-    keyed = counted.select(
+    keyed = _persist(counted.select(
         "doc_id", bucket.alias("bucket"),
-        (bucket * F.lit(2 ** 55) + F.col("doc_id")).alias("ck")).persist()
+        (bucket * F.lit(2 ** 55) + F.col("doc_id")).alias("ck")))
     ranked = add_global_rank(keyed, "ck", (), out="grk")
     offsets = ranked.groupBy("bucket").agg(F.min("grk").alias("b_off"))
     return (
@@ -5219,10 +5256,10 @@ def q_corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the join below both read it, so without the cache the
     # explode+aggregate lineage runs twice. One vocab-sized entry per
     # distinct sf_dir; caches are transparent to correctness.
-    counts = ex.groupBy("token").agg(
+    counts = _persist(ex.groupBy("token").agg(
         F.sum("is_en").alias("c_en"),
         F.sum(1 - F.col("is_en")).alias("c_other"),
-    ).persist()
+    ))
     totals = counts.agg(
         F.sum("c_en").alias("tot_en"),
         F.sum("c_other").alias("tot_other"),
@@ -5765,7 +5802,7 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from datagrowth_spark.operators.ranking import add_ntile
 
-    scored = q_quality_unigram_lm(spark, sf_dir).persist()
+    scored = _persist(q_quality_unigram_lm(spark, sf_dir))
     tiled = add_ntile(scored, 3, "avg_logprob", ("doc_id",),
                       descending=True, out="bucket")
     return (

@@ -121,6 +121,21 @@ def main() -> int:
                 print(f"     - {p}")
         else:
             print(f"OK   {name}: rows={len(spark_pdf)} ({t1-t0:.1f}s)")
+    # Cache-hygiene gate (r7 verdict item 6): after releasing the
+    # query functions' registered caches, the SQL CacheManager must be
+    # back at baseline (empty) — a query that persists outside the
+    # _persist registry fails the sweep here.
+    from datagrowth_spark.queries import release_caches
+
+    released = release_caches()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    if not cache_mgr.isEmpty():
+        failures += 1
+        print(f"FAIL cache-hygiene: CacheManager not empty after "
+              f"release_caches() freed {released} frames")
+    else:
+        print(f"OK   cache-hygiene: {released} registered caches released, "
+              f"CacheManager empty")
     spark.stop()
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0

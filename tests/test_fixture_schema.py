@@ -103,3 +103,21 @@ def test_all_tables_readable(spark):
         path = os.path.join(SF_DIR, f"{table}.parquet")
         assert os.path.exists(path), f"fixture missing: {path}"
         assert _t(spark, SF_DIR, table).limit(1).count() >= 0
+
+
+class TestCacheHygiene:
+    """r7 verdict item 6: query functions register their persisted
+    intermediates; release_caches() returns the CacheManager to empty
+    so a long-lived library session doesn't accumulate cached frames."""
+
+    def test_release_caches_empties_cache_manager(self, spark):
+        from datagrowth_spark.queries import q_customer_rfm, release_caches
+
+        release_caches()  # isolate from other tests' leftovers
+        q_customer_rfm(spark, "/root/testdata/sf0.001").collect()
+        mgr = spark._jsparkSession.sharedState().cacheManager()
+        assert not mgr.isEmpty()  # the RFM query persists its per-cust agg
+        assert release_caches() >= 1
+        assert mgr.isEmpty()
+        # Released plans still execute (recompute instead of erroring).
+        assert release_caches() == 0
