@@ -25,6 +25,8 @@ from datagrowth_spark import queries as Q
 from datagrowth_spark.core.session import get_spark
 
 HEADLINE = [
+    "bpe_trainer_merges",
+    "bpe_trainer_vocab",
     "pricing_summary",
     "top_orders",
     "nation_revenue",

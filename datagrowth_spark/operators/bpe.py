@@ -1,0 +1,164 @@
+"""Iterative BPE-merge training over a distributed corpus.
+
+The classic byte-pair-encoding trainer (Sennrich et al., "Neural
+Machine Translation of Rare Words with Subword Units", ACL 2016)
+factors through WORD FREQUENCIES: after one corpus-sized aggregation,
+every merge round runs on the vocabulary table (millions of rows at
+100 TB corpus scale, not trillions). Each round:
+
+1. count adjacent symbol pairs weighted by word frequency (one hash
+   aggregate — the only shuffle, on the pair key);
+2. pick the most frequent pair (count DESC, then left/right symbol
+   ASC — a total order, so training is deterministic on any cluster
+   layout);
+3. rewrite every word's symbol sequence, merging occurrences of that
+   pair left-to-right non-overlapping.
+
+Step 3 is the part engines usually push to Python; here it stays pure
+Catalyst via a STRING encoding of the symbol sequence: each symbol is
+wrapped in a separator char that alpha-only words can never contain
+(``\\x1f``), so the sequence ``[a, b, c]`` is stored as
+``\\x1fa\\x1f\\x1fb\\x1f\\x1fc\\x1f``. Merging pair ``(l, r)`` is then a
+literal ``replace(repr, SEP+l+SEP+SEP+r+SEP, SEP+lr+SEP)`` — both
+Spark's ``StringReplace`` and ANSI ``replace()`` scan left-to-right
+and never rescan replaced text, which is exactly BPE's greedy
+non-overlapping merge (``aaa`` + pair ``(a,a)`` -> ``[aa, a]``). The
+separator anchors both symbols, so a pattern can never match a symbol
+suffix/prefix. Zero Python rows, zero UDFs, whole-stage codegen end
+to end.
+
+Per-round cost is FLAT in the round number: the pair aggregate reads
+the persisted vocabulary once, the rewrite is a narrow projection, and
+the driver collects exactly one row per round. Rewrites chain as
+nested ``replace`` expressions; every ``checkpoint_rounds`` rounds the
+frame is re-persisted (and the previous cache dropped) so neither the
+expression tree nor the recompute depth grows unboundedly for large
+``k``.
+
+Scale design (100 TB): the corpus-sized work is ONE groupBy(word)
+with map-side combine; everything after is vocabulary-sized. Hot
+pairs ("th", "e ") never skew — the pair aggregate's input is one row
+per (word, position), already collapsed by word frequency.
+
+Reference behavior anchor: the single-step pair statistics this
+iterates are ``q_bpe_pair_counts`` / ``q_token_bigram_topk``
+(queries.py); the reference engine has no BPE trainer — this is part
+of the LLM-training-data surface the brief adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Symbol separator — unit separator control char; normalized (alpha-
+#: only) words can never contain it, so symbol boundaries are exact.
+SEP = "\x1f"
+
+
+class BPETrainResult:
+    """Result handle for :func:`bpe_train`.
+
+    * ``merges`` — one row per merge round:
+      (step, lhs, rhs, merged, pair_count); driver-built (k rows).
+    * ``vocab`` — final symbol vocabulary: (symbol, freq) where freq
+      is the word-frequency-weighted occurrence count.
+    * ``word_symbols`` — final segmentation: (w, freq, syms).
+    * ``caches`` — persisted frames the trainer created; callers own
+      their lifetime (``cleanup()`` or register with a session hook).
+    """
+
+    __slots__ = ("merges", "vocab", "word_symbols", "caches")
+
+    def __init__(self, merges: DataFrame, vocab: DataFrame,
+                 word_symbols: DataFrame, caches: list[DataFrame]) -> None:
+        self.merges = merges
+        self.vocab = vocab
+        self.word_symbols = word_symbols
+        self.caches = caches
+
+    def cleanup(self, blocking: bool = False) -> None:
+        for frame in self.caches:
+            frame.unpersist(blocking)
+        self.caches = []
+
+
+def _initial_repr(word) -> "F.Column":
+    """``\\x1fc\\x1f`` per character — each char becomes one symbol."""
+    return F.regexp_replace(word, "(.)", f"{SEP}$1{SEP}")
+
+
+def _symbols(repr_col) -> "F.Column":
+    """Split a separator-encoded sequence back into its symbol array."""
+    inner = F.substring(repr_col, 2, F.length(repr_col) - 2)
+    return F.split(inner, SEP + SEP)
+
+
+def _pairs(syms) -> "F.Column":
+    """Adjacent (l, r) symbol pairs — ALL of them, overlapping included
+    (the counting convention of the reference BPE trainer)."""
+    n = F.size(syms)
+    return F.when(n < 2, F.array().cast("array<struct<l:string,r:string>>")) \
+        .otherwise(F.zip_with(
+            F.slice(syms, 1, n - 1), F.slice(syms, 2, n - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r"))))
+
+
+def bpe_train(word_freq: DataFrame, k: int, word_col: str = "w",
+              freq_col: str = "freq",
+              checkpoint_rounds: int = 16) -> BPETrainResult:
+    """Run ``k`` BPE merge rounds over a (word, freq) vocabulary frame.
+
+    ``word_freq`` is the output of the corpus word-count aggregate
+    (callers build it with their tokenizer of choice so the trainer
+    composes with any normalization). Rounds with an empty pair table
+    (every word fully merged) stop early.
+    """
+    spark = word_freq.sparkSession
+    base = word_freq.select(
+        _initial_repr(F.col(word_col)).alias("repr"),
+        F.col(freq_col).cast("long").alias("freq"),
+    ).persist()
+    caches = [base]
+
+    cur = base
+    merges: list[tuple] = []
+    for step in range(1, k + 1):
+        pair_counts = (
+            cur.select(F.explode(_pairs(_symbols(F.col("repr")))).alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = (pair_counts.orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+               .limit(1).collect())
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
+        merges.append((step, l, r, l + r, int(c)))
+        cur = cur.select(
+            F.replace(F.col("repr"),
+                      F.lit(f"{SEP}{l}{SEP}{SEP}{r}{SEP}"),
+                      F.lit(f"{SEP}{l}{r}{SEP}")).alias("repr"),
+            "freq",
+        )
+        if step % checkpoint_rounds == 0 and step < k:
+            # Bound expression-tree depth and per-round recompute: cache
+            # the rewritten frame, materialize it, drop the previous
+            # cache (the base stays for lineage recovery semantics —
+            # callers release everything via the result handle).
+            nxt = cur.persist()
+            nxt.count()
+            if len(caches) > 1:
+                caches[-1].unpersist()
+                caches.pop()
+            caches.append(nxt)
+            cur = nxt
+
+    merges_df = spark.createDataFrame(
+        merges, "step INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT")
+    word_symbols = cur.select(
+        _symbols(F.col("repr")).alias("syms"), "freq")
+    vocab = (word_symbols
+             .select(F.explode("syms").alias("symbol"), "freq")
+             .groupBy("symbol").agg(F.sum("freq").alias("freq")))
+    return BPETrainResult(merges_df, vocab, word_symbols, caches)

@@ -3359,6 +3359,104 @@ LIMIT 50
 """
 
 
+_BPE_K = 3  # merge rounds the oracle unrolls
+
+
+def _bpe_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(TX.normalized_tokens(F.col("text"))).alias("w"))
+    return words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def q_bpe_trainer_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE trainer (r7 verdict item 3): run ``_BPE_K`` full
+    merge rounds — pair count, deterministic top-pair pick
+    (count DESC, symbols ASC), greedy left-to-right rewrite of every
+    word's symbol sequence — and emit the merge table. The rewrite is
+    pure Catalyst (a literal ``replace`` on a separator-encoded symbol
+    string, see operators/bpe.py); each round costs one vocabulary-
+    sized pair aggregate plus a 1-row driver collect, flat in the round
+    number. The oracle unrolls the same three rounds as DuckDB CTEs."""
+    from datagrowth_spark.operators import bpe as BPE
+
+    res = BPE.bpe_train(_bpe_word_freq(spark, sf_dir), k=_BPE_K)
+    _SESSION_CACHES.extend(res.caches)
+    return res.merges
+
+
+def q_bpe_trainer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final symbol vocabulary after the ``_BPE_K`` BPE merge rounds of
+    ``bpe_trainer_merges``: word-frequency-weighted counts of every
+    symbol in the trained segmentation, top 100 with a full
+    deterministic tiebreak."""
+    from datagrowth_spark.operators import bpe as BPE
+
+    res = BPE.bpe_train(_bpe_word_freq(spark, sf_dir), k=_BPE_K)
+    _SESSION_CACHES.extend(res.caches)
+    return (res.vocab
+            .orderBy(F.desc("freq"), F.asc("symbol"))
+            .limit(100))
+
+
+def _bpe_rounds_sql(k: int) -> str:
+    """Shared unrolled-CTE prefix: r0 (char symbols) .. r<k>, with p<i>
+    the round-i winning pair. Symbol sequences are separator-encoded
+    strings and the merge is a literal replace — byte-for-byte the
+    operator's formulation (operators/bpe.py), so greedy non-overlap
+    and boundary anchoring match exactly."""
+    parts = [f"""
+WITH words AS (
+  SELECT unnest({_NORM_TOKS_SQL}) AS w FROM documents
+),
+wf AS (
+  SELECT w, COUNT(*) AS freq FROM words GROUP BY w
+),
+r0 AS (
+  SELECT regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS repr, freq FROM wf
+)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+s{i} AS (
+  SELECT string_split(substr(repr, 2, length(repr) - 2), chr(31) || chr(31)) AS syms, freq
+  FROM r{i - 1}
+),
+pairs{i} AS (
+  SELECT syms[CAST(g.i AS INT)] AS l, syms[CAST(g.i AS INT) + 1] AS r, freq
+  FROM s{i}, LATERAL unnest(generate_series(1, len(syms) - 1)) AS g(i)
+),
+p{i} AS (
+  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS c
+  FROM pairs{i} GROUP BY l, r
+  ORDER BY c DESC, l ASC, r ASC LIMIT 1
+),
+r{i} AS (
+  SELECT replace(repr,
+                 chr(31) || p{i}.l || chr(31) || chr(31) || p{i}.r || chr(31),
+                 chr(31) || p{i}.l || p{i}.r || chr(31)) AS repr, freq
+  FROM r{i - 1}, p{i}
+)""")
+    return "".join(parts)
+
+
+SQL_BPE_TRAINER_MERGES = _bpe_rounds_sql(_BPE_K) + "\n" + "\nUNION ALL\n".join(
+    f"SELECT {i} AS step, l AS lhs, r AS rhs, l || r AS merged, c AS pair_count FROM p{i}"
+    for i in range(1, _BPE_K + 1)
+)
+
+
+SQL_BPE_TRAINER_VOCAB = _bpe_rounds_sql(_BPE_K) + f""",
+final_syms AS (
+  SELECT string_split(substr(repr, 2, length(repr) - 2), chr(31) || chr(31)) AS syms, freq
+  FROM r{_BPE_K}
+)
+SELECT symbol, CAST(SUM(freq) AS BIGINT) AS freq
+FROM (SELECT unnest(syms) AS symbol, freq FROM final_syms)
+GROUP BY symbol
+ORDER BY freq DESC, symbol ASC
+LIMIT 100
+"""
+
+
 _SPLIT_TRAIN, _SPLIT_VALIDATE = 80, 90  # bucket < 80 → train, < 90 → validate
 
 
@@ -5840,6 +5938,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     positions past 50. When adding a query, insert it near the top.
     """
     return {
+        # new in round 8 (never driver-checked)
+        "bpe_trainer_merges": q_bpe_trainer_merges,
+        "bpe_trainer_vocab": q_bpe_trainer_vocab,
         # new in round 7 (never driver-checked)
         "sql_volume_shipping": q_sql_volume_shipping,
         "sql_market_share": q_sql_market_share,
@@ -5991,6 +6092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bpe_trainer_merges": SQL_BPE_TRAINER_MERGES,
+        "bpe_trainer_vocab": SQL_BPE_TRAINER_VOCAB,
         "sql_volume_shipping": _SQL_VOLUME_SHIPPING,
         "sql_market_share": _SQL_MARKET_SHARE,
         "gopher_quality_rules": SQL_GOPHER_QUALITY_RULES,

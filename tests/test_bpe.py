@@ -1,0 +1,99 @@
+"""BPE-merge trainer (operators/bpe.py): textbook fixture, greedy
+non-overlap semantics, determinism, checkpointing, early stop."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datagrowth_spark.operators.bpe import SEP, bpe_train
+
+
+def _wf(spark, rows):
+    return spark.createDataFrame(rows, "w string, freq int")
+
+
+class TestBpeTrain:
+    def test_textbook_merges(self, spark):
+        """The Sennrich running example: es -> est dominate, then the
+        tie-broken tail; merged symbols participate in later rounds."""
+        wf = _wf(spark, [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)])
+        res = bpe_train(wf, k=4)
+        try:
+            merges = [tuple(r) for r in res.merges.collect()]
+            assert merges[0] == (1, "e", "s", "es", 9)
+            assert merges[1] == (2, "es", "t", "est", 9)
+            # round 3: (l,o)=7 from low+lower beats everything else
+            assert merges[2] == (3, "l", "o", "lo", 7)
+            assert merges[3] == (4, "lo", "w", "low", 7)
+            segs = {tuple(r["syms"]) for r in res.word_symbols.collect()}
+            assert ("low",) in segs
+            assert ("n", "e", "w", "est") in segs
+            vocab = {r["symbol"]: r["freq"] for r in res.vocab.collect()}
+            assert vocab["est"] == 9 and vocab["low"] == 7
+        finally:
+            res.cleanup()
+
+    def test_greedy_nonoverlapping_merge(self, spark):
+        """'aaaa' + pair (a,a): counts include overlaps (3 per word),
+        the rewrite is greedy left-to-right -> [aa, aa]; 'aaa' -> [aa, a]."""
+        wf = _wf(spark, [("aaaa", 2), ("aaa", 1)])
+        res = bpe_train(wf, k=1)
+        try:
+            (m,) = res.merges.collect()
+            assert (m["lhs"], m["rhs"], m["pair_count"]) == ("a", "a", 2 * 3 + 1 * 2)
+            segs = sorted(tuple(r["syms"]) for r in res.word_symbols.collect())
+            assert segs == [("aa", "a"), ("aa", "aa")]
+        finally:
+            res.cleanup()
+
+    def test_tiebreak_on_pair_string(self, spark):
+        """Equal counts resolve by (lhs ASC, rhs ASC) — a total order,
+        so training is layout-independent."""
+        wf = _wf(spark, [("ba", 3), ("ab", 3)])
+        res = bpe_train(wf, k=1)
+        try:
+            (m,) = res.merges.collect()
+            assert (m["lhs"], m["rhs"]) == ("a", "b")
+        finally:
+            res.cleanup()
+
+    def test_early_stop_when_fully_merged(self, spark):
+        """k larger than the available merges stops at an empty pair
+        table instead of erroring or emitting bogus rows."""
+        wf = _wf(spark, [("ab", 4)])
+        res = bpe_train(wf, k=10)
+        try:
+            merges = res.merges.collect()
+            assert len(merges) == 1
+            assert merges[0]["merged"] == "ab"
+            assert [tuple(r["syms"]) for r in res.word_symbols.collect()] == [("ab",)]
+        finally:
+            res.cleanup()
+
+    def test_checkpoint_rounds_bound_caches(self, spark):
+        """checkpoint_rounds re-persists and drops the prior cache, so
+        the handle never holds more than base + one checkpoint."""
+        wf = _wf(spark, [("abcdefgh", 2), ("abcdefgi", 1), ("bcdefgh", 1)])
+        res = bpe_train(wf, k=5, checkpoint_rounds=2)
+        try:
+            assert len(res.caches) <= 2
+            assert res.merges.count() == 5
+            # result equals the unchunked run
+            res2 = bpe_train(wf, k=5, checkpoint_rounds=100)
+            try:
+                assert ([tuple(r) for r in res.merges.collect()]
+                        == [tuple(r) for r in res2.merges.collect()])
+            finally:
+                res2.cleanup()
+        finally:
+            res.cleanup()
+
+    def test_separator_encoding_roundtrip(self, spark):
+        """Initial encoding wraps every char; symbols never leak the
+        separator into merged tokens."""
+        wf = _wf(spark, [("xyz", 1)])
+        res = bpe_train(wf, k=2)
+        try:
+            for r in res.vocab.collect():
+                assert SEP not in r["symbol"]
+        finally:
+            res.cleanup()
