@@ -27,6 +27,9 @@ from datagrowth_spark.core.session import get_spark
 HEADLINE = [
     "bpe_trainer_merges",
     "bpe_trainer_vocab",
+    "sql_small_qty_revenue",
+    "sql_part_promotion",
+    "sql_waiting_suppliers",
     "pricing_summary",
     "top_orders",
     "nation_revenue",

@@ -5825,6 +5825,99 @@ def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_MARKET_SHARE)
 
 
+_SQL_SMALL_QTY_REVENUE = """
+SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#17'
+  AND p_type = 'ECONOMY'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l_quantity) FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+def q_sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (avg-correlated scalar subquery on
+    part/lineitem), verbatim ANSI on both engines. Catalyst de-
+    correlates the per-part AVG into an aggregate + join; the brand/
+    type filters push into the part scan and the small part side
+    broadcasts. Determinism: l_quantity is integer-valued, so the
+    double AVG is an exact-integer sum divided once — order-
+    independent; revenue sums through DECIMAL(18,2)."""
+    _register_sql_views(spark, sf_dir)
+    return spark.sql(_SQL_SMALL_QTY_REVENUE)
+
+
+_SQL_PART_PROMOTION = """
+WITH partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         ((l_partkey * 37 + l_suppkey * 61) % 500 + 50) AS ps_availqty
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+)
+SELECT s_name
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND ps_availqty > (
+        SELECT 0.5 * SUM(l_quantity) FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'))
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_2'
+ORDER BY s_name
+"""
+
+
+def q_sql_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested IN with a half-sum correlated agg),
+    verbatim ANSI on both engines. The fixture has no partsupp table,
+    so a deterministic stand-in CTE derives (partkey, suppkey,
+    availqty) from the distinct lineitem pairs with pure integer
+    arithmetic — the official query text below it is unchanged.
+    Catalyst rewrites both IN predicates to semi joins and
+    de-correlates the half-sum; determinism from integer-valued
+    l_quantity (exact double sums) and the empty-group NULL compare
+    behaving identically on both engines."""
+    _register_sql_views(spark, sf_dir)
+    return spark.sql(_SQL_PART_PROMOTION)
+
+
+_SQL_WAITING_SUPPLIERS = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_1'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def q_sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS lineitem self-joins),
+    verbatim ANSI on both engines. The fixture lacks receipt/commit
+    dates, so "late" is l_shipdate > o_orderdate + 60 days — the self-
+    join structure (another supplier exists on the order; no OTHER
+    supplier was late) is the official one. Catalyst plans both
+    existentials as semi/anti joins on l_orderkey; nation and supplier
+    broadcast. Full deterministic tiebreak on (numwait DESC, s_name)."""
+    _register_sql_views(spark, sf_dir)
+    return spark.sql(_SQL_WAITING_SUPPLIERS)
+
+
 def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule bundle (Rae et al. 2021 §A1.1, simplified to
     the SQL-expressible core): per document — word count bounds, mean
@@ -5941,6 +6034,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 8 (never driver-checked)
         "bpe_trainer_merges": q_bpe_trainer_merges,
         "bpe_trainer_vocab": q_bpe_trainer_vocab,
+        "sql_small_qty_revenue": q_sql_small_qty_revenue,
+        "sql_part_promotion": q_sql_part_promotion,
+        "sql_waiting_suppliers": q_sql_waiting_suppliers,
         # new in round 7 (never driver-checked)
         "sql_volume_shipping": q_sql_volume_shipping,
         "sql_market_share": q_sql_market_share,
@@ -6094,6 +6190,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bpe_trainer_merges": SQL_BPE_TRAINER_MERGES,
         "bpe_trainer_vocab": SQL_BPE_TRAINER_VOCAB,
+        "sql_small_qty_revenue": _SQL_SMALL_QTY_REVENUE,
+        "sql_part_promotion": _SQL_PART_PROMOTION,
+        "sql_waiting_suppliers": _SQL_WAITING_SUPPLIERS,
         "sql_volume_shipping": _SQL_VOLUME_SHIPPING,
         "sql_market_share": _SQL_MARKET_SHARE,
         "gopher_quality_rules": SQL_GOPHER_QUALITY_RULES,
