@@ -226,6 +226,80 @@ def main() -> None:
         pairs.groupBy("p.a", "p.b").count().orderBy(F.desc("count")).limit(25) \
             .write.format("noop").mode("overwrite").save()
 
+    def _word_corpus(nd: int):
+        # shared synthetic text corpus: nd docs × 24 tokens from a
+        # 200k-word vocabulary (the shape the r7 text ops see)
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda j: F.concat(F.lit("w"), ((F.col("id") * 31 + j * 7)
+                                            % 200_000).cast("string")),
+        )
+        return spark.range(nd).select(
+            F.col("id").alias("doc_id"), words.alias("toks"))
+
+    @bench("token_bigram_pairs_2m_docs")
+    def _():
+        # r7's heaviest new shape at one decade up: ~46M exploded
+        # adjacent-token pairs. Two-phase aggregate — per-(doc,pair)
+        # first, so corpus-hot pairs combine map-side and never funnel
+        # one reduce task — then TakeOrderedAndProject top-100.
+        corpus = _word_corpus(n // 5)
+        pairs = corpus.select(
+            "doc_id",
+            F.explode(F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b))).alias("pair"))
+        (pairs.groupBy("doc_id", "pair").count()
+         .groupBy("pair").agg(F.sum("count").alias("c"))
+         .orderBy(F.desc("c"), F.asc("pair")).limit(100)
+         .write.format("noop").mode("overwrite").save())
+
+    @bench("lm_vocab_score_join_2m_docs")
+    def _():
+        # r7 lm_heldout_perplexity shape: exploded corpus tokens joined
+        # against a vocabulary-sized score table — the shuffle key is
+        # the 200k-row vocab, never the corpus; per-doc averages after.
+        corpus = _word_corpus(n // 5)
+        scores = spark.range(200_000).select(
+            F.concat(F.lit("w"), F.col("id").cast("string")).alias("token"),
+            (-(F.col("id") % 97).cast("double") / 10.0).alias("logprob"))
+        toks = corpus.select("doc_id", F.explode("toks").alias("token"))
+        (toks.join(scores, "token")
+         .groupBy("doc_id").agg(F.avg("logprob").alias("avg_lp"))
+         .agg(F.avg("avg_lp")).write.format("noop").mode("overwrite").save())
+
+    @bench("gopher_rules_10m_docs")
+    def _():
+        # r7 gopher_quality_rules: pure-Catalyst row filters, zero
+        # joins/shuffles — the cheap control row for ambient drift.
+        corpus = _word_corpus(n).select(
+            "doc_id", F.array_join("toks", " ").alias("text"))
+        n_words = F.size(F.split(F.col("text"), " "))
+        mean_len = (F.length(F.regexp_replace("text", " ", ""))
+                    / n_words.cast("double"))
+        keep = (n_words >= 5) & (n_words <= 1000) & \
+               (mean_len >= 2.0) & (mean_len <= 12.0)
+        corpus.select(keep.alias("keep")).groupBy("keep").count() \
+            .write.format("noop").mode("overwrite").save()
+
+    # BPE trainer per-round flatness (r7 verdict item 3): after the
+    # one-off corpus word count, every round is vocabulary-sized. Two
+    # runs at different k expose the per-round marginal cost.
+    from datagrowth_spark.operators.bpe import bpe_train
+
+    wf_corpus = _word_corpus(n // 5).select(F.explode("toks").alias("w"))
+    wf = wf_corpus.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    for k in (2, 6):
+        t0 = time.time()
+        res = bpe_train(wf, k=k)
+        res.merges.collect()
+        res.vocab.write.format("noop").mode("overwrite").save()
+        res.cleanup()
+        timings[f"bpe_trainer_k{k}"] = round(time.time() - t0, 2)
+    timings["bpe_trainer_per_round_marginal"] = round(
+        (timings["bpe_trainer_k6"] - timings["bpe_trainer_k2"]) / 4, 2)
+
     @bench("global_ntile_sharded")
     def _():
         # exact global quartiles over n rows through the sharded rank
