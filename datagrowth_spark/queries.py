@@ -6037,60 +6037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_small_qty_revenue": q_sql_small_qty_revenue,
         "sql_part_promotion": q_sql_part_promotion,
         "sql_waiting_suppliers": q_sql_waiting_suppliers,
-        # new in round 7 (never driver-checked)
-        "sql_volume_shipping": q_sql_volume_shipping,
-        "sql_market_share": q_sql_market_share,
-        "gopher_quality_rules": q_gopher_quality_rules,
-        "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
-        "token_bigram_topk": q_token_bigram_topk,
-        "embedding_hard_negatives": q_embedding_hard_negatives,
-        "boilerplate_prefixes": q_boilerplate_prefixes,
-        "mixture_token_plan": q_mixture_token_plan,
-        "lm_heldout_perplexity": q_lm_heldout_perplexity,
-        # never driver-checked (r6 verdict item 4)
-        "streaming_seed_merge": q_streaming_seed_merge,
-        "dedup_canonicalize_quality": q_dedup_canonicalize_quality,
-        "docs_quality_rank": q_docs_quality_rank,
-        "docs_length_percentile": q_docs_length_percentile,
-        "docs_zorder_layout": q_docs_zorder_layout,
-        # last driver-checked round 2
-        "customer_order_merge": q_customer_order_merge,
-        "orders_rollup": q_orders_rollup,
-        "order_count_distribution": q_order_count_distribution,
-        "big_orders": q_big_orders,
-        "rich_idle_customers": q_rich_idle_customers,
-        "promo_share_monthly": q_promo_share_monthly,
-        # last driver-checked round 3
-        "quality_unigram_lm": q_quality_unigram_lm,
-        "corpus_mix_temperature": q_corpus_mix_temperature,
-        "events_heavy_hitters": q_events_heavy_hitters,
-        "corpus_chunks": q_corpus_chunks,
-        "embedding_centroids": q_embedding_centroids,
-        "embedding_assign": q_embedding_assign,
-        "streaming_dedup_exact": q_streaming_dedup_exact,
-        "streaming_sessionize": q_streaming_sessionize,
-        "similarity_topk_ivf": q_similarity_topk_ivf,
-        "embedding_near_dups": q_embedding_near_dups,
-        "media_decode": q_media_decode,
-        "media_resize": q_media_resize,
-        "media_frames": q_media_frames,
-        "media_features": q_media_features,
-        "pipeline_seed_merge": q_pipeline_seed_merge,
-        "pipeline_growth_enrich": q_pipeline_growth_enrich,
-        "streaming_events_hourly": q_streaming_events_hourly,
-        "events_daily": q_events_daily,
-        "events_sessionize": q_events_sessionize,
-        "events_json_props": q_events_json_props,
-        "events_value_quantiles": q_events_value_quantiles,
-        "events_asof_orders": q_events_asof_orders,
-        "events_value_bands": q_events_value_bands,
-        "events_rolling": q_events_rolling,
-        "customer_rfm": q_customer_rfm,
-        "similarity_topk": q_similarity_topk,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        # last driver-green in round 3
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -6110,7 +6057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_threshold_by_lang": q_quality_threshold_by_lang,
         "pii_scan": q_pii_scan,
         "corpus_sample": q_corpus_sample,
-        # last driver-checked round 4
+        # last driver-green in round 4
         "supplier_diversity": q_supplier_diversity,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
@@ -6119,7 +6066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_parts_per_brand": q_top_parts_per_brand,
         "customers_without_orders": q_customers_without_orders,
         "active_suppliers": q_active_suppliers,
-        # last driver-checked round 5
+        # last driver-green in round 5
         "html_extract": q_html_extract,
         "pipeline_growth_chain": q_pipeline_growth_chain,
         "quality_linear_classifier": q_quality_linear_classifier,
@@ -6132,7 +6079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "finished_not_pending_custs": q_finished_not_pending_custs,
         "order_priority_check": q_order_priority_check,
-        # last driver-checked round 6
+        # last driver-green in round 6
         "url_canonicalize": q_url_canonicalize,
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
         "corpus_token_drift": q_corpus_token_drift,
@@ -6183,6 +6130,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_bigram_lm": q_quality_bigram_lm,
         "embedding_quantize": q_embedding_quantize,
         "events_funnel": q_events_funnel,
+        # last driver-green in round 7
+        "sql_volume_shipping": q_sql_volume_shipping,
+        "sql_market_share": q_sql_market_share,
+        "gopher_quality_rules": q_gopher_quality_rules,
+        "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
+        "token_bigram_topk": q_token_bigram_topk,
+        "embedding_hard_negatives": q_embedding_hard_negatives,
+        "boilerplate_prefixes": q_boilerplate_prefixes,
+        "mixture_token_plan": q_mixture_token_plan,
+        "lm_heldout_perplexity": q_lm_heldout_perplexity,
+        "streaming_seed_merge": q_streaming_seed_merge,
+        "dedup_canonicalize_quality": q_dedup_canonicalize_quality,
+        "docs_quality_rank": q_docs_quality_rank,
+        "docs_length_percentile": q_docs_length_percentile,
+        "docs_zorder_layout": q_docs_zorder_layout,
+        "customer_order_merge": q_customer_order_merge,
+        "orders_rollup": q_orders_rollup,
+        "order_count_distribution": q_order_count_distribution,
+        "big_orders": q_big_orders,
+        "rich_idle_customers": q_rich_idle_customers,
+        "promo_share_monthly": q_promo_share_monthly,
+        "quality_unigram_lm": q_quality_unigram_lm,
+        "corpus_mix_temperature": q_corpus_mix_temperature,
+        "events_heavy_hitters": q_events_heavy_hitters,
+        "corpus_chunks": q_corpus_chunks,
+        "embedding_centroids": q_embedding_centroids,
+        "embedding_assign": q_embedding_assign,
+        "streaming_dedup_exact": q_streaming_dedup_exact,
+        "streaming_sessionize": q_streaming_sessionize,
+        "similarity_topk_ivf": q_similarity_topk_ivf,
+        "embedding_near_dups": q_embedding_near_dups,
+        "media_decode": q_media_decode,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
+        "media_features": q_media_features,
+        "pipeline_seed_merge": q_pipeline_seed_merge,
+        "pipeline_growth_enrich": q_pipeline_growth_enrich,
+        "streaming_events_hourly": q_streaming_events_hourly,
+        "events_daily": q_events_daily,
+        "events_sessionize": q_events_sessionize,
+        "events_json_props": q_events_json_props,
+        "events_value_quantiles": q_events_value_quantiles,
+        "events_asof_orders": q_events_asof_orders,
+        "events_value_bands": q_events_value_bands,
+        "events_rolling": q_events_rolling,
+        "customer_rfm": q_customer_rfm,
+        "similarity_topk": q_similarity_topk,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
     }
 
 
