@@ -27,6 +27,7 @@ from datagrowth_spark.core.session import get_spark
 HEADLINE = [
     "bpe_trainer_merges",
     "bpe_trainer_vocab",
+    "bpe_encode_lengths",
     "sql_small_qty_revenue",
     "sql_part_promotion",
     "sql_waiting_suppliers",

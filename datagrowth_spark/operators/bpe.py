@@ -158,7 +158,35 @@ def bpe_train(word_freq: DataFrame, k: int, word_col: str = "w",
         merges, "step INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT")
     word_symbols = cur.select(
         _symbols(F.col("repr")).alias("syms"), "freq")
+    # adjacent merges only concatenate, so the symbols re-join to the
+    # original word — carried for callers that join segmentations back
+    # to a corpus without re-tokenizing
+    word_symbols = word_symbols.withColumn("w", F.array_join("syms", ""))
     vocab = (word_symbols
              .select(F.explode("syms").alias("symbol"), "freq")
              .groupBy("symbol").agg(F.sum("freq").alias("freq")))
     return BPETrainResult(merges_df, vocab, word_symbols, caches)
+
+
+def bpe_encode(words: DataFrame, merges: list[tuple[str, str]],
+               word_col: str = "w", out: str = "syms") -> DataFrame:
+    """Segment words with a TRAINED merge table — the tokenizer-apply
+    half of :func:`bpe_train`.
+
+    ``merges`` is the ordered (lhs, rhs) merge list (bounded: the
+    trained vocabulary size, a driver-side constant of the tokenizer,
+    exactly like the merges.txt file a production BPE tokenizer ships).
+    Encoding replays the merges in training order as chained literal
+    ``replace`` expressions over the separator encoding — pure
+    whole-stage-codegen, no shuffle, no UDF; at corpus scale callers
+    encode the DISTINCT word vocabulary and join back, so the encode
+    cost is vocabulary-sized.
+
+    Matches the trainer exactly on trained words: replaying the merge
+    sequence on a word reproduces ``word_symbols`` (BPE encode is
+    defined as merge-replay, Sennrich et al. 2016 §3.2)."""
+    col = _initial_repr(F.col(word_col))
+    for l, r in merges:
+        col = F.replace(col, F.lit(f"{SEP}{l}{SEP}{SEP}{r}{SEP}"),
+                        F.lit(f"{SEP}{l}{r}{SEP}"))
+    return words.withColumn(out, _symbols(col))

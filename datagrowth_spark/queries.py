@@ -3412,7 +3412,7 @@ wf AS (
   SELECT w, COUNT(*) AS freq FROM words GROUP BY w
 ),
 r0 AS (
-  SELECT regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS repr, freq FROM wf
+  SELECT w, regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS repr, freq FROM wf
 )"""]
     for i in range(1, k + 1):
         parts.append(f""",
@@ -3430,9 +3430,9 @@ p{i} AS (
   ORDER BY c DESC, l ASC, r ASC LIMIT 1
 ),
 r{i} AS (
-  SELECT replace(repr,
-                 chr(31) || p{i}.l || chr(31) || chr(31) || p{i}.r || chr(31),
-                 chr(31) || p{i}.l || p{i}.r || chr(31)) AS repr, freq
+  SELECT w, replace(repr,
+                    chr(31) || p{i}.l || chr(31) || chr(31) || p{i}.r || chr(31),
+                    chr(31) || p{i}.l || p{i}.r || chr(31)) AS repr, freq
   FROM r{i - 1}, p{i}
 )""")
     return "".join(parts)
@@ -3442,6 +3442,46 @@ SQL_BPE_TRAINER_MERGES = _bpe_rounds_sql(_BPE_K) + "\n" + "\nUNION ALL\n".join(
     f"SELECT {i} AS step, l AS lhs, r AS rhs, l || r AS merged, c AS pair_count FROM p{i}"
     for i in range(1, _BPE_K + 1)
 )
+
+
+def q_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer apply (train -> encode round trip): train the
+    ``_BPE_K``-merge table, then ENCODE the corpus with
+    ``operators.bpe.bpe_encode`` — merge-replay as chained literal
+    replaces over the DISTINCT word vocabulary (vocabulary-sized work;
+    the corpus only pays a word join) — and report each document's
+    word and BPE-token counts. The oracle replays the same rounds in
+    CTEs and joins the per-word symbol lengths back to the exploded
+    corpus."""
+    from datagrowth_spark.operators import bpe as BPE
+
+    res = BPE.bpe_train(_bpe_word_freq(spark, sf_dir), k=_BPE_K)
+    _SESSION_CACHES.extend(res.caches)
+    merge_list = [(r["lhs"], r["rhs"]) for r in res.merges.collect()]
+    docs = _t(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "doc_id", F.explode(TX.normalized_tokens(F.col("text"))).alias("w"))
+    wlen = BPE.bpe_encode(doc_words.select("w").distinct(), merge_list) \
+        .select("w", F.size("syms").alias("n_sym"))
+    return (doc_words.join(F.broadcast(wlen), "w")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_sym").alias("bpe_tokens")))
+
+
+SQL_BPE_ENCODE_LENGTHS = _bpe_rounds_sql(_BPE_K) + f""",
+wlen AS (
+  SELECT w, len(string_split(substr(repr, 2, length(repr) - 2), chr(31) || chr(31))) AS n_sym
+  FROM r{_BPE_K}
+),
+docw AS (
+  SELECT doc_id, unnest({_NORM_TOKS_SQL}) AS w FROM documents
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sym) AS BIGINT) AS bpe_tokens
+FROM docw JOIN wlen USING (w)
+GROUP BY doc_id
+"""
 
 
 SQL_BPE_TRAINER_VOCAB = _bpe_rounds_sql(_BPE_K) + f""",
@@ -6034,6 +6074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 8 (never driver-checked)
         "bpe_trainer_merges": q_bpe_trainer_merges,
         "bpe_trainer_vocab": q_bpe_trainer_vocab,
+        "bpe_encode_lengths": q_bpe_encode_lengths,
         "sql_small_qty_revenue": q_sql_small_qty_revenue,
         "sql_part_promotion": q_sql_part_promotion,
         "sql_waiting_suppliers": q_sql_waiting_suppliers,
@@ -6188,6 +6229,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bpe_trainer_merges": SQL_BPE_TRAINER_MERGES,
         "bpe_trainer_vocab": SQL_BPE_TRAINER_VOCAB,
+        "bpe_encode_lengths": SQL_BPE_ENCODE_LENGTHS,
         "sql_small_qty_revenue": _SQL_SMALL_QTY_REVENUE,
         "sql_part_promotion": _SQL_PART_PROMOTION,
         "sql_waiting_suppliers": _SQL_WAITING_SUPPLIERS,

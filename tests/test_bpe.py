@@ -97,3 +97,38 @@ class TestBpeTrain:
                 assert SEP not in r["symbol"]
         finally:
             res.cleanup()
+
+
+class TestBpeEncode:
+    def test_encode_replays_training_segmentation(self, spark):
+        """Merge-replay on the trained words reproduces word_symbols
+        (BPE encode = replay, Sennrich 2016 §3.2)."""
+        from datagrowth_spark.operators.bpe import bpe_encode
+
+        wf = _wf(spark, [("low", 5), ("lower", 2), ("newest", 6),
+                         ("widest", 3), ("aaa", 4)])
+        res = bpe_train(wf, k=4)
+        try:
+            merges = [(r["lhs"], r["rhs"]) for r in res.merges.collect()]
+            enc = bpe_encode(wf.select("w"), merges)
+            got = {r["w"]: tuple(r["syms"]) for r in enc.collect()}
+            want = {r["w"]: tuple(r["syms"])
+                    for r in res.word_symbols.collect()}
+            assert got == want
+        finally:
+            res.cleanup()
+
+    def test_encode_unseen_word(self, spark):
+        """Unseen words segment with whatever merges apply — the
+        open-vocabulary property."""
+        from datagrowth_spark.operators.bpe import bpe_encode
+
+        wf = _wf(spark, [("newest", 6), ("widest", 3)])
+        res = bpe_train(wf, k=2)  # es, then est
+        try:
+            merges = [(r["lhs"], r["rhs"]) for r in res.merges.collect()]
+            unseen = spark.createDataFrame([("bestest",)], "w string")
+            (row,) = bpe_encode(unseen, merges).collect()
+            assert tuple(row["syms"]) == ("b", "est", "est")
+        finally:
+            res.cleanup()
