@@ -28,6 +28,7 @@ HEADLINE = [
     "bpe_trainer_merges",
     "bpe_trainer_vocab",
     "bpe_encode_lengths",
+    "dsir_importance",
     "sql_small_qty_revenue",
     "sql_part_promotion",
     "sql_waiting_suppliers",

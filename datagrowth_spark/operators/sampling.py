@@ -96,3 +96,62 @@ def stratified_sample(
         rate = F.when(F.col(strata_col) == value, F.lit(rates[value])).otherwise(rate)
     out = df.withColumn("bucket", hash_bucket(key_col, buckets, salt))
     return out.where(F.col("bucket") < rate)
+
+
+def dsir_importance(
+    doc_tokens: DataFrame,
+    is_target: Column,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much more likely its hashed-feature profile is
+    under a TARGET distribution than under the raw corpus, so raw data
+    can be resampled toward the target domain.
+
+    ``doc_tokens`` is the exploded (id, token) frame; ``is_target``
+    marks the rows belonging to the target sample (e.g. a trusted
+    high-quality subset). Tokens hash into ``n_buckets`` features
+    (DSIR's hashed n-gram generative model); each bucket's
+    log-likelihood ratio uses add-one smoothing, and a document's
+    importance is its average per-token LLR.
+
+    Scale shape: the corpus collapses to per-(doc, bucket) counts (one
+    shuffle with map-side combine); BOTH feature distributions are
+    ``n_buckets``-row aggregates joined back by BROADCAST, so nothing
+    corpus-sized shuffles twice and the hot-bucket key can never skew a
+    join (the bucket table is dimension-sized by construction).
+
+    Cross-engine determinism (house rule): each bucket's LLR is rounded
+    to 6dp then cast to DECIMAL(20,6), the per-document sum is exact
+    and order-independent, and only the final per-token average returns
+    to double.
+    """
+    from datagrowth_spark.functions.text import md5_long
+
+    bucketed = doc_tokens.select(
+        F.col(id_col).alias("__id"),
+        (md5_long(F.col(token_col)) % n_buckets).alias("bucket"),
+        is_target.cast("int").alias("__t"),
+    )
+    per_doc = bucketed.groupBy("__id", "bucket").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dist = bucketed.groupBy("bucket").agg(
+        F.sum("__t").alias("c_t"),
+        F.count(F.lit(1)).alias("c_r"),
+    )
+    totals = dist.agg(F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r"))
+    # smoothed log( p_target(b) / p_raw(b) ), one row per bucket
+    llr = (dist.crossJoin(F.broadcast(totals))
+           .select("bucket", F.round(
+               F.log((F.col("c_t") + 1) / (F.col("n_t") + n_buckets))
+               - F.log((F.col("c_r") + 1) / (F.col("n_r") + n_buckets)),
+               6).cast("decimal(20,6)").alias("llr")))
+    return (per_doc.join(F.broadcast(llr), "bucket")
+            .groupBy("__id")
+            .agg(F.sum("tf").alias("n_tokens"),
+                 F.round((F.sum(F.col("tf") * F.col("llr")).cast("double")
+                          / F.sum("tf")), 6).alias("importance"))
+            .withColumnRenamed("__id", id_col))

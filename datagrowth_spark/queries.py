@@ -3484,6 +3484,61 @@ GROUP BY doc_id
 """
 
 
+_DSIR_BUCKETS = 1024
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling scores (Xie et al. 2023): hashed-
+    unigram feature model, target = the 'en' subset, raw = the whole
+    corpus; per-document importance = average per-token smoothed
+    log-likelihood ratio, top-50 with a full deterministic tiebreak.
+    Both feature distributions are 1024-row broadcast dims — the
+    corpus shuffles once, on (doc, bucket)."""
+    from datagrowth_spark.operators.sampling import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(TX.normalized_tokens(F.col("text"))).alias("token"))
+    scored = dsir_importance(toks, F.col("lang") == "en",
+                             n_buckets=_DSIR_BUCKETS)
+    return (scored.orderBy(F.desc("importance"), F.asc("doc_id"))
+            .limit(50))
+
+
+SQL_DSIR_IMPORTANCE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_NORM_TOKS_SQL}) AS token FROM documents
+),
+bucketed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % {_DSIR_BUCKETS} AS bucket,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t
+  FROM toks
+),
+per_doc AS (
+  SELECT doc_id, bucket, COUNT(*) AS tf FROM bucketed GROUP BY 1, 2
+),
+dist AS (
+  SELECT bucket, SUM(t) AS c_t, COUNT(*) AS c_r FROM bucketed GROUP BY 1
+),
+totals AS (SELECT SUM(c_t) AS n_t, SUM(c_r) AS n_r FROM dist),
+llr AS (
+  SELECT bucket,
+         CAST(round(ln((c_t + 1) / CAST(n_t + {_DSIR_BUCKETS} AS DOUBLE))
+                    - ln((c_r + 1) / CAST(n_r + {_DSIR_BUCKETS} AS DOUBLE)), 6)
+              AS DECIMAL(20,6)) AS llr
+  FROM dist, totals
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(tf * llr) AS DOUBLE) / SUM(tf), 6) AS importance
+FROM per_doc JOIN llr USING (bucket)
+GROUP BY doc_id
+ORDER BY importance DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 SQL_BPE_TRAINER_VOCAB = _bpe_rounds_sql(_BPE_K) + f""",
 final_syms AS (
   SELECT string_split(substr(repr, 2, length(repr) - 2), chr(31) || chr(31)) AS syms, freq
@@ -6075,6 +6130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_trainer_merges": q_bpe_trainer_merges,
         "bpe_trainer_vocab": q_bpe_trainer_vocab,
         "bpe_encode_lengths": q_bpe_encode_lengths,
+        "dsir_importance": q_dsir_importance,
         "sql_small_qty_revenue": q_sql_small_qty_revenue,
         "sql_part_promotion": q_sql_part_promotion,
         "sql_waiting_suppliers": q_sql_waiting_suppliers,
@@ -6230,6 +6286,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_trainer_merges": SQL_BPE_TRAINER_MERGES,
         "bpe_trainer_vocab": SQL_BPE_TRAINER_VOCAB,
         "bpe_encode_lengths": SQL_BPE_ENCODE_LENGTHS,
+        "dsir_importance": SQL_DSIR_IMPORTANCE,
         "sql_small_qty_revenue": _SQL_SMALL_QTY_REVENUE,
         "sql_part_promotion": _SQL_PART_PROMOTION,
         "sql_waiting_suppliers": _SQL_WAITING_SUPPLIERS,

@@ -103,3 +103,42 @@ class TestWeightedSample:
             F.when(F.col("id") % 2 == 0, 5).otherwise(0).alias("w"))
         got = weighted_sample(df, "w", "doc_id", 100).collect()
         assert sorted(r["doc_id"] for r in got) == [0, 2, 4, 6, 8]
+
+
+class TestDsirImportance:
+    """dsir_importance (operators/sampling.py): hashed-feature LLR
+    importance weights for target-domain resampling."""
+
+    def test_target_like_docs_score_higher(self, spark):
+        from pyspark.sql import functions as F
+
+        from datagrowth_spark.operators.sampling import dsir_importance
+
+        rows = []
+        # target docs share a small vocabulary; off-target uses another
+        for d in range(3):
+            rows += [(f"t{d}", "en", w) for w in ["alpha", "beta", "gamma"] * 4]
+        for d in range(3):
+            rows += [(f"r{d}", "xx", w) for w in ["delta", "epsilon", "zeta"] * 4]
+        # a raw doc written in the target vocabulary
+        rows += [("mix", "xx", w) for w in ["alpha", "beta", "gamma"] * 4]
+        toks = spark.createDataFrame(rows, "doc_id string, lang string, token string")
+        out = dsir_importance(toks, F.col("lang") == "en", n_buckets=64)
+        scores = {r["doc_id"]: r["importance"] for r in out.collect()}
+        # target-vocabulary docs (including the raw 'mix' one) beat the
+        # off-target docs
+        assert scores["mix"] > scores["r0"]
+        assert scores["t0"] == scores["mix"]  # same profile, same weight
+        assert all(scores[f"t{d}"] > scores[f"r{d}"] for d in range(3))
+
+    def test_token_counts_preserved(self, spark):
+        from pyspark.sql import functions as F
+
+        from datagrowth_spark.operators.sampling import dsir_importance
+
+        toks = spark.createDataFrame(
+            [("a", "en", "x"), ("a", "en", "y"), ("b", "xx", "x")],
+            "doc_id string, lang string, token string")
+        out = dsir_importance(toks, F.col("lang") == "en")
+        got = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
+        assert got == {"a": 2, "b": 1}
