@@ -439,10 +439,14 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands
+    from datagrowth_spark.core.caching import persist_registered
+
     # The signature frame feeds every band branch plus both verify joins
     # (~bands+2 consumers); persist it so the shingle+minhash pipeline
-    # runs once. Signatures are tiny (num_hashes longs per doc).
-    sig = minhash_signature(df, text_col, id_col, num_hashes, n).persist()
+    # runs once. Signatures are tiny (num_hashes longs per doc). No
+    # cleanup handle on this operator, so the cache registers with the
+    # session release hook (core/caching.py — r8 hygiene gate).
+    sig = persist_registered(minhash_signature(df, text_col, id_col, num_hashes, n))
     mh_cols = [f"mh_{i}" for i in range(num_hashes)]
 
     band_frames = []
@@ -724,10 +728,14 @@ def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     like a hot shingle — pre-filter empty/boilerplate docs or lower
     max_hamming if a block key grows pathological.
     """
+    from datagrowth_spark.core.caching import persist_registered
+
     # The self-join consumes the signature frame twice; persist so the
     # shingle→explode→agg pipeline (the expensive part) runs once —
     # signatures are one long per doc, negligible storage at any scale.
-    sig = simhash_signatures(df, text_col, id_col, bits).persist()
+    # No cleanup handle on this operator, so the cache registers with
+    # the session release hook (core/caching.py — r8 hygiene gate).
+    sig = persist_registered(simhash_signatures(df, text_col, id_col, bits))
     return simhash_pairs_from_signatures(sig, bits=bits, max_hamming=max_hamming)
 
 

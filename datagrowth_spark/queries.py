@@ -35,37 +35,15 @@ from datagrowth_spark.operators import similarity as SIM
 from datagrowth_spark.sources import testclient as TC
 
 
-#: Frames persisted by query functions, released by :func:`release_caches`.
-_SESSION_CACHES: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    """Persist ``df`` AND register it for :func:`release_caches`.
-
-    Query functions persist intermediates that multiple passes read
-    (rank sketch construction, vocab joins). DataFrame caches live in
-    the SQL CacheManager — a strong driver-side reference the
-    ContextCleaner never GCs — so a long-lived session running the full
-    surface would otherwise accumulate one cached frame per persisting
-    query (r7 verdict item 6). Per-query driver sessions never notice;
-    library consumers call :func:`release_caches` between queries."""
-    df = df.persist()
-    _SESSION_CACHES.append(df)
-    return df
-
-
-def release_caches() -> int:
-    """Unpersist every frame the query functions cached this session;
-    returns how many were released. Safe to call at any time — the
-    next action on a released plan recomputes instead of erroring."""
-    n = len(_SESSION_CACHES)
-    for df in _SESSION_CACHES:
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 — session may already be stopped
-            pass
-    _SESSION_CACHES.clear()
-    return n
+# Session-lifetime cache registry (r7 verdict item 6): query functions
+# persist intermediates that multiple passes read (rank sketch
+# construction, vocab joins); operators without a cleanup handle
+# register theirs too. Per-query driver sessions never notice; library
+# consumers call release_caches() between queries, and the oracle
+# harness asserts the CacheManager is empty after every sweep.
+from datagrowth_spark.core.caching import persist_registered as _persist
+from datagrowth_spark.core.caching import register as _register_cache
+from datagrowth_spark.core.caching import release as release_caches
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1311,7 +1289,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=_NUM_HASHES, bands=_BANDS, n=3, threshold=0.2)
     # The operator's internal caches are registered with the session
     # release hook instead of cleanup() (see the leak note below).
-    _SESSION_CACHES.extend(result._caches)
+    for _c in result._caches:
+        _register_cache(_c)
     # result.cleanup() here would fire at construction time — before
     # the caller materializes the returned frame — forcing the store
     # band-key pass to run twice at execution. The operator's caches
@@ -3380,7 +3359,8 @@ def q_bpe_trainer_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datagrowth_spark.operators import bpe as BPE
 
     res = BPE.bpe_train(_bpe_word_freq(spark, sf_dir), k=_BPE_K)
-    _SESSION_CACHES.extend(res.caches)
+    for _c in res.caches:
+        _register_cache(_c)
     return res.merges
 
 
@@ -3392,7 +3372,8 @@ def q_bpe_trainer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datagrowth_spark.operators import bpe as BPE
 
     res = BPE.bpe_train(_bpe_word_freq(spark, sf_dir), k=_BPE_K)
-    _SESSION_CACHES.extend(res.caches)
+    for _c in res.caches:
+        _register_cache(_c)
     return (res.vocab
             .orderBy(F.desc("freq"), F.asc("symbol"))
             .limit(100))
@@ -3456,7 +3437,8 @@ def q_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datagrowth_spark.operators import bpe as BPE
 
     res = BPE.bpe_train(_bpe_word_freq(spark, sf_dir), k=_BPE_K)
-    _SESSION_CACHES.extend(res.caches)
+    for _c in res.caches:
+        _register_cache(_c)
     merge_list = [(r["lhs"], r["rhs"]) for r in res.merges.collect()]
     docs = _t(spark, sf_dir, "documents")
     doc_words = docs.select(
