@@ -32,6 +32,7 @@ HEADLINE = [
     "sql_small_qty_revenue",
     "sql_part_promotion",
     "sql_waiting_suppliers",
+    "sql_global_sales_opp",
     "pricing_summary",
     "top_orders",
     "nation_revenue",

@@ -113,16 +113,20 @@ def dsir_importance(
 
     ``doc_tokens`` is the exploded (id, token) frame; ``is_target``
     marks the rows belonging to the target sample (e.g. a trusted
-    high-quality subset). Tokens hash into ``n_buckets`` features
+    high-quality subset) and must be constant per document — membership
+    is a document property, which is what lets the single corpus
+    aggregate below serve both distributions. Tokens hash into ``n_buckets`` features
     (DSIR's hashed n-gram generative model); each bucket's
     log-likelihood ratio uses add-one smoothing, and a document's
     importance is its average per-token LLR.
 
-    Scale shape: the corpus collapses to per-(doc, bucket) counts (one
-    shuffle with map-side combine); BOTH feature distributions are
-    ``n_buckets``-row aggregates joined back by BROADCAST, so nothing
-    corpus-sized shuffles twice and the hot-bucket key can never skew a
-    join (the bucket table is dimension-sized by construction).
+    Scale shape: the corpus is exploded and shuffled exactly ONCE, into
+    per-(doc, bucket) counts (map-side combine; persisted + registered
+    with the session release hook, since the distribution fold and the
+    LLR join both read it); both feature distributions fold from those
+    counts into ``n_buckets``-row aggregates joined back by BROADCAST,
+    so the hot-bucket key can never skew a join (the bucket table is
+    dimension-sized by construction).
 
     Cross-engine determinism (house rule): each bucket's LLR is rounded
     to 6dp then cast to DECIMAL(20,6), the per-document sum is exact
@@ -136,11 +140,18 @@ def dsir_importance(
         (md5_long(F.col(token_col)) % n_buckets).alias("bucket"),
         is_target.cast("int").alias("__t"),
     )
-    per_doc = bucketed.groupBy("__id", "bucket").agg(
-        F.count(F.lit(1)).alias("tf"))
-    dist = bucketed.groupBy("bucket").agg(
-        F.sum("__t").alias("c_t"),
-        F.count(F.lit(1)).alias("c_r"),
+    # ONE corpus aggregate feeds both the per-doc counts and the two
+    # feature distributions: a document is wholly target or not, so
+    # its flag survives the (doc, bucket) group and the bucket
+    # distributions fold from the pre-aggregated counts — the corpus
+    # is exploded and shuffled exactly once.
+    from datagrowth_spark.core.caching import persist_registered
+
+    per_doc = persist_registered(bucketed.groupBy("__id", "bucket").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("__t").alias("__t")))
+    dist = per_doc.groupBy("bucket").agg(
+        F.sum(F.col("tf") * F.col("__t")).alias("c_t"),
+        F.sum("tf").alias("c_r"),
     )
     totals = dist.agg(F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r"))
     # smoothed log( p_target(b) / p_raw(b) ), one row per bucket

@@ -5983,6 +5983,43 @@ LIMIT 100
 """
 
 
+_SQL_GLOBAL_SALES_OPP = """
+WITH eligible AS (
+  SELECT c_custkey, c_nationkey % 10 AS cntrycode,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+  FROM customer
+  WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5)
+),
+avg_bal AS (
+  SELECT CAST(SUM(acctbal) AS DOUBLE) / COUNT(*) AS a
+  FROM eligible WHERE acctbal > 0.00
+)
+SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(acctbal) AS DOUBLE) AS totacctbal
+FROM eligible, avg_bal
+WHERE acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '2001-01-01')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+def q_sql_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (above-average-balance customers with no recent
+    orders, by country code), verbatim ANSI on both engines. The
+    fixture has no c_phone, so cntrycode derives from nationkey, and
+    "never ordered" becomes "no order since 2001" (the fixture's every
+    customer has SOME order — an always-empty anti-join would be a
+    trivial oracle). Catalyst plans NOT EXISTS as a left-anti join on
+    o_custkey with the date filter pushed into the orders scan; the
+    average-balance scalar is a one-row broadcast. Determinism: exact
+    DECIMAL(18,2) sums, single division."""
+    _register_sql_views(spark, sf_dir)
+    return spark.sql(_SQL_GLOBAL_SALES_OPP)
+
+
 def q_sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (EXISTS + NOT EXISTS lineitem self-joins),
     verbatim ANSI on both engines. The fixture lacks receipt/commit
@@ -6116,6 +6153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_small_qty_revenue": q_sql_small_qty_revenue,
         "sql_part_promotion": q_sql_part_promotion,
         "sql_waiting_suppliers": q_sql_waiting_suppliers,
+        "sql_global_sales_opp": q_sql_global_sales_opp,
         # last driver-green in round 3
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -6272,6 +6310,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_small_qty_revenue": _SQL_SMALL_QTY_REVENUE,
         "sql_part_promotion": _SQL_PART_PROMOTION,
         "sql_waiting_suppliers": _SQL_WAITING_SUPPLIERS,
+        "sql_global_sales_opp": _SQL_GLOBAL_SALES_OPP,
         "sql_volume_shipping": _SQL_VOLUME_SHIPPING,
         "sql_market_share": _SQL_MARKET_SHARE,
         "gopher_quality_rules": SQL_GOPHER_QUALITY_RULES,
