@@ -84,8 +84,15 @@ class BPETrainResult:
 
 
 def _initial_repr(word) -> "F.Column":
-    """``\\x1fc\\x1f`` per character — each char becomes one symbol."""
-    return F.regexp_replace(word, "(.)", f"{SEP}$1{SEP}")
+    """``\\x1fc\\x1f`` per character — each char becomes one symbol.
+
+    ``(?s)`` DOTALL (ADVICE r8): without it, newline characters escape
+    the wrapping and glue onto neighbor symbols. The one character the
+    encoding can NEVER carry is :data:`SEP` itself — a hard input
+    contract enforced by the callers (``bpe_train`` filters such words
+    out of training; ``bpe_encode`` passes them through unsegmented).
+    """
+    return F.regexp_replace(word, "(?s)(.)", f"{SEP}$1{SEP}")
 
 
 def _symbols(repr_col) -> "F.Column":
@@ -113,9 +120,14 @@ def bpe_train(word_freq: DataFrame, k: int, word_col: str = "w",
     (callers build it with their tokenizer of choice so the trainer
     composes with any normalization). Rounds with an empty pair table
     (every word fully merged) stop early.
+
+    Input contract (ADVICE r8): a word may contain any character EXCEPT
+    the symbol separator ``\\x1f`` — such words would fake symbol
+    boundaries, so they are filtered out of training here (a map-only
+    predicate; real tokenizers never emit control chars).
     """
     spark = word_freq.sparkSession
-    base = word_freq.select(
+    base = word_freq.where(~F.col(word_col).contains(SEP)).select(
         _initial_repr(F.col(word_col)).alias("repr"),
         F.col(freq_col).cast("long").alias("freq"),
     ).persist()
@@ -184,9 +196,15 @@ def bpe_encode(words: DataFrame, merges: list[tuple[str, str]],
 
     Matches the trainer exactly on trained words: replaying the merge
     sequence on a word reproduces ``word_symbols`` (BPE encode is
-    defined as merge-replay, Sennrich et al. 2016 §3.2)."""
-    col = _initial_repr(F.col(word_col))
+    defined as merge-replay, Sennrich et al. 2016 §3.2).
+
+    Input contract (ADVICE r8): words containing the separator
+    ``\\x1f`` cannot be represented in the encoding — they pass through
+    as a single unsegmented symbol instead of corrupting neighbors."""
+    word = F.col(word_col)
+    col = _initial_repr(word)
     for l, r in merges:
         col = F.replace(col, F.lit(f"{SEP}{l}{SEP}{SEP}{r}{SEP}"),
                         F.lit(f"{SEP}{l}{r}{SEP}"))
-    return words.withColumn(out, _symbols(col))
+    return words.withColumn(
+        out, F.when(word.contains(SEP), F.array(word)).otherwise(_symbols(col)))

@@ -515,6 +515,14 @@ class IncrementalDedupResult:
     def __iter__(self):
         return iter((self.verdicts, self.new_sigs))
 
+    @property
+    def caches(self) -> list[DataFrame]:
+        """Persisted frames this operator created — callers own their
+        lifetime (mirror of ``BPETrainResult.caches``): either call
+        :meth:`cleanup` after materializing ``verdicts``, or register
+        each with a session release hook."""
+        return list(self._caches)
+
     def cleanup(self, blocking: bool = False) -> None:
         """Unpersist every frame this operator cached."""
         for frame in self._caches:

@@ -401,7 +401,7 @@ def embedding_near_dup_pairs_lsh(
 
     rng = _random.Random(seed)
     # hyperplanes drawn once driver-side; shipped in the closure
-    dim_probe = len(embeddings.select(vec_col).first()[0])
+    dim_probe = len(embeddings.select(vec_col).limit(1).collect()[0][0])
     planes = [
         [[rng.gauss(0.0, 1.0) for _ in range(dim_probe)] for _ in range(n_bits)]
         for _ in range(n_tables)

@@ -181,6 +181,7 @@ class FileConditionalStore(ConditionalStore):
             fh.flush()
             os.fsync(fh.fileno())
         target = os.path.join(d, f"g{new_gen}")
+        link_time = time.time()
         try:
             os.link(tmp, target)
         except FileExistsError as exc:
@@ -203,6 +204,24 @@ class FileConditionalStore(ConditionalStore):
         # link time.
         latest = self._gens(d)
         if latest and latest[-1] > new_gen + self.KEEP_GENERATIONS:
+            # Residual ABA guard (ADVICE r8): the deep-max condition also
+            # fires when MORE than KEEP_GENERATIONS followers commit inside
+            # this writer's post-link window — a legitimate max that was
+            # observed and chained from, not a pruned slot. Discriminate by
+            # the direct successor: a g{new_gen+1} written AT OR AFTER our
+            # link can only have chained from our committed generation (its
+            # writer read g{new_gen} as max, then wrote its payload), so the
+            # write is durable and observed — skip the revert. A SURVIVING
+            # successor in the true pruned-slot case belongs to the old
+            # chain and strictly predates our link; the same-filesystem
+            # mtime (CLOCK_REALTIME, ns granularity) tells them apart.
+            succ = os.path.join(d, f"g{new_gen + 1}")
+            try:
+                chained = os.stat(succ).st_mtime >= link_time
+            except OSError:
+                chained = False
+            if chained:
+                return new_gen
             try:
                 os.unlink(target)
             except OSError:

@@ -1289,7 +1289,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=_NUM_HASHES, bands=_BANDS, n=3, threshold=0.2)
     # The operator's internal caches are registered with the session
     # release hook instead of cleanup() (see the leak note below).
-    for _c in result._caches:
+    for _c in result.caches:
         _register_cache(_c)
     # result.cleanup() here would fire at construction time — before
     # the caller materializes the returned frame — forcing the store
@@ -3393,7 +3393,9 @@ wf AS (
   SELECT w, COUNT(*) AS freq FROM words GROUP BY w
 ),
 r0 AS (
-  SELECT w, regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS repr, freq FROM wf
+  -- 'gs' mirrors the operator's (?s) DOTALL (ADVICE r8): '.' must match
+  -- every character, newlines included, so no byte escapes the encoding.
+  SELECT w, regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'gs') AS repr, freq FROM wf
 )"""]
     for i in range(1, k + 1):
         parts.append(f""",
@@ -3411,10 +3413,17 @@ p{i} AS (
   ORDER BY c DESC, l ASC, r ASC LIMIT 1
 ),
 r{i} AS (
-  SELECT w, replace(repr,
-                    chr(31) || p{i}.l || chr(31) || chr(31) || p{i}.r || chr(31),
-                    chr(31) || p{i}.l || p{i}.r || chr(31)) AS repr, freq
-  FROM r{i - 1}, p{i}
+  -- LEFT JOIN (ADVICE r8): an empty p{i} (corpus fully merged before
+  -- round {i}) must pass words through unchanged, matching the Spark
+  -- trainer's early stop — a cross join would empty every later CTE.
+  SELECT w,
+         CASE WHEN p{i}.l IS NULL THEN repr
+              ELSE replace(repr,
+                           chr(31) || p{i}.l || chr(31) || chr(31) || p{i}.r || chr(31),
+                           chr(31) || p{i}.l || p{i}.r || chr(31))
+         END AS repr,
+         freq
+  FROM r{i - 1} LEFT JOIN p{i} ON TRUE
 )""")
     return "".join(parts)
 

@@ -87,6 +87,33 @@ class TestBpeTrain:
         finally:
             res.cleanup()
 
+    def test_newline_chars_stay_encoded(self, spark):
+        """(?s) DOTALL (ADVICE r8): a newline inside a word is a symbol
+        like any other — without DOTALL it would escape the separator
+        wrapping and glue onto neighbor symbols."""
+        wf = _wf(spark, [("a\nb", 3), ("a\nc", 1)])
+        res = bpe_train(wf, k=1)
+        try:
+            (m,) = res.merges.collect()
+            assert (m["lhs"], m["rhs"], m["pair_count"]) == ("a", "\n", 4)
+            segs = sorted(tuple(r["syms"]) for r in res.word_symbols.collect())
+            assert segs == [("a\n", "b"), ("a\n", "c")]
+        finally:
+            res.cleanup()
+
+    def test_sep_words_excluded_from_training(self, spark):
+        """Hard input contract (ADVICE r8): a word containing the
+        symbol separator cannot be represented — the trainer drops it
+        instead of mining fake boundaries out of it."""
+        wf = _wf(spark, [(f"x{SEP}y", 100), ("ab", 2)])
+        res = bpe_train(wf, k=1)
+        try:
+            (m,) = res.merges.collect()
+            assert (m["lhs"], m["rhs"], m["pair_count"]) == ("a", "b", 2)
+            assert res.word_symbols.count() == 1
+        finally:
+            res.cleanup()
+
     def test_separator_encoding_roundtrip(self, spark):
         """Initial encoding wraps every char; symbols never leak the
         separator into merged tokens."""
@@ -117,6 +144,18 @@ class TestBpeEncode:
             assert got == want
         finally:
             res.cleanup()
+
+    def test_encode_sep_word_passes_through_unsegmented(self, spark):
+        """Hard input contract (ADVICE r8): a SEP-carrying word comes
+        back as one opaque symbol instead of corrupting segmentation."""
+        from datagrowth_spark.operators.bpe import bpe_encode
+
+        weird = f"x{SEP}ab"
+        frame = spark.createDataFrame([(weird,), ("ab",)], "w string")
+        got = {r["w"]: tuple(r["syms"])
+               for r in bpe_encode(frame, [("a", "b")]).collect()}
+        assert got[weird] == (weird,)
+        assert got["ab"] == ("ab",)
 
     def test_encode_unseen_word(self, spark):
         """Unseen words segment with whatever merges apply — the

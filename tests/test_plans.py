@@ -1076,6 +1076,74 @@ class TestFileConditionalStore:
         assert store.get("k") == (b"follower", 3)
         assert store.put_if("k", b"v4", expected=3) == 4
 
+    def test_deep_follower_chain_does_not_revert_committed_write(self, tmp_path):
+        """ADVICE r8: writer A links g2 (true max); MORE than
+        KEEP_GENERATIONS followers commit g3..g11 inside A's post-link
+        window, so A's re-list sees max > new_gen + KEEP — the pruned-
+        slot condition — even though g2 was legitimately observed. The
+        fresh-mtime successor g3 proves the chain started from A's
+        write, so A must return success, not revert."""
+        import os as _os
+
+        store = self._store(tmp_path)
+        store.put_if("k", b"base", expected=None)  # g1
+        d = store._dir("k")
+        real_gens = store._gens
+        calls = []
+
+        def gens_with_deep_chain(path):
+            calls.append(1)
+            if len(calls) == 2:
+                # followers g3..g{2+KEEP+1} commit after A's link of g2;
+                # their files carry post-link mtimes (they chained).
+                for g in range(3, 3 + store.KEEP_GENERATIONS + 1):
+                    with open(_os.path.join(d, f"g{g}"), "wb") as fh:
+                        fh.write(b"follower")
+            return real_gens(path)
+
+        store._gens = gens_with_deep_chain
+        assert store.put_if("k", b"mine", expected=1) == 2
+        store._gens = real_gens
+        assert 2 in real_gens(d)  # A's durable write was not unlinked
+
+    def test_pruned_slot_with_surviving_old_successor_still_reverts(self, tmp_path):
+        """ADVICE r8 boundary: in a TRUE pruned-slot landing, a
+        surviving g{new_gen+1} belongs to the OLD chain (mtime predates
+        the stray link) — the revert must still fire."""
+        import os as _os
+
+        from datagrowth_spark.plans.committers import StorePreconditionFailed
+
+        store = self._store(tmp_path)
+        gen = None
+        for i in range(store.KEEP_GENERATIONS + 6):
+            gen = store.put_if("k", str(i).encode(), expected=gen)
+        d = store._dir("k")
+        gens = store._gens(d)
+        low = gens[0] - 3           # stale writer's view; slot low+1 vacant
+        assert (low + 1) not in gens
+        # resurrect an OLD successor file at low+2 with a past mtime —
+        # the old chain's survivor the boundary case would see.
+        succ = _os.path.join(d, f"g{low + 2}")
+        with open(succ, "wb") as fh:
+            fh.write(b"old-chain")
+        past = _os.path.getmtime(succ) - 3600
+        _os.utime(succ, (past, past))
+        real_gens = store._gens
+        stale = [True]
+
+        def stale_gens(path):
+            if stale:
+                stale.pop()
+                return [low]
+            return real_gens(path)
+
+        store._gens = stale_gens
+        with pytest.raises(StorePreconditionFailed, match="pruned slot"):
+            store.put_if("k", b"stale", expected=low)
+        store._gens = real_gens
+        assert (low + 1) not in real_gens(d)  # the stray link was reverted
+
     def test_get_retries_when_chosen_max_vanishes(self, tmp_path):
         """ADVICE r7: a reader whose chosen max file vanishes between
         the listing and the open (a concurrent pruned-slot revert)
