@@ -6029,6 +6029,147 @@ def q_sql_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_GLOBAL_SALES_OPP)
 
 
+_SQL_MIN_COST_SUPPLIER = """
+WITH partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         ((l_partkey * 41 + l_suppkey * 97) % 9000 + 1000) / 100.0 AS ps_supplycost
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+)
+SELECT s_acctbal, s_name, n_name, p_partkey
+FROM part, supplier, partsupp, nation, region
+WHERE p_partkey = ps_partkey
+  AND s_suppkey = ps_suppkey
+  AND p_size <= 15
+  AND p_type = 'STANDARD'
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps_supplycost)
+    FROM partsupp, supplier, nation, region
+    WHERE p_partkey = ps_partkey
+      AND s_suppkey = ps_suppkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part via a correlated
+    scalar MIN over the full dim chain), verbatim ANSI on both engines.
+    The fixture has no partsupp, so the Q20 stand-in CTE gains a
+    deterministic ps_supplycost (integer arithmetic divided once —
+    IEEE division of exact integers is identical on both engines, and
+    the MIN compares those identical doubles). Catalyst de-correlates
+    the scalar MIN into an aggregate joined back on p_partkey and
+    broadcasts nation/region/supplier; the size/type filters push into
+    the part scan. (s_name, p_partkey) is unique, so the ORDER BY is a
+    total order."""
+    _register_sql_views(spark, sf_dir)
+    return spark.sql(_SQL_MIN_COST_SUPPLIER)
+
+
+_SQL_PRODUCT_PROFIT = """
+WITH partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         ((l_partkey * 41 + l_suppkey * 97) % 9000 + 1000) / 100.0 AS ps_supplycost
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+),
+profit AS (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice * (1.0 - l_discount)
+              - ps_supplycost * l_quantity AS DECIMAL(18,4)) AS amount
+  FROM part, supplier, lineitem, partsupp, orders, nation
+  WHERE s_suppkey = l_suppkey
+    AND ps_suppkey = l_suppkey
+    AND ps_partkey = l_partkey
+    AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey
+    AND s_nationkey = n_nationkey
+    AND p_name LIKE '%widget%'
+)
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by nation and order year for a part-name
+    pattern, expression-heavy amount), verbatim ANSI on both engines,
+    with the deterministic partsupp stand-in supplying ps_supplycost.
+    The LIKE filter pushes into the part scan and prunes the 5-way fact
+    join early; nation/supplier/part broadcast. Determinism: per-row
+    double arithmetic is IEEE-identical, the group sum runs through
+    DECIMAL(18,4) (order-independent), one cast back at the end."""
+    _register_sql_views(spark, sf_dir)
+    return spark.sql(_SQL_PRODUCT_PROFIT)
+
+
+_SQL_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (quarterly revenue view + global-max scalar),
+    verbatim ANSI on both engines — the official CREATE VIEW becomes a
+    CTE referenced twice. The revenue aggregate computes once per
+    reference; per-supplier sums are exact DECIMAL(18,4), so the MAX
+    equality never depends on float summation order. The scalar MAX is
+    a one-row broadcast; the ship-date window pushes into both scans."""
+    _register_sql_views(spark, sf_dir)
+    return spark.sql(_SQL_TOP_SUPPLIER)
+
+
+_SQL_DISCOUNTED_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem, part
+WHERE (p_partkey = l_partkey
+       AND p_brand = 'Brand#12'
+       AND p_size BETWEEN 1 AND 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_partkey = l_partkey
+       AND p_brand = 'Brand#23'
+       AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_partkey = l_partkey
+       AND p_brand = 'Brand#3'
+       AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+def q_sql_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunction of conjunctive brand/size/quantity
+    predicates), verbatim ANSI on both engines. The planner test: the
+    common ``p_partkey = l_partkey`` conjunct must be FACTORED OUT of
+    the OR into the join condition (CNF extraction) so this stays an
+    equi-join with per-branch residual filters — not a nested-loop over
+    the cross product — and the brand/size bounds push into the part
+    scan. Exact DECIMAL sum, single cast out."""
+    _register_sql_views(spark, sf_dir)
+    return spark.sql(_SQL_DISCOUNTED_REVENUE)
+
+
 def q_sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (EXISTS + NOT EXISTS lineitem self-joins),
     verbatim ANSI on both engines. The fixture lacks receipt/commit
@@ -6154,6 +6295,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     positions past 50. When adding a query, insert it near the top.
     """
     return {
+        # new in round 9 (never driver-checked)
+        "sql_min_cost_supplier": q_sql_min_cost_supplier,
+        "sql_product_profit": q_sql_product_profit,
+        "sql_top_supplier": q_sql_top_supplier,
+        "sql_discounted_revenue": q_sql_discounted_revenue,
         # new in round 8 (never driver-checked)
         "bpe_trainer_merges": q_bpe_trainer_merges,
         "bpe_trainer_vocab": q_bpe_trainer_vocab,
@@ -6312,6 +6458,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sql_min_cost_supplier": _SQL_MIN_COST_SUPPLIER,
+        "sql_product_profit": _SQL_PRODUCT_PROFIT,
+        "sql_top_supplier": _SQL_TOP_SUPPLIER,
+        "sql_discounted_revenue": _SQL_DISCOUNTED_REVENUE,
         "bpe_trainer_merges": SQL_BPE_TRAINER_MERGES,
         "bpe_trainer_vocab": SQL_BPE_TRAINER_VOCAB,
         "bpe_encode_lengths": SQL_BPE_ENCODE_LENGTHS,
