@@ -25,6 +25,12 @@ from datagrowth_spark import queries as Q
 from datagrowth_spark.core.session import get_spark
 
 HEADLINE = [
+    "quality_clf_train",
+    "quality_clf_scores",
+    "sql_min_cost_supplier",
+    "sql_product_profit",
+    "sql_top_supplier",
+    "sql_discounted_revenue",
     "bpe_trainer_merges",
     "bpe_trainer_vocab",
     "bpe_encode_lengths",

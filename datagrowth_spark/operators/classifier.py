@@ -1,0 +1,233 @@
+"""Distributed training of the hashed-feature linear quality classifier.
+
+The missing half of ``functions/text.py hashed_linear_score`` (which
+only APPLIES weights): a fastText-shaped logistic-regression trainer
+(Joulin et al. 2016, "Bag of Tricks for Efficient Text Classification")
+over the same hashed unigram+bigram feature space, run as ``k``
+full-batch gradient-descent steps shaped like ``operators/bpe.py``'s
+trainer — a driver loop whose per-step work is ONE mergeable aggregate
+over the corpus feature frame.
+
+Scale design (100 TB):
+
+* The feature matrix is built ONCE — explode features, count per
+  (doc, bucket), re-group to one array row per document — and
+  persisted. Two corpus shuffles at setup, zero afterwards.
+* Each step is a narrow projection (margin/residual per document,
+  computed against the current weights inlined as a ≤``n_buckets``-
+  entry literal map — the model IS a driver-side constant, exactly
+  like a BPE merge table) followed by one ``groupBy(bucket)``
+  aggregate whose map-side combine collapses every task's output to
+  ≤ ``n_buckets`` rows. The driver collects ≤ ``n_buckets`` gradient
+  rows per step — bounded by the model size, not the data.
+* Hot buckets cannot skew: the gradient aggregate's key space is the
+  fixed bucket range and partials combine map-side.
+
+Cross-engine determinism (the house rule, so a DuckDB oracle can
+replay training bit-for-bit): weights live in integer MICRO-units and
+gradients in NANO-units, so every sum is exact integer arithmetic with
+no float-order dependence. Doubles appear only in three fixed-shape
+per-row expressions — the margin division, the sigmoid, and the two
+roundings back to integer units — each a deterministic IEEE op
+identical on any engine. The gradient sum is cast to DECIMAL(38,0) so
+it cannot overflow at any corpus size.
+
+Reference behavior anchor: the reference engine has no trainer — this
+is part of the LLM-training-data surface the brief adds (the apply
+path mirrors ``hashed_linear_score``; CCNet/DSIR-style selection is
+``operators/sampling.py:dsir_importance``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datagrowth_spark.functions.text import hashed_features, md5_long
+
+#: integer unit scales: weights in micro (1e-6), residuals in nano (1e-9)
+MICRO = 1_000_000
+
+
+def _round_half_away(x: float) -> int:
+    """SQL ``round()`` semantics (half away from zero) — Python's
+    built-in ``round`` is banker's rounding and would diverge from the
+    engines on exact .5 boundaries."""
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+class LogRegModel:
+    """Trained hashed-feature logistic model: ``w6`` is the full
+    ``n_buckets``-long weight vector in micro-units — a driver-side
+    constant of the model, like a shipped merges.txt."""
+
+    __slots__ = ("w6", "n_buckets")
+
+    def __init__(self, w6: list[int], n_buckets: int) -> None:
+        self.w6 = w6
+        self.n_buckets = n_buckets
+
+    def _weight_map(self) -> "Column | None":
+        entries = [(b, w) for b, w in enumerate(self.w6) if w != 0]
+        if not entries:
+            return None
+        return F.map_from_arrays(
+            F.array(*[F.lit(b).cast("long") for b, _ in entries]),
+            F.array(*[F.lit(w).cast("long") for _, w in entries]),
+        )
+
+    def margin(self, text: Column | str) -> Column:
+        """Mean feature weight (the raw linear score), as the same
+        map-only JVM expression ``hashed_linear_score`` promises for a
+        trained model: per-feature ``element_at`` into the inlined
+        weight map, exact integer sum, one division."""
+        feats = hashed_features(text)
+        wmap = self._weight_map()
+        if wmap is None:
+            return F.lit(0.0)
+        per_feat = F.transform(
+            feats,
+            lambda ft: F.coalesce(
+                F.element_at(wmap, md5_long(ft) % self.n_buckets),
+                F.lit(0).cast("long")),
+        )
+        num = F.aggregate(per_feat, F.lit(0).cast("long"),
+                          lambda acc, x: acc + x)
+        n = F.greatest(F.size(feats), F.lit(1))
+        return num / (F.lit(1000000.0) * n)
+
+    def probability(self, text: Column | str) -> Column:
+        """``round(sigmoid(margin) * 1e6) / 1e6`` — the 6dp-quantized
+        probability, bit-identical across engines."""
+        p6 = F.round(
+            F.lit(1000000.0) / (F.lit(1.0) + F.exp(-self.margin(text)))
+        ).cast("long")
+        return p6 / F.lit(1000000.0)
+
+
+class LogRegTrainResult:
+    """Result handle for :func:`logreg_train`.
+
+    * ``model`` — the trained :class:`LogRegModel`.
+    * ``grad_norms`` — per-step sum of \\|gradient\\| in nano-units
+      (driver-built, k rows) for convergence monitoring.
+    * ``caches`` — persisted frames the trainer created; callers own
+      their lifetime (``cleanup()`` or register with a session hook).
+    """
+
+    __slots__ = ("model", "grad_norms", "caches")
+
+    def __init__(self, model: LogRegModel, grad_norms: list[int],
+                 caches: list[DataFrame]) -> None:
+        self.model = model
+        self.grad_norms = grad_norms
+        self.caches = caches
+
+    def weights_df(self, spark) -> DataFrame:
+        """Non-zero trained weights as (bucket, w) — w back in real
+        units. Driver-built: the model is a bounded constant."""
+        rows = [(b, w / MICRO) for b, w in enumerate(self.model.w6) if w != 0]
+        return spark.createDataFrame(rows, "bucket BIGINT, w DOUBLE")
+
+    def cleanup(self, blocking: bool = False) -> None:
+        for frame in self.caches:
+            frame.unpersist(blocking)
+        self.caches = []
+
+
+def logreg_train(
+    docs: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_buckets: int = 1024,
+    lr: float = 300.0,
+) -> LogRegTrainResult:
+    """Run ``k`` full-batch logistic-regression GD steps over hashed
+    unigram+bigram features of ``text_col``; ``label`` is the 0/1
+    target column (e.g. ``F.col("lang") == "en"``).
+
+    Step math (all integer units, see module docstring):
+
+    * ``margin_d = (Σ_b tf_db · w6_b) / (1e6 · n_d)``
+    * ``p6_d = round(1e6 · sigmoid(margin_d))``
+    * ``r9_d = round((p6_d − 1e6·y_d) · 1e3 / n_d)`` — the per-doc
+      residual pre-divided by the doc's feature count
+    * ``grad9_b = Σ_d tf_db · r9_d``  (exact, DECIMAL(38,0) sum)
+    * ``w6_b ← round_half_away(w6_b − lr · grad9_b / (1e3 · N))``
+
+    Documents with no features are excluded (they carry no gradient).
+
+    ``lr`` note: with MEAN-normalized features (margin = Σ tf·w / n)
+    each occurrence contributes ~``lr/n²`` to the next margin, so the
+    nominal rate must be large — the default 300 moves margins by
+    O(0.1–1) per step on ~500-token documents, the right scale for a
+    few full-batch steps. This is the standard parameterization gap
+    between per-sample SGD rates (fastText's 0.1) and full-batch GD on
+    averaged features.
+    """
+    spark = docs.sparkSession
+    text = F.col(text_col)
+    buckets = F.transform(hashed_features(text),
+                          lambda ft: md5_long(ft) % n_buckets)
+    exploded = docs.select(
+        F.col(id_col).alias("__id"),
+        label.cast("int").alias("y"),
+        F.explode(buckets).alias("bucket"),
+    )
+    # ONE feature-matrix build: per-(doc, bucket) counts, then one
+    # array row per document so every later step is a narrow map.
+    base = (
+        exploded.groupBy("__id", "bucket")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"), F.max("y").alias("y"))
+        .groupBy("__id")
+        .agg(F.max("y").alias("y"),
+             F.sum("tf").cast("long").alias("n"),
+             F.collect_list(F.struct("bucket", "tf")).alias("fc"))
+        .persist()
+    )
+    n_docs = base.count()
+    caches = [base]
+    w6 = [0] * n_buckets
+    grad_norms: list[int] = []
+
+    for _step in range(k):
+        entries = [(b, w) for b, w in enumerate(w6) if w != 0]
+        if entries:
+            wmap = F.map_from_arrays(
+                F.array(*[F.lit(b).cast("long") for b, _ in entries]),
+                F.array(*[F.lit(w).cast("long") for _, w in entries]),
+            )
+            num = F.aggregate(
+                F.col("fc"), F.lit(0).cast("long"),
+                lambda acc, s: acc + s["tf"].cast("long") * F.coalesce(
+                    F.element_at(wmap, s["bucket"]), F.lit(0).cast("long")))
+        else:
+            num = F.lit(0).cast("long")
+        margin = num / (F.lit(1000000.0) * F.col("n"))
+        p6 = F.round(
+            F.lit(1000000.0) / (F.lit(1.0) + F.exp(-margin))).cast("long")
+        r9 = F.round(
+            (p6 - F.col("y").cast("long") * MICRO) * F.lit(1000.0) / F.col("n")
+        ).cast("long")
+        grad_rows = (
+            base.select(r9.alias("r9"), F.explode("fc").alias("s"))
+            .select(F.col("s.bucket").alias("bucket"),
+                    (F.col("s.tf").cast("long") * F.col("r9")).alias("c"))
+            .groupBy("bucket")
+            # DECIMAL(38,0): exact and overflow-proof at any corpus size
+            .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("g9"))
+            .collect()  # ≤ n_buckets rows — bounded by the MODEL size
+        )
+        norm = 0
+        for row in grad_rows:
+            g9 = int(row["g9"])
+            norm += abs(g9)
+            b = int(row["bucket"])
+            w6[b] = _round_half_away(w6[b] - lr * g9 / (1000.0 * n_docs))
+        grad_norms.append(norm)
+
+    return LogRegTrainResult(LogRegModel(w6, n_buckets), grad_norms, caches)

@@ -4010,6 +4010,140 @@ FROM s
 """
 
 
+_CLF_BUCKETS = 1024
+_CLF_K = 3         # GD steps the oracle unrolls
+_CLF_LR = 300.0    # full-batch rate for mean-normalized features
+
+
+def _clf_train_result(spark: SparkSession, sf_dir: str):
+    from datagrowth_spark.operators.classifier import logreg_train
+
+    docs = _t(spark, sf_dir, "documents")
+    res = logreg_train(docs, F.col("lang") == "en",
+                       k=_CLF_K, n_buckets=_CLF_BUCKETS, lr=_CLF_LR)
+    for _c in res.caches:
+        _register_cache(_c)
+    return res
+
+
+def q_quality_clf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed training of the hashed-feature quality classifier
+    (r8 verdict item 1 — the missing half of ``hashed_linear_score``):
+    ``_CLF_K`` full-batch logistic-regression steps on unigram+bigram
+    hash features, label = (lang = 'en'). Per step: one narrow
+    margin/residual projection against the current weights (a literal
+    map — the model is a driver constant) + ONE mergeable per-bucket
+    gradient aggregate; the driver collects ≤ n_buckets rows/step.
+    Integer micro/nano units make every sum exact, so the DuckDB
+    oracle replays training bit-for-bit as unrolled CTEs. Output: the
+    non-zero trained weights."""
+    res = _clf_train_result(spark, sf_dir)
+    return res.weights_df(spark).orderBy("bucket")
+
+
+def q_quality_clf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the freshly-trained classifier back to the corpus — the
+    swap-in scorer ``hashed_linear_score`` documents (element_at into
+    the trained weight map, map-only JVM stage): 6dp-quantized
+    probability per document, top 50 with doc_id tiebreak."""
+    res = _clf_train_result(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    p = res.model.probability(F.col("text"))
+    return (docs
+            .where(F.size(TX.hashed_features(F.col("text"))) > 0)
+            .select("doc_id",
+                    (F.col("lang") == "en").cast("int").alias("y"),
+                    p.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(50))
+
+
+def _logreg_sql(k: int) -> str:
+    """Unrolled-CTE oracle prefix for the logistic trainer: the hashed
+    feature matrix (pd/dt), all-zero w0 over the full bucket range, and
+    per step i the margin (m{i}), nano-residual (r{i}), per-bucket
+    gradient (g{i}) and weight update (w{i}) — integer-exact
+    throughout, mirroring operators/classifier.py formula for formula."""
+    b, lr = _CLF_BUCKETS, _CLF_LR
+    parts = [f"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         {_TOKS_SQL} AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, y,
+         list_concat(
+           toks,
+           list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1])
+         ) AS feats
+  FROM t
+),
+fb AS (
+  SELECT doc_id, y,
+         CAST(('0x' || substr(md5(ft), 1, 8)) AS BIGINT) % {b} AS bucket
+  FROM (SELECT doc_id, y, unnest(feats) AS ft FROM f)
+),
+pd AS (
+  SELECT doc_id, y, bucket, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM fb GROUP BY 1, 2, 3
+),
+dt AS (
+  SELECT doc_id, y, SUM(tf) AS n FROM pd GROUP BY 1, 2
+),
+nn AS (SELECT COUNT(*) AS N FROM dt),
+w0 AS (SELECT range AS bucket, CAST(0 AS BIGINT) AS w6 FROM range({b}))"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+m{i} AS (
+  SELECT pd.doc_id, SUM(pd.tf * w.w6) AS num
+  FROM pd JOIN w{i - 1} w USING (bucket)
+  GROUP BY pd.doc_id
+),
+r{i} AS (
+  SELECT dt.doc_id,
+         CAST(round((CAST(round(1000000.0 / (1.0 + exp(-(COALESCE(m{i}.num, 0)
+                                                         / (1000000.0 * dt.n))))) AS BIGINT)
+                     - 1000000 * dt.y) * 1000.0 / dt.n) AS BIGINT) AS r9
+  FROM dt LEFT JOIN m{i} USING (doc_id)
+),
+g{i} AS (
+  SELECT pd.bucket, SUM(pd.tf * r.r9) AS g9
+  FROM pd JOIN r{i} r USING (doc_id)
+  GROUP BY pd.bucket
+),
+w{i} AS (
+  SELECT w.bucket,
+         CAST(round(w.w6 - {lr} * COALESCE(g.g9, 0) / (1000.0 * nn.N)) AS BIGINT) AS w6
+  FROM w{i - 1} w LEFT JOIN g{i} g USING (bucket) CROSS JOIN nn
+)""")
+    return "".join(parts)
+
+
+SQL_QUALITY_CLF_TRAIN = _logreg_sql(_CLF_K) + f"""
+SELECT bucket, w6 / 1000000.0 AS w
+FROM w{_CLF_K}
+WHERE w6 <> 0
+ORDER BY bucket
+"""
+
+
+SQL_QUALITY_CLF_SCORES = _logreg_sql(_CLF_K) + f""",
+final_m AS (
+  SELECT pd.doc_id, SUM(pd.tf * w.w6) AS num
+  FROM pd JOIN w{_CLF_K} w USING (bucket)
+  GROUP BY pd.doc_id
+)
+SELECT dt.doc_id, dt.y,
+       CAST(round(1000000.0 / (1.0 + exp(-(COALESCE(final_m.num, 0)
+                                           / (1000000.0 * dt.n))))) AS BIGINT)
+       / 1000000.0 AS score
+FROM dt LEFT JOIN final_m USING (doc_id)
+ORDER BY score DESC, doc_id
+LIMIT 50
+"""
+
+
 def q_dataset_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level diff between two dataset generations (P11's
     missing analytic: what changed between versions). v2 is a
@@ -6296,6 +6430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # new in round 9 (never driver-checked)
+        "quality_clf_train": q_quality_clf_train,
+        "quality_clf_scores": q_quality_clf_scores,
         "sql_min_cost_supplier": q_sql_min_cost_supplier,
         "sql_product_profit": q_sql_product_profit,
         "sql_top_supplier": q_sql_top_supplier,
@@ -6458,6 +6594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "quality_clf_train": SQL_QUALITY_CLF_TRAIN,
+        "quality_clf_scores": SQL_QUALITY_CLF_SCORES,
         "sql_min_cost_supplier": _SQL_MIN_COST_SUPPLIER,
         "sql_product_profit": _SQL_PRODUCT_PROFIT,
         "sql_top_supplier": _SQL_TOP_SUPPLIER,

@@ -1,0 +1,138 @@
+"""Distributed logistic-regression trainer (operators/classifier.py):
+learning on a separable fixture, layout-independence, integer-unit
+determinism, scoring-path consistency, cache lifecycle."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datagrowth_spark.operators.classifier import (
+    LogRegModel, _round_half_away, logreg_train)
+
+
+def _docs(spark):
+    """Separable toy corpus: positives carry 'alpha beta', negatives
+    'gamma delta'; shared filler words appear in both classes."""
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "alpha beta filler words here alpha beta", 1))
+        else:
+            rows.append((i, "gamma delta filler words here gamma delta", 0))
+    return spark.createDataFrame(rows, "doc_id long, text string, y int")
+
+
+class TestLogRegTrain:
+    def test_learns_separable_classes(self, spark):
+        docs = _docs(spark)
+        res = logreg_train(docs, F.col("y") == 1, k=3, n_buckets=256, lr=50.0)
+        try:
+            p = res.model.probability(F.col("text"))
+            stats = {r["y"]: r["avg_p"] for r in docs.select(
+                "y", p.alias("p")).groupBy("y").agg(
+                F.avg("p").alias("avg_p")).collect()}
+            assert stats[1] > 0.6 > 0.4 > stats[0]
+        finally:
+            res.cleanup()
+
+    def test_loss_decreases(self, spark):
+        docs = _docs(spark)
+        y = F.col("y") == 1
+        losses = []
+        for k in (0, 1, 3):
+            res = logreg_train(docs, y, k=k, n_buckets=256, lr=50.0)
+            try:
+                p = res.model.probability(F.col("text"))
+                pc = F.least(F.greatest(p, F.lit(1e-6)), F.lit(1 - 1e-6))
+                yd = y.cast("double")
+                loss = docs.select(
+                    (-(yd * F.log(pc) + (1 - yd) * F.log(1 - pc))).alias("l")
+                ).agg(F.avg("l")).collect()[0][0]
+                losses.append(loss)
+            finally:
+                res.cleanup()
+        assert losses[0] > losses[1] > losses[2]
+
+    def test_weights_layout_independent(self, spark):
+        """Integer-unit sums are exact, so the trained model is
+        bit-identical on any partitioning — the determinism contract."""
+        docs = _docs(spark)
+        a = logreg_train(docs.repartition(13), F.col("y") == 1,
+                         k=2, n_buckets=256, lr=50.0)
+        b = logreg_train(docs.coalesce(1), F.col("y") == 1,
+                         k=2, n_buckets=256, lr=50.0)
+        try:
+            assert a.model.w6 == b.model.w6
+            assert a.grad_norms == b.grad_norms
+        finally:
+            a.cleanup()
+            b.cleanup()
+
+    def test_first_step_gradient_is_half_residual(self, spark):
+        """With w0 = 0 every p is exactly 0.5, so the step-1 per-doc
+        nano-residual is round((500000 - 1e6·y)·1000/n) — checkable in
+        closed form on a one-doc corpus."""
+        docs = spark.createDataFrame(
+            [(1, "alpha beta", 1)], "doc_id long, text string, y int")
+        # features: alpha, beta, alpha_beta -> n = 3
+        res = logreg_train(docs, F.col("y") == 1, k=1, n_buckets=64, lr=6.0)
+        try:
+            r9 = _round_half_away((500000 - 1000000) * 1000.0 / 3)
+            # each of the 3 features has tf=1 -> g9 = r9; N = 1
+            expected_delta = _round_half_away(-6.0 * r9 / (1000.0 * 1))
+            nonzero = sorted(w for w in res.model.w6 if w != 0)
+            assert nonzero and all(w == expected_delta for w in nonzero)
+        finally:
+            res.cleanup()
+
+    def test_docs_without_features_excluded(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "alpha beta", 1), (2, "", 0), (3, "   ", 0)],
+            "doc_id long, text string, y int")
+        res = logreg_train(docs, F.col("y") == 1, k=1, n_buckets=64)
+        try:
+            # only doc 1 contributes: all updates share its residual sign
+            assert all(w >= 0 for w in res.model.w6)
+            assert any(w > 0 for w in res.model.w6)
+        finally:
+            res.cleanup()
+
+    def test_cleanup_releases_caches(self, spark):
+        docs = _docs(spark)
+        res = logreg_train(docs, F.col("y") == 1, k=1, n_buckets=64)
+        assert res.caches
+        res.cleanup()
+        assert res.caches == []
+
+
+class TestLogRegModel:
+    def test_probability_matches_manual_sigmoid(self, spark):
+        docs = _docs(spark)
+        res = logreg_train(docs, F.col("y") == 1, k=2, n_buckets=256, lr=50.0)
+        try:
+            row = docs.select(
+                res.model.margin(F.col("text")).alias("m"),
+                res.model.probability(F.col("text")).alias("p"),
+            ).limit(1).collect()[0]
+            want = _round_half_away(
+                1000000.0 / (1.0 + math.exp(-row["m"]))) / 1000000.0
+            assert row["p"] == want
+        finally:
+            res.cleanup()
+
+    def test_empty_model_scores_half(self, spark):
+        model = LogRegModel([0] * 64, 64)
+        frame = spark.createDataFrame([("hello world",)], "text string")
+        (row,) = frame.select(
+            model.probability(F.col("text")).alias("p")).collect()
+        assert row["p"] == 0.5
+
+
+class TestRoundHalfAway:
+    @pytest.mark.parametrize("x,want", [
+        (0.5, 1), (1.5, 2), (-0.5, -1), (-1.5, -2), (0.49, 0), (-0.49, 0),
+        (2.0, 2), (-2.0, -2),
+    ])
+    def test_matches_sql_round(self, x, want):
+        assert _round_half_away(x) == want
