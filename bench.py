@@ -27,6 +27,8 @@ from datagrowth_spark.core.session import get_spark
 HEADLINE = [
     "quality_clf_train",
     "quality_clf_scores",
+    "unigram_lm_pieces",
+    "unigram_lm_segments",
     "sql_min_cost_supplier",
     "sql_product_profit",
     "sql_top_supplier",

@@ -1,0 +1,122 @@
+"""Unigram-LM tokenizer trainer (operators/unigram.py): segmentation
+optimality, reconstruction invariants, layout independence, contracts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datagrowth_spark.operators.unigram import (
+    MAX_PIECE_LEN, unigram_train)
+
+
+def _wf(spark, rows):
+    return spark.createDataFrame(rows, "w string, freq int")
+
+
+class TestUnigramTrain:
+    def test_frequent_substring_becomes_piece(self, spark):
+        """'est' dominates the corpus, so the trained model segments
+        the -est words with it rather than char-by-char."""
+        wf = _wf(spark, [("newest", 8), ("widest", 6), ("lowest", 7),
+                         ("low", 5), ("new", 4)])
+        res = unigram_train(wf, k=2, vocab_multi=30)
+        try:
+            assert res.counts.get("est", 0) >= 2
+            segs = {r["w"]: list(r["pieces"])
+                    for r in res.segment(res.caches[0]).collect()}
+            for w in ("newest", "lowest"):
+                assert "est" in segs[w], segs
+            # every -est word splits into multi-char pieces, never chars
+            for w in ("newest", "widest", "lowest"):
+                assert all(len(p) >= 2 for p in segs[w]), segs
+        finally:
+            res.cleanup()
+
+    def test_pieces_rejoin_to_word(self, spark):
+        """Any Viterbi segmentation concatenates back to the word —
+        the reconstruction never drops or duplicates characters."""
+        wf = _wf(spark, [("abcabc", 3), ("bcabca", 2), ("cabcab", 1),
+                         ("a", 9), ("abc", 5)])
+        res = unigram_train(wf, k=2, vocab_multi=10)
+        try:
+            for r in res.segment(res.caches[0]).collect():
+                assert "".join(r["pieces"]) == r["w"]
+        finally:
+            res.cleanup()
+
+    def test_segmentation_achieves_forward_optimum(self, spark):
+        """Σ score(piece) of the reconstructed segmentation equals the
+        forward DP's best value — backtrack is consistent with forward."""
+        wf = _wf(spark, [("banana", 4), ("bandana", 3), ("nana", 5)])
+        res = unigram_train(wf, k=1, vocab_multi=20)
+        try:
+            from datagrowth_spark.operators.unigram import (
+                _forward, _piece_map)
+            pm = _piece_map(res.scores6)
+            rows = (res.segment(res.caches[0])
+                    .withColumn("__pm", pm)
+                    .withColumn("bests", _forward(F.col("w"), F.col("__pm"),
+                                                  MAX_PIECE_LEN))
+                    .select("w", "pieces", "bests").collect())
+            for r in rows:
+                got = sum(res.scores6[p] for p in r["pieces"])
+                assert got == r["bests"][len(r["w"])], r["w"]
+        finally:
+            res.cleanup()
+
+    def test_layout_independent(self, spark):
+        """Integer path sums and model-sized collects make training a
+        pure function of the data — identical on any partitioning."""
+        rows = [(w, f) for f, w in enumerate(
+            ["alpha", "alphabet", "bet", "beta", "betray", "ray"], 2)]
+        a = unigram_train(_wf(spark, rows).repartition(7), k=2, vocab_multi=15)
+        b = unigram_train(_wf(spark, rows).coalesce(1), k=2, vocab_multi=15)
+        try:
+            assert a.scores6 == b.scores6
+            assert a.counts == b.counts
+        finally:
+            a.cleanup()
+            b.cleanup()
+
+    def test_long_words_excluded(self, spark):
+        wf = _wf(spark, [("short", 5), ("a" * 20, 100)])
+        res = unigram_train(wf, k=1, vocab_multi=10, maxw=16)
+        try:
+            assert res.caches[0].count() == 1
+            assert all("aaaa" != p for p in res.scores6)
+        finally:
+            res.cleanup()
+
+    def test_unseen_char_segments_null(self, spark):
+        """Documented contract: segmenting a word with a character the
+        model never saw yields NULL pieces instead of a wrong split."""
+        wf = _wf(spark, [("abc", 3), ("bca", 2)])
+        res = unigram_train(wf, k=1, vocab_multi=10)
+        try:
+            frame = spark.createDataFrame([("abz",)], "w string")
+            (row,) = res.segment(frame).collect()
+            assert row["pieces"] is None
+        finally:
+            res.cleanup()
+
+    def test_em_rounds_do_not_decrease_viterbi_objective(self, spark):
+        """Hard-EM sanity: the freq-weighted best-path total under the
+        round-(r+1) model is >= under the round-r model evaluated on
+        its own segmentation counts (monotone on this fixture)."""
+        wf = _wf(spark, [("mamma", 6), ("mam", 4), ("amma", 5), ("ma", 8)])
+        objs = []
+        for k in (0, 1, 2):
+            res = unigram_train(wf, k=k, vocab_multi=12)
+            try:
+                total = sum(c * res.scores6[p]
+                            for p, c in res.counts.items()) if k else None
+                if k:
+                    objs.append(total)
+            finally:
+                res.cleanup()
+        assert objs[1] >= objs[0]
+
+    def test_cleanup_releases_caches(self, spark):
+        res = unigram_train(_wf(spark, [("ab", 1)]), k=1, vocab_multi=5)
+        assert res.caches
+        res.cleanup()
+        assert res.caches == []
