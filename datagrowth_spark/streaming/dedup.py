@@ -71,7 +71,7 @@ class StreamingNearDupIndex:
 
     def __init__(
         self,
-        store_sigs: DataFrame,
+        store_sigs: DataFrame | None = None,
         text_col: str = "text",
         id_col: str = "doc_id",
         num_hashes: int = 16,
@@ -79,8 +79,24 @@ class StreamingNearDupIndex:
         n: int = 3,
         threshold: float = 0.5,
         state_partitions: int | None = None,
+        sig_store=None,
+        vacuum_every: int | None = None,
     ) -> None:
+        """Exactly one of ``store_sigs`` (in-memory state, drained-
+        backlog mode) or ``sig_store`` (an
+        ``operators.sigstore.SignatureStore`` — the persisted,
+        TTL/compaction-managed mode a long-lived ingest daemon needs)
+        must be given. With ``sig_store``, every processed batch's
+        signatures are APPENDED to the store and ``vacuum_every``
+        triggers store maintenance after that many batches — keeping
+        probe cost flat as evicted rows pile up."""
+        if (store_sigs is None) == (sig_store is None):
+            raise ValueError("pass exactly one of store_sigs / sig_store")
         self.store = store_sigs
+        self.sig_store = sig_store
+        self.vacuum_every = vacuum_every
+        if sig_store is not None:
+            num_hashes = sig_store.num_hashes  # the store owns the layout
         self.text_col = text_col
         self.id_col = id_col
         self.num_hashes = num_hashes
@@ -99,16 +115,28 @@ class StreamingNearDupIndex:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from datagrowth_spark.operators.dedup import incremental_minhash_dedup
 
-        result = incremental_minhash_dedup(
-            batch_df, self.store, self.text_col, self.id_col,
-            num_hashes=self.num_hashes, bands=self.bands, n=self.n,
-            threshold=self.threshold)
-        # Materialize (localCheckpoint) BEFORE cleanup() drops the
-        # operator's caches both frames still reference.
-        verdicts = self._bounded(result.verdicts)
-        self.store = self._bounded(
-            self.store.unionByName(result.new_sigs.select(self.store.columns)))
-        result.cleanup()
+        if self.sig_store is not None:
+            # Persisted mode: the store owns signature state (atomic
+            # batch append + TTL/compaction); verdicts materialize via
+            # the store's one-call ingest.
+            verdicts = self._bounded(self.sig_store.ingest(
+                batch_df, self.text_col, self.id_col,
+                bands=self.bands, n=self.n, threshold=self.threshold))
+            if (self.vacuum_every
+                    and (self.batches_processed + 1) % self.vacuum_every == 0):
+                self.sig_store.vacuum()
+        else:
+            result = incremental_minhash_dedup(
+                batch_df, self.store, self.text_col, self.id_col,
+                num_hashes=self.num_hashes, bands=self.bands, n=self.n,
+                threshold=self.threshold)
+            # Materialize (localCheckpoint) BEFORE cleanup() drops the
+            # operator's caches both frames still reference.
+            verdicts = self._bounded(result.verdicts)
+            self.store = self._bounded(
+                self.store.unionByName(
+                    result.new_sigs.select(self.store.columns)))
+            result.cleanup()
         self.verdicts = (
             verdicts if self.verdicts is None
             else self._bounded(self.verdicts.unionByName(verdicts))

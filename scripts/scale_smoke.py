@@ -155,6 +155,101 @@ def main() -> None:
         result.verdicts.write.format("noop").mode("overwrite").save()
         result.cleanup()
 
+    # --- signature-store lifecycle: probe cost must stay flat as TTL
+    # evicts most of the store, once vacuum folds the dead weight ---
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from datagrowth_spark.operators.sigstore import SignatureStore
+
+    _sig_dir = _tempfile.mkdtemp(prefix="sigstore-smoke-")
+    _clock = {"t": 1000.0}
+    sig_store = SignatureStore(
+        spark, os.path.join(_sig_dir, "s"), num_hashes=16,
+        ttl_seconds=250.0, now_fn=lambda: _clock["t"])
+
+    @bench("sigstore_build_10_appends")
+    def _():
+        # 10 batch appends of n/10 synthetic signatures; the clock
+        # advances 100s per batch and ttl=250s, so at probe time only
+        # the last ~2 batches (20%) are live — the production shape of
+        # a TTL'd store that has run for a while.
+        chunk = n // 10
+        for b in range(10):
+            _clock["t"] = 1000.0 + b * 100.0
+            sigs = spark.range(b * chunk, (b + 1) * chunk).select(
+                F.col("id"),
+                *[(F.abs(F.xxhash64("id", F.lit(i))) % 4294967311).alias(f"mh_{i}")
+                  for i in range(16)])
+            sig_store.append(sigs)
+
+    _probe_batch = docs.where(F.col("doc_id") < 100_000)
+
+    def _probe():
+        from datagrowth_spark.operators.dedup import incremental_minhash_dedup
+        result = incremental_minhash_dedup(
+            _probe_batch, sig_store.signatures(), "text", "doc_id",
+            num_hashes=16, bands=4, n=3)
+        result.verdicts.write.format("noop").mode("overwrite").save()
+        result.cleanup()
+
+    @bench("sigstore_probe_80pct_expired")
+    def _():
+        # un-vacuumed: the scan still reads all 10 fragments and
+        # filters 80% of rows by the TTL predicate
+        _probe()
+
+    @bench("sigstore_vacuum")
+    def _():
+        sig_store.vacuum()
+
+    @bench("sigstore_probe_after_vacuum")
+    def _():
+        # post-vacuum: only live rows on disk, bounded file count —
+        # this probe must beat (or match) the pre-vacuum one
+        _probe()
+
+    _shutil.rmtree(_sig_dir, ignore_errors=True)
+
+    # --- distributed trainers: per-step / per-round marginal cost must
+    # be flat (the k3-vs-k1 delta over 2 extra steps, setup shared) ---
+    _clf_docs = docs.select("doc_id", "text", (F.col("stratum") < 10).alias("y"))
+
+    @bench("logreg_train_k1")
+    def _():
+        from datagrowth_spark.operators.classifier import logreg_train
+        logreg_train(_clf_docs, F.col("y"), k=1).cleanup()
+
+    @bench("logreg_train_k3")
+    def _():
+        from datagrowth_spark.operators.classifier import logreg_train
+        logreg_train(_clf_docs, F.col("y"), k=3).cleanup()
+
+    # full-batch GD: each step deliberately re-reads the persisted
+    # feature matrix (ONE mergeable aggregate) — per-step cost is flat
+    # in k and linear in corpus size, never growing with step number
+    timings["logreg_per_step_marginal"] = round(
+        (timings["logreg_train_k3"] - timings["logreg_train_k1"]) / 2, 2)
+
+    _uni_wf = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+               .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+
+    @bench("unigram_train_k1")
+    def _():
+        from datagrowth_spark.operators.unigram import unigram_train
+        unigram_train(_uni_wf, k=1).cleanup()
+
+    @bench("unigram_train_k2")
+    def _():
+        from datagrowth_spark.operators.unigram import unigram_train
+        unigram_train(_uni_wf, k=2).cleanup()
+
+    # EM rounds run on the DISTINCT-WORD table (vocabulary-sized, like
+    # the BPE trainer), so the per-round marginal is decoupled from the
+    # corpus row count
+    timings["unigram_per_round_marginal"] = round(
+        timings["unigram_train_k2"] - timings["unigram_train_k1"], 2)
+
     @bench("pagerank_5m_edges")
     def _():
         # 5 power iterations over a 5M-edge synthetic link graph: each
