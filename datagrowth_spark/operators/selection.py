@@ -5,13 +5,22 @@ highest-quality documents per stratum (usually language or source)
 until a token budget is exhausted — the selection step a training-data
 pipeline runs after scoring and before packing.
 
-Plan shape: one shuffle on the stratum key, then a partition-local sort
-for the running token total (inclusive prefix sum over the quality
-ranking). Strata process in parallel; the cost center at 100 TB is the
-largest stratum's sort. For corpora where one stratum dominates, use
-:func:`budget_threshold` — a two-pass rank-free variant that finds the
-quality cut with ``approxQuantile``-style aggregation instead of a full
-sort (exactness traded for a bounded token-budget overshoot).
+Plan shape: one shuffle on the stratum key, then a partition-local
+sort for the running token total — parallelism = the strata count,
+which is right when strata are plentiful (language × source). When
+FEW, HUGE strata would cap it (the 100M smoke's 20 strata showed
+16–125 s spill variance in isolated repeats), ``num_shards`` switches
+to a TWO-PASS sharded prefix sum per stratum — the same sharded
+rewrite ``pack_layout`` got in r3: global score-quantile cuts split
+every stratum's ranking into shards, each (stratum, shard) does an
+independent partition-local prefix sum, and a tiny per-shard-total
+aggregate broadcast back supplies the offsets, so no single task ever
+sorts a whole stratum. The sharded result is exact and layout-
+independent (shard boundaries cancel out of the arithmetic; tested
+row-identical to the plain window). For corpora where even the
+sharded exact pass is too much, use :func:`budget_threshold` — a
+rank-free variant that finds the quality cut from a token histogram
+(exactness traded for a bounded overshoot).
 
 Beyond-reference surface (the reference selects documents only by
 predicate filters, never under a global budget).
@@ -31,6 +40,7 @@ def select_by_token_budget(
     tokens_col: Column | str,
     budget: int,
     tiebreak_col: str | None = None,
+    num_shards: int | None = 1,
 ) -> DataFrame:
     """Exact budget selection: per stratum, rank by score descending and
     keep rows while the running token total stays within ``budget``.
@@ -39,17 +49,83 @@ def select_by_token_budget(
     entirely (no partial documents). Ties rank deterministically via
     ``tiebreak_col`` (required for oracle-stable output when scores
     collide). Adds ``n_tokens`` and ``kept`` columns.
+
+    ``num_shards`` controls the sharded construction. The default
+    (``1``) is the plain per-stratum window — right whenever the
+    stratum count supplies the parallelism (hundreds of language ×
+    source strata) or the input is bench-sized, and it costs one
+    shuffle with no extra pass. Pass ``num_shards ≈ cores/strata`` (or
+    ``None`` for the session's shuffle-partition count) when FEW, HUGE
+    strata would cap parallelism at the strata count — the sharded
+    construction pays one extra quantile-sketch pass to split every
+    stratum's sort across shards (measured at the 100M smoke: the
+    plain plan was 20 tasks sorting 5M rows each). Equal scores always
+    land in one shard, so the within-shard (score, tiebreak) sort is
+    the complete ordering; NULL scores take the last shard, matching
+    DESC NULLS LAST. Sharding is on SCORE quantiles, so it spreads a
+    hot stratum as well as a uniform one; a corpus whose scores are
+    mostly one constant degrades to the old single-window behavior for
+    those rows (the histogram cut of :func:`budget_threshold` is the
+    answer there).
     """
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     order = [score.desc()] + ([F.col(tiebreak_col)] if tiebreak_col else [])
-    w = (
-        Window.partitionBy(*strata_cols)
+    out = df.withColumn("n_tokens", toks.cast("long"))
+    if num_shards is None:
+        num_shards = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"))
+    if num_shards <= 1:
+        w = (
+            Window.partitionBy(*strata_cols)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return out.withColumn(
+            "kept", F.sum("n_tokens").over(w) <= F.lit(int(budget)))
+
+    out = out.withColumn("__score", score)
+    probs = [i / num_shards for i in range(1, num_shards)]
+    (cut_row,) = out.agg(
+        F.percentile_approx("__score", probs, 10_000).alias("cuts")).collect()
+    cuts = sorted(set(cut_row["cuts"] or []))
+    # shard id DESCENDS with score (shard 0 = best scores); equal
+    # scores share a shard by construction; NULLs last like DESC sort.
+    cut_arr = F.array(*[F.lit(float(c)) for c in cuts]) if cuts else None
+    if cut_arr is None:
+        shard = F.lit(0)
+    else:
+        shard = F.when(F.col("__score").isNull(), F.lit(len(cuts) + 1)) \
+            .otherwise(F.size(F.filter(
+                cut_arr, lambda c: c > F.col("__score"))))
+    sharded = out.withColumn("__shard", shard)
+    local_w = (
+        Window.partitionBy(*strata_cols, "__shard")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = df.withColumn("n_tokens", toks.cast("long"))
-    return out.withColumn("kept", F.sum("n_tokens").over(w) <= F.lit(int(budget)))
+    local = sharded.withColumn("__local", F.sum("n_tokens").over(local_w))
+    # one row per (stratum, shard): EXCLUSIVE cumulative offset of all
+    # better-score shards — tiny frame, windowed per stratum, broadcast
+    offsets = (
+        sharded.groupBy(*strata_cols, "__shard")
+        .agg(F.sum("n_tokens").alias("__shard_toks"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__shard_toks").over(
+                    Window.partitionBy(*strata_cols)
+                    .orderBy("__shard")
+                    .rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0)))
+        .select(*strata_cols, "__shard", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), [*strata_cols, "__shard"])
+        .withColumn("kept",
+                    (F.col("__local") + F.col("__offset")) <= F.lit(int(budget)))
+        .drop("__score", "__shard", "__local", "__offset")
+    )
 
 
 def budget_threshold(

@@ -65,7 +65,8 @@ def main() -> None:
     def _():
         from datagrowth_spark.operators.selection import select_by_token_budget
         select_by_token_budget(docs, ["stratum"], "score", "n_tokens",
-                               budget=10_000_000, tiebreak_col="doc_id") \
+                               budget=10_000_000, tiebreak_col="doc_id",
+                               num_shards=32) \
             .write.format("noop").mode("overwrite").save()
 
     @bench("budget_threshold_rank_free")

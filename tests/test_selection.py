@@ -44,6 +44,40 @@ class TestBudgetSelect:
         assert out == {1: True, 2: False}  # lower doc_id wins the tie
 
 
+class TestShardedConstruction:
+    def test_sharded_equals_single_window(self, spark):
+        """r9 sharded rewrite: the sharded exact construction must be
+        row-for-row identical to the plain per-stratum window on a
+        skewed fixture (one hot stratum, score ties, NULL scores)."""
+        import random
+        rng = random.Random(7)
+        rows = []
+        for i in range(400):
+            stratum = "hot" if i % 4 else f"s{i % 3}"
+            score = None if i % 97 == 0 else round(rng.random() * 0.2, 2)
+            rows.append((i, stratum, score, rng.randint(10, 200)))
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, q double, toks long")
+        kw = dict(strata_cols=["lang"], score_col="q", tokens_col="toks",
+                  budget=3000, tiebreak_col="doc_id")
+        sharded = {r["doc_id"]: r["kept"] for r in select_by_token_budget(
+            df.repartition(7), num_shards=16, **kw).collect()}
+        plain = {r["doc_id"]: r["kept"] for r in select_by_token_budget(
+            df, num_shards=1, **kw).collect()}
+        assert sharded == plain
+        assert any(plain.values()) and not all(plain.values())
+
+    def test_more_shards_than_distinct_scores(self, spark):
+        df = spark.createDataFrame(
+            [(i, "en", float(i % 2), 50) for i in range(10)],
+            "doc_id long, lang string, q double, toks long")
+        out = {r["doc_id"]: r["kept"] for r in select_by_token_budget(
+            df, ["lang"], "q", "toks", budget=150, tiebreak_col="doc_id",
+            num_shards=64).collect()}
+        # top scores (q=1.0: ids 1,3,5,7,9) fill 150 tokens -> 3 kept
+        assert [k for k, v in sorted(out.items()) if v] == [1, 3, 5]
+
+
 class TestBudgetThreshold:
     def test_cut_approximates_budget(self, spark):
         # 100 docs, quality = i/100, 10 tokens each; budget 200 tokens
