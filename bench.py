@@ -25,6 +25,9 @@ from datagrowth_spark import queries as Q
 from datagrowth_spark.core.session import get_spark
 
 HEADLINE = [
+    "wordpiece_trainer_merges",
+    "quality_kn_bigram_lm",
+    "cluster_budget_select",
     "quality_clf_train",
     "quality_clf_scores",
     "unigram_lm_pieces",

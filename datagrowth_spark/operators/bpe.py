@@ -180,6 +180,111 @@ def bpe_train(word_freq: DataFrame, k: int, word_col: str = "w",
     return BPETrainResult(merges_df, vocab, word_symbols, caches)
 
 
+def wordpiece_train(word_freq: DataFrame, k: int, word_col: str = "w",
+                    freq_col: str = "freq",
+                    checkpoint_rounds: int = 16) -> BPETrainResult:
+    """Run ``k`` WordPiece merge rounds over a (word, freq) vocabulary.
+
+    Same distributed shape as :func:`bpe_train` — one corpus-sized
+    word count upstream, then every round is vocabulary-sized — but
+    the merge criterion is the WordPiece LIKELIHOOD score (Schuster &
+    Nakajima 2012; the BERT trainer): pick the pair maximizing
+    ``count(l, r) / (count(l) * count(r))``, i.e. the merge that most
+    increases corpus likelihood under a unigram piece model. Each
+    round therefore runs TWO vocabulary-sized aggregates (pair counts
+    and unit counts) joined on the symbol key, still zero UDFs and one
+    1-row driver collect.
+
+    Symbols follow the ``##`` continuation convention: the first
+    character of a word is a bare symbol, every later character is
+    ``##``-prefixed, and merging ``(l, r)`` produces ``l`` + ``r``
+    stripped of its ``##`` (the right element of an adjacent pair is
+    always a continuation symbol). Input words must be ``#``-free and
+    separator-free — both enforced by a map-only filter here; the
+    alpha-only normalization (functions/text.py ``normalized_tokens``)
+    guarantees it for the query surface.
+
+    Determinism contract: the score is evaluated as
+    ``double(c) / (double(c_l) * double(c_r))`` — identical IEEE-754
+    operations in Spark and the DuckDB oracle — ordered score DESC,
+    then l ASC, r ASC, a total order.
+    """
+    spark = word_freq.sparkSession
+    base = word_freq.where(
+        (F.length(word_col) > 0)
+        & ~F.col(word_col).contains(SEP) & ~F.col(word_col).contains("#")
+    ).select(
+        _wordpiece_repr(F.col(word_col)).alias("repr"),
+        F.col(freq_col).cast("long").alias("freq"),
+    ).persist()
+    caches = [base]
+
+    cur = base
+    merges: list[tuple] = []
+    for step in range(1, k + 1):
+        syms = cur.select(_symbols(F.col("repr")).alias("syms"), "freq")
+        units = (syms.select(F.explode("syms").alias("s"), "freq")
+                 .groupBy("s").agg(F.sum("freq").alias("uc")))
+        pair_counts = (
+            syms.select(F.explode(_pairs(F.col("syms"))).alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+        )
+        scored = (
+            pair_counts
+            .join(units.select(F.col("s").alias("l"), F.col("uc").alias("cl")), "l")
+            .join(units.select(F.col("s").alias("r"), F.col("uc").alias("cr")), "r")
+            .select("l", "r", "c",
+                    (F.col("c").cast("double")
+                     / (F.col("cl").cast("double") * F.col("cr").cast("double"))
+                     ).alias("score"))
+        )
+        top = (scored.orderBy(F.desc("score"), F.asc("l"), F.asc("r"))
+               .limit(1).collect())
+        if not top:
+            break
+        l, r, c, score = top[0]["l"], top[0]["r"], top[0]["c"], top[0]["score"]
+        merged = l + (r[2:] if r.startswith("##") else r)
+        merges.append((step, l, r, merged, int(c), round(float(score), 6)))
+        cur = cur.select(
+            F.replace(F.col("repr"),
+                      F.lit(f"{SEP}{l}{SEP}{SEP}{r}{SEP}"),
+                      F.lit(f"{SEP}{merged}{SEP}")).alias("repr"),
+            "freq",
+        )
+        if step % checkpoint_rounds == 0 and step < k:
+            nxt = cur.persist()
+            nxt.count()
+            if len(caches) > 1:
+                caches[-1].unpersist()
+                caches.pop()
+            caches.append(nxt)
+            cur = nxt
+
+    merges_df = spark.createDataFrame(
+        merges,
+        "step INT, lhs STRING, rhs STRING, merged STRING, "
+        "pair_count BIGINT, score DOUBLE")
+    word_symbols = cur.select(_symbols(F.col("repr")).alias("syms"), "freq")
+    word_symbols = word_symbols.withColumn(
+        "w", F.array_join(F.transform(
+            "syms", lambda s: F.regexp_replace(s, "^##", "")), ""))
+    vocab = (word_symbols
+             .select(F.explode("syms").alias("symbol"), "freq")
+             .groupBy("symbol").agg(F.sum("freq").alias("freq")))
+    return BPETrainResult(merges_df, vocab, word_symbols, caches)
+
+
+def _wordpiece_repr(word) -> "F.Column":
+    """WordPiece initial segmentation: first char bare, later chars
+    ``##``-prefixed, separator-encoded like :func:`_initial_repr`.
+    Built by ##-prefixing EVERY char then dropping the first symbol's
+    ``##`` (bytes 2-3 of the encoding) — one regexp + one substring,
+    mirrored byte-for-byte by the oracle SQL."""
+    full = F.regexp_replace(word, "(?s)(.)", f"{SEP}##$1{SEP}")
+    return F.concat(F.lit(SEP), full.substr(F.lit(4), F.length(full)))
+
+
 def bpe_encode(words: DataFrame, merges: list[tuple[str, str]],
                word_col: str = "w", out: str = "syms") -> DataFrame:
     """Segment words with a TRAINED merge table — the tokenizer-apply

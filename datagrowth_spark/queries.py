@@ -3475,6 +3475,98 @@ GROUP BY doc_id
 """
 
 
+_WP_K = 3  # WordPiece merge rounds the oracle unrolls
+
+
+def q_wordpiece_trainer_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece trainer (likelihood-scored merges): run ``_WP_K``
+    rounds picking the pair that maximizes
+    ``count(l,r) / (count(l) * count(r))`` — the BERT-tokenizer merge
+    criterion — over ``##``-continuation symbols, and emit the merge
+    table with each round's pair count and 6dp score. Same flat
+    per-round cost as the BPE trainer (operators/bpe.py): two
+    vocabulary-sized aggregates + a 1-row collect per round, merge
+    rewrite as a pure-Catalyst literal replace. The oracle unrolls the
+    same three rounds as DuckDB CTEs with IEEE-identical score
+    arithmetic."""
+    from datagrowth_spark.operators import bpe as BPE
+
+    res = BPE.wordpiece_train(_bpe_word_freq(spark, sf_dir), k=_WP_K)
+    for _c in res.caches:
+        _register_cache(_c)
+    return res.merges
+
+
+def _wordpiece_rounds_sql(k: int) -> str:
+    """Unrolled-CTE prefix for the WordPiece trainer: r0 (first char
+    bare, later chars ##-prefixed, separator-encoded) .. r<k>, with
+    p<i> the round-i winning pair by likelihood score. Byte-for-byte
+    the operator's formulation (operators/bpe.py wordpiece_train)."""
+    parts = [f"""
+WITH words AS (
+  SELECT unnest({_NORM_TOKS_SQL}) AS w FROM documents
+),
+wf AS (
+  SELECT w, COUNT(*) AS freq FROM words GROUP BY w
+),
+wpfull AS (
+  -- every char ##-prefixed and separator-wrapped; 'gs' = the
+  -- operator's (?s) DOTALL
+  SELECT w, regexp_replace(w, '(.)', chr(31) || '##' || '\\1' || chr(31), 'gs') AS fullr, freq
+  FROM wf WHERE len(w) > 0 AND w NOT LIKE '%#%'
+),
+r0 AS (
+  -- drop the first symbol's '##' (bytes 2-3 of the encoding): first
+  -- char bare, continuations keep the prefix
+  SELECT w, chr(31) || substr(fullr, 4) AS repr, freq FROM wpfull
+)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+s{i} AS (
+  SELECT string_split(substr(repr, 2, length(repr) - 2), chr(31) || chr(31)) AS syms, freq
+  FROM r{i - 1}
+),
+u{i} AS (
+  SELECT s, SUM(freq) AS uc
+  FROM (SELECT unnest(syms) AS s, freq FROM s{i}) GROUP BY s
+),
+pc{i} AS (
+  SELECT syms[CAST(g.i AS INT)] AS l, syms[CAST(g.i AS INT) + 1] AS r,
+         CAST(SUM(freq) AS BIGINT) AS c
+  FROM s{i}, LATERAL unnest(generate_series(1, len(syms) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+p{i} AS (
+  -- likelihood score in the operator's exact IEEE op order:
+  -- double(c) / (double(c_l) * double(c_r))
+  SELECT pc.l AS l, pc.r AS r, pc.c AS c,
+         CAST(pc.c AS DOUBLE) / (CAST(ul.uc AS DOUBLE) * CAST(ur.uc AS DOUBLE)) AS score,
+         pc.l || CASE WHEN pc.r LIKE '##%' THEN substr(pc.r, 3) ELSE pc.r END AS merged
+  FROM pc{i} pc
+  JOIN u{i} ul ON pc.l = ul.s
+  JOIN u{i} ur ON pc.r = ur.s
+  ORDER BY score DESC, pc.l ASC, pc.r ASC LIMIT 1
+),
+r{i} AS (
+  SELECT w,
+         CASE WHEN p{i}.l IS NULL THEN repr
+              ELSE replace(repr,
+                           chr(31) || p{i}.l || chr(31) || chr(31) || p{i}.r || chr(31),
+                           chr(31) || p{i}.merged || chr(31))
+         END AS repr,
+         freq
+  FROM r{i - 1} LEFT JOIN p{i} ON TRUE
+)""")
+    return "".join(parts)
+
+
+SQL_WORDPIECE_TRAINER_MERGES = _wordpiece_rounds_sql(_WP_K) + "\n" + "\nUNION ALL\n".join(
+    f"SELECT {i} AS step, l AS lhs, r AS rhs, merged, c AS pair_count, "
+    f"round(score, 6) AS score FROM p{i}"
+    for i in range(1, _WP_K + 1)
+)
+
+
 _DSIR_BUCKETS = 1024
 
 
@@ -4056,6 +4148,81 @@ GROUP BY doc_id
 """
 
 
+def q_quality_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram-LM quality score per document —
+    the smoothing a production n-gram scorer (KenLM) actually uses,
+    one step past ``quality_bigram_lm``'s MLE conditional:
+
+        P(w2|w1) = (c(w1,w2) - D) / c(w1·)
+                   + D · N1+(w1,·) / c(w1·) · N1+(·,w2) / |bigram types|
+
+    with the standard fixed discount D = 0.75. All four count tables
+    (bigram, context, forward/backward continuation fan-out) fold from
+    the SAME per-(doc, bigram) aggregate, so the corpus shuffles once;
+    everything downstream joins on vocabulary-sized keys and the
+    |types| normalizer is a 1-row broadcast. Same DECIMAL contribution
+    trick as the MLE variant for order-independent per-doc sums, and
+    the probability arithmetic is written in one IEEE op order shared
+    with the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.normalized_tokens(F.col("text")).alias("t"))
+    bigrams = toks.where(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(slice(t, 1, size(t) - 1), (w, i) -> "
+            "struct(w AS w1, t[i + 1] AS w2))"
+        )).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    tf = bigrams.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    bg = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("bg_cnt"))
+    ctx = bg.groupBy("w1").agg(F.sum("bg_cnt").alias("ctx_cnt"),
+                               F.count(F.lit(1)).alias("n1p_fwd"))
+    cont = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    types = bg.agg(F.count(F.lit(1)).alias("t_types"))
+    p_kn = (
+        (F.col("bg_cnt") - F.lit(0.75)) / F.col("ctx_cnt")
+        + F.lit(0.75) * F.col("n1p_fwd") / F.col("ctx_cnt")
+        * (F.col("n1p_bwd") / F.col("t_types"))
+    )
+    contrib = F.col("tf") * F.round(F.log(p_kn), 6).cast("decimal(20,6)")
+    return (
+        tf.join(bg, ["w1", "w2"]).join(ctx, "w1").join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select("doc_id", "tf", contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(F.sum("contrib").cast("double") / F.sum("tf"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+SQL_QUALITY_KN_BIGRAM_LM = f"""
+WITH t AS (
+  SELECT doc_id, {_NORM_TOKS_SQL} AS t FROM documents
+),
+bigrams AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+tf AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bigrams GROUP BY 1, 2, 3
+),
+bg AS (SELECT w1, w2, SUM(tf) AS bg_cnt FROM tf GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(bg_cnt) AS ctx_cnt, COUNT(*) AS n1p_fwd FROM bg GROUP BY 1),
+cont AS (SELECT w2, COUNT(*) AS n1p_bwd FROM bg GROUP BY 1),
+tt AS (SELECT COUNT(*) AS t_types FROM bg)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(tf * CAST(round(ln(
+                 (bg_cnt - 0.75) / ctx_cnt
+                 + 0.75 * n1p_fwd / ctx_cnt * (n1p_bwd / t_types)
+             ), 6) AS DECIMAL(20,6))) AS DOUBLE) / SUM(tf), 6) AS avg_logprob
+FROM tf JOIN bg USING (w1, w2) JOIN ctx USING (w1) JOIN cont USING (w2), tt
+GROUP BY doc_id
+"""
+
+
 def q_quality_threshold_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality-percentile filter: the P25 quality score of
     each language is the cut, documents below it drop. The threshold is
@@ -4137,6 +4304,70 @@ SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
                            ROWS UNBOUNDED PRECEDING) <= 3000 AS kept
 FROM scored
+"""
+
+
+def q_cluster_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware budget selection (SemDeDup/DCLM curation shape):
+    cluster the corpus in embedding space, then run the token-budget
+    quality cut PER CLUSTER instead of per language — so a budget can
+    never be monopolized by one dense region of the embedding space.
+    Composition of three existing scale-safe pieces: the k-row
+    centroid M-step + broadcast map-only assignment
+    (operators/clustering.py), the per-doc quality score, and the
+    per-stratum running-total selection (operators/selection.py) —
+    strata = assigned cluster. The corpus pays one id-keyed join
+    (embeddings↔documents) and one shuffle on the cluster key."""
+    from datagrowth_spark.operators import clustering as CL
+    from datagrowth_spark.operators.selection import select_by_token_budget
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = CL.centroid_vectors(CL.label_centroids(emb, "label"), "label")
+    assigned = CL.assign_to_centroids(emb, cents, id_col="vec_id") \
+        .withColumnRenamed("vec_id", "doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(TX.quality_score(F.col("text")), 6).alias("q"),
+        TX.token_count("text").alias("toks"),
+    )
+    clustered = docs.join(assigned, "doc_id")
+    out = select_by_token_budget(
+        clustered, ["assigned"], "q", "toks", budget=2500, tiebreak_col="doc_id")
+    return out.select("doc_id", "assigned", F.col("n_tokens"), "kept")
+
+
+SQL_CLUSTER_BUDGET_SELECT = f"""
+WITH flat AS (
+  SELECT vec_id, label, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS centroid_id, pos,
+         CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid
+  FROM flat GROUP BY 1, 2
+),
+dists AS (
+  SELECT f.vec_id, c.centroid_id,
+         round(SUM((CAST(f.val AS DOUBLE) - c.centroid) ^ 2), 6) AS d2
+  FROM flat f JOIN cent c USING (pos)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT vec_id, centroid_id AS assigned,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+  FROM dists
+),
+sel AS (
+  SELECT d.doc_id, b.assigned, len({_RAW_TOKS_SQL}) AS n_tokens, q.quality AS q
+  FROM documents d
+  JOIN (SELECT vec_id, assigned FROM best WHERE rn = 1) b ON d.doc_id = b.vec_id
+  JOIN ({SQL_TEXT_QUALITY}) q USING (doc_id)
+)
+SELECT doc_id, assigned, CAST(n_tokens AS BIGINT) AS n_tokens,
+       SUM(n_tokens) OVER (PARTITION BY assigned ORDER BY q DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) <= 2500 AS kept
+FROM sel
 """
 
 
@@ -6601,7 +6832,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     positions past 50. When adding a query, insert it near the top.
     """
     return {
-        # new in round 9 (never driver-checked) — positions 1-8
+        # new in round 9 (never driver-checked) — positions 1-11
+        "wordpiece_trainer_merges": q_wordpiece_trainer_merges,
+        "quality_kn_bigram_lm": q_quality_kn_bigram_lm,
+        "cluster_budget_select": q_cluster_budget_select,
         "quality_clf_train": q_quality_clf_train,
         "quality_clf_scores": q_quality_clf_scores,
         "unigram_lm_pieces": q_unigram_lm_pieces,
@@ -6768,6 +7002,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "wordpiece_trainer_merges": SQL_WORDPIECE_TRAINER_MERGES,
+        "quality_kn_bigram_lm": SQL_QUALITY_KN_BIGRAM_LM,
+        "cluster_budget_select": SQL_CLUSTER_BUDGET_SELECT,
         "quality_clf_train": SQL_QUALITY_CLF_TRAIN,
         "quality_clf_scores": SQL_QUALITY_CLF_SCORES,
         "unigram_lm_pieces": SQL_UNIGRAM_LM_PIECES,

@@ -171,3 +171,100 @@ class TestBpeEncode:
             assert tuple(row["syms"]) == ("b", "est", "est")
         finally:
             res.cleanup()
+
+
+class TestWordpieceTrain:
+    def test_likelihood_score_beats_raw_count(self, spark):
+        """The defining WordPiece/BPE difference: (c, ##d) has count 2
+        but score 2/(2*2)=0.5; (a, ##b) has count 10 but score
+        10/(10*10)=0.1 — WordPiece merges the rare-but-cohesive pair
+        first where BPE would take the frequent one."""
+        from datagrowth_spark.operators.bpe import wordpiece_train
+
+        wf = _wf(spark, [("ab", 10), ("cd", 2)])
+        res = wordpiece_train(wf, k=1)
+        try:
+            (m,) = res.merges.collect()
+            assert (m["lhs"], m["rhs"], m["merged"]) == ("c", "##d", "cd")
+            assert m["pair_count"] == 2
+            assert m["score"] == 0.5
+        finally:
+            res.cleanup()
+
+    def test_continuation_prefix_convention(self, spark):
+        """First char bare, later chars ##-prefixed; merging two
+        continuations strips the right ##; reconstruction re-joins to
+        the original word."""
+        from datagrowth_spark.operators.bpe import wordpiece_train
+
+        # only (##b, ##c) exists beyond single occurrences: one word.
+        wf = _wf(spark, [("abc", 4)])
+        res = wordpiece_train(wf, k=1)
+        try:
+            (m,) = res.merges.collect()
+            # two candidate pairs, both score 4/(4*4)=0.25 -> l ASC
+            # tiebreak: '##b' < 'a' (ASCII '#' < 'a')
+            assert (m["lhs"], m["rhs"], m["merged"]) == ("##b", "##c", "##bc")
+            segs = {tuple(r["syms"]): r["w"] for r in res.word_symbols.collect()}
+            assert segs == {("a", "##bc"): "abc"}
+            vocab = {r["symbol"]: r["freq"] for r in res.vocab.collect()}
+            assert vocab == {"a": 4, "##bc": 4}
+        finally:
+            res.cleanup()
+
+    def test_merged_symbol_participates_in_later_rounds(self, spark):
+        from datagrowth_spark.operators.bpe import wordpiece_train
+
+        wf = _wf(spark, [("abc", 3)])
+        res = wordpiece_train(wf, k=2)
+        try:
+            merges = [(r["lhs"], r["rhs"], r["merged"])
+                      for r in res.merges.collect()]
+            assert len(merges) == 2
+            # round 1: (a,##b) and (##b,##c) tie at 3/(3*3) -> l ASC
+            # ('#' < 'a') picks (##b,##c)
+            assert merges[0] == ("##b", "##c", "##bc")
+            # round 2: the merged ##bc pairs with a
+            assert merges[1] == ("a", "##bc", "abc")
+        finally:
+            res.cleanup()
+
+    def test_hash_and_sep_words_excluded(self, spark):
+        """Input contract: '#'-carrying words would fake continuation
+        prefixes, SEP-carrying words would fake symbol boundaries —
+        both are filtered out of training."""
+        from datagrowth_spark.operators.bpe import wordpiece_train
+
+        wf = _wf(spark, [("a#b", 100), (f"x{SEP}y", 100), ("cd", 1), ("", 5)])
+        res = wordpiece_train(wf, k=1)
+        try:
+            (m,) = res.merges.collect()
+            assert (m["lhs"], m["rhs"]) == ("c", "##d")
+        finally:
+            res.cleanup()
+
+    def test_early_stop_when_fully_merged(self, spark):
+        from datagrowth_spark.operators.bpe import wordpiece_train
+
+        wf = _wf(spark, [("ab", 2)])
+        res = wordpiece_train(wf, k=5)
+        try:
+            assert res.merges.count() == 1
+            segs = [tuple(r["syms"]) for r in res.word_symbols.collect()]
+            assert segs == [("ab",)]
+        finally:
+            res.cleanup()
+
+    def test_checkpointing_matches_unchckpointed(self, spark):
+        from datagrowth_spark.operators.bpe import wordpiece_train
+
+        wf = _wf(spark, [("lowlow", 5), ("lower", 2), ("newest", 6),
+                         ("widest", 3), ("wide", 1)])
+        a = wordpiece_train(wf, k=6, checkpoint_rounds=2)
+        b = wordpiece_train(wf, k=6, checkpoint_rounds=16)
+        try:
+            assert [tuple(r) for r in a.merges.collect()] == \
+                [tuple(r) for r in b.merges.collect()]
+        finally:
+            a.cleanup()
+            b.cleanup()
