@@ -26,6 +26,8 @@ from datagrowth_spark.core.session import get_spark
 
 HEADLINE = [
     "wordpiece_trainer_merges",
+    "tokenizer_fertility",
+    "corpus_oov_rate",
     "quality_kn_bigram_lm",
     "cluster_budget_select",
     "quality_clf_train",
@@ -202,10 +204,15 @@ def main() -> None:
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     registry = Q.queries()
-    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # Optional subset run (comma-separated names): used for BASELINE v2
+    # top-ups — record >=7-repeat medians for queries added after the
+    # last full baseline pass without re-running the whole surface.
+    only = os.environ.get("SPARK_GRAFT_ONLY", "")
+    headline = [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
+    runs: dict[str, list[float]] = {name: [] for name in headline}
     errors: dict[str, str] = {}
     for _ in range(repeats):
-        for name in HEADLINE:
+        for name in headline:
             if name in errors:
                 continue  # failed once — don't burn repeats re-failing
             fn = registry[name]

@@ -3475,6 +3475,103 @@ GROUP BY doc_id
 """
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer quality evaluation: per-language FERTILITY
+    (subword tokens per word) and compression (chars per token) of the
+    trained ``_BPE_K``-merge BPE tokenizer — the standard metrics for
+    comparing tokenizers across languages (a language with fertility
+    ≫ 1 is under-served by the vocabulary). Same vocabulary-sized
+    encode as ``bpe_encode_lengths`` (distinct words, broadcast
+    join-back); the rollup is language-cardinality-sized."""
+    from datagrowth_spark.operators import bpe as BPE
+
+    res = BPE.bpe_train(_bpe_word_freq(spark, sf_dir), k=_BPE_K)
+    for _c in res.caches:
+        _register_cache(_c)
+    merge_list = [(r["lhs"], r["rhs"]) for r in res.merges.collect()]
+    docs = _t(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "lang", F.explode(TX.normalized_tokens(F.col("text"))).alias("w"))
+    wstat = BPE.bpe_encode(doc_words.select("w").distinct(), merge_list) \
+        .select("w", F.size("syms").alias("n_sym"),
+                F.length("w").alias("n_chars"))
+    return (doc_words.join(F.broadcast(wstat), "w")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_sym").alias("n_tokens"),
+                 F.sum("n_chars").alias("n_chars"),
+                 F.round(F.sum("n_sym").cast("double")
+                         / F.count(F.lit(1)), 6).alias("fertility"),
+                 F.round(F.sum("n_chars").cast("double")
+                         / F.sum("n_sym"), 6).alias("chars_per_token")))
+
+
+SQL_TOKENIZER_FERTILITY = _bpe_rounds_sql(_BPE_K) + f""",
+wlen AS (
+  SELECT w,
+         len(string_split(substr(repr, 2, length(repr) - 2), chr(31) || chr(31))) AS n_sym,
+         length(w) AS n_chars
+  FROM r{_BPE_K}
+),
+docw AS (
+  SELECT lang, unnest({_NORM_TOKS_SQL}) AS w FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       round(CAST(SUM(n_sym) AS DOUBLE) / COUNT(*), 6) AS fertility,
+       round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_sym), 6) AS chars_per_token
+FROM docw JOIN wlen USING (w)
+GROUP BY lang
+"""
+
+
+def q_corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out vocabulary coverage: deterministic 80/20 doc split
+    (salted hash bucket — replayable on any engine), then the share of
+    held-out token INSTANCES whose type never occurs in the train
+    split, per language — the OOV-rate check run before freezing a
+    vocabulary. Train vocab is one distinct (vocabulary-sized); the
+    held-out side joins on the token key, so nothing corpus-sized ever
+    sits on one task."""
+    from datagrowth_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        (hash_bucket("doc_id", buckets=100, salt="oov") < 80).alias("is_train"),
+        F.explode(TX.normalized_tokens(F.col("text"))).alias("w"))
+    train_vocab = (toks.where(F.col("is_train")).select("w").distinct()
+                   .withColumn("seen", F.lit(1)))
+    test = toks.where(~F.col("is_train"))
+    n_oov = F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+    return (test.join(train_vocab, "w", "left")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_test_tokens"),
+                 n_oov.alias("n_oov"),
+                 F.round(n_oov.cast("double")
+                         / F.count(F.lit(1)), 6).alias("oov_rate")))
+
+
+SQL_CORPUS_OOV_RATE = f"""
+WITH toks AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5('oov:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 < 80 AS is_train,
+         unnest({_NORM_TOKS_SQL}) AS w
+  FROM documents
+),
+vocab AS (SELECT DISTINCT w FROM toks WHERE is_train),
+test AS (SELECT lang, w FROM toks WHERE NOT is_train)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_test_tokens,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM test t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY lang
+"""
+
+
 _WP_K = 3  # WordPiece merge rounds the oracle unrolls
 
 
@@ -6832,8 +6929,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     positions past 50. When adding a query, insert it near the top.
     """
     return {
-        # new in round 9 (never driver-checked) — positions 1-11
+        # new in round 9 (never driver-checked) — positions 1-13
         "wordpiece_trainer_merges": q_wordpiece_trainer_merges,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "corpus_oov_rate": q_corpus_oov_rate,
         "quality_kn_bigram_lm": q_quality_kn_bigram_lm,
         "cluster_budget_select": q_cluster_budget_select,
         "quality_clf_train": q_quality_clf_train,
@@ -7003,6 +7102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "wordpiece_trainer_merges": SQL_WORDPIECE_TRAINER_MERGES,
+        "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+        "corpus_oov_rate": SQL_CORPUS_OOV_RATE,
         "quality_kn_bigram_lm": SQL_QUALITY_KN_BIGRAM_LM,
         "cluster_budget_select": SQL_CLUSTER_BUDGET_SELECT,
         "quality_clf_train": SQL_QUALITY_CLF_TRAIN,

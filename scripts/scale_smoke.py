@@ -396,6 +396,49 @@ def main() -> None:
     timings["bpe_trainer_per_round_marginal"] = round(
         (timings["bpe_trainer_k6"] - timings["bpe_trainer_k2"]) / 4, 2)
 
+    # WordPiece trainer (r9): same loop as BPE plus the per-round unit-
+    # count aggregate and the two vocabulary-sized score joins — the
+    # marginal must stay flat in k and decoupled from corpus rows.
+    from datagrowth_spark.operators.bpe import wordpiece_train
+
+    for k in (2, 6):
+        t0 = time.time()
+        res = wordpiece_train(wf, k=k)
+        res.merges.collect()
+        res.vocab.write.format("noop").mode("overwrite").save()
+        res.cleanup()
+        timings[f"wordpiece_trainer_k{k}"] = round(time.time() - t0, 2)
+    timings["wordpiece_trainer_per_round_marginal"] = round(
+        (timings["wordpiece_trainer_k6"] - timings["wordpiece_trainer_k2"]) / 4, 2)
+
+    @bench("kn_bigram_lm_2m_docs")
+    def _():
+        # r9 Kneser-Ney scorer: one corpus shuffle into per-(doc,
+        # bigram) counts, then vocabulary-key joins — same shape as
+        # lm_vocab_score_join but with the two continuation fan-out
+        # tables and the 1-row types broadcast on top.
+        corpus = _word_corpus(n // 5)
+        bigrams = corpus.select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(slice(toks, 1, size(toks) - 1), (w, i) -> "
+                "struct(w AS w1, toks[i + 1] AS w2))")).alias("bg"),
+        ).select("doc_id", "bg.w1", "bg.w2")
+        tf = bigrams.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+        bg = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("bg_cnt"))
+        ctx = bg.groupBy("w1").agg(F.sum("bg_cnt").alias("ctx_cnt"),
+                                   F.count(F.lit(1)).alias("n1p_fwd"))
+        cont = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+        types = bg.agg(F.count(F.lit(1)).alias("t_types"))
+        p = ((F.col("bg_cnt") - F.lit(0.75)) / F.col("ctx_cnt")
+             + F.lit(0.75) * F.col("n1p_fwd") / F.col("ctx_cnt")
+             * (F.col("n1p_bwd") / F.col("t_types")))
+        (tf.join(bg, ["w1", "w2"]).join(ctx, "w1").join(cont, "w2")
+         .crossJoin(F.broadcast(types))
+         .select("doc_id", "tf", (F.col("tf") * F.log(p)).alias("c"))
+         .groupBy("doc_id").agg(F.sum("c"))
+         .write.format("noop").mode("overwrite").save())
+
     @bench("global_ntile_sharded")
     def _():
         # exact global quartiles over n rows through the sharded rank
