@@ -28,6 +28,8 @@ HEADLINE = [
     "wordpiece_trainer_merges",
     "tokenizer_fertility",
     "corpus_oov_rate",
+    "quality_clf_auc",
+    "quality_clf_calibration",
     "quality_kn_bigram_lm",
     "cluster_budget_select",
     "quality_clf_train",

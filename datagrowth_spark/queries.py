@@ -4644,6 +4644,114 @@ LIMIT 50
 """
 
 
+def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, y, score) for the freshly-trained classifier over the
+    corpus — shared by the AUC and calibration eval queries. Persisted
+    (and registered for release) because the rank pass runs bounded
+    construction jobs over it."""
+    res = _clf_train_result(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    p = res.model.probability(F.col("text"))
+    scored = (docs
+              .where(F.size(TX.hashed_features(F.col("text"))) > 0)
+              .select("doc_id",
+                      (F.col("lang") == "en").cast("int").alias("y"),
+                      p.alias("score"))).persist()
+    _register_cache(scored)
+    return scored
+
+
+_SQL_CLF_SCORED = f""",
+final_m AS (
+  SELECT pd.doc_id, SUM(pd.tf * w.w6) AS num
+  FROM pd JOIN w{_CLF_K} w USING (bucket)
+  GROUP BY pd.doc_id
+),
+scored AS (
+  SELECT dt.doc_id, dt.y,
+         CAST(round(1000000.0 / (1.0 + exp(-(COALESCE(final_m.num, 0)
+                                             / (1000000.0 * dt.n))))) AS BIGINT)
+         / 1000000.0 AS score
+  FROM dt LEFT JOIN final_m USING (doc_id)
+)"""
+
+
+def q_quality_clf_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the trained classifier (Mann-Whitney rank-sum
+    form) WITHOUT a single-partition window: ranks come from the
+    sharded exact global rank (operators/ranking.py), tie groups are
+    contiguous runs of row numbers so the tie-AVERAGED rank sum folds
+    to integer arithmetic — ``Σ n_pos_group · (min_rn + max_rn)`` is
+    twice the averaged positive rank sum. Everything after the rank
+    pass is score-cardinality-sized; the final AUC is one row of exact
+    integer numerators divided once in IEEE doubles."""
+    from datagrowth_spark.operators.ranking import add_global_rank
+
+    scored = _clf_scored(spark, sf_dir)
+    ranked = add_global_rank(scored, "score", tiebreaks=("doc_id",), out="rn")
+    groups = ranked.groupBy("score").agg(
+        F.sum("y").alias("npos_g"),
+        F.min("rn").alias("min_rn"),
+        F.max("rn").alias("max_rn"))
+    totals = ranked.agg(F.sum("y").alias("npos"),
+                        F.count(F.lit(1)).alias("n"))
+    rpos2 = groups.agg(
+        F.sum(F.col("npos_g") * (F.col("min_rn") + F.col("max_rn"))).alias("rpos2"))
+    return (rpos2.crossJoin(F.broadcast(totals))
+            .select(
+                F.col("npos"),
+                (F.col("n") - F.col("npos")).alias("nneg"),
+                F.round(
+                    (F.col("rpos2") - F.col("npos") * (F.col("npos") + 1)).cast("double")
+                    / (F.lit(2.0) * (F.col("npos") * (F.col("n") - F.col("npos")))),
+                    6).alias("auc")))
+
+
+SQL_QUALITY_CLF_AUC = _logreg_sql(_CLF_K) + _SQL_CLF_SCORED + """,
+auc_ranked AS (
+  SELECT y, score, ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn FROM scored
+),
+auc_grp AS (
+  SELECT score, SUM(y) AS npos_g, MIN(rn) AS min_rn, MAX(rn) AS max_rn
+  FROM auc_ranked GROUP BY score
+),
+auc_tot AS (SELECT CAST(SUM(y) AS BIGINT) AS npos, COUNT(*) AS n FROM auc_ranked),
+auc_r2 AS (SELECT CAST(SUM(npos_g * (min_rn + max_rn)) AS BIGINT) AS rpos2 FROM auc_grp)
+SELECT npos, (n - npos) AS nneg,
+       round(CAST(rpos2 - npos * (npos + 1) AS DOUBLE)
+             / (2.0 * (npos * (n - npos))), 6) AS auc
+FROM auc_r2, auc_tot
+"""
+
+
+def q_quality_clf_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the trained classifier: decile buckets
+    of the 6dp-quantized probability vs observed positive rate — the
+    calibration check run before using a filter score as a sampling
+    weight. One map stage + one 10-row aggregate; bucket arithmetic
+    runs on the identical IEEE score doubles in both engines."""
+    scored = _clf_scored(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("int")
+    return (scored.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("y").alias("n_pos"),
+                 F.round(F.sum("y").cast("double")
+                         / F.count(F.lit(1)), 6).alias("pos_rate"),
+                 F.round(F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+                         / F.count(F.lit(1)), 6).alias("mean_score")))
+
+
+SQL_QUALITY_CLF_CALIBRATION = _logreg_sql(_CLF_K) + _SQL_CLF_SCORED + """
+SELECT CAST(least(floor(score * 10), 9) AS INT) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
+       round(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_score
+FROM scored
+GROUP BY 1
+"""
+
+
 def q_dataset_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level diff between two dataset generations (P11's
     missing analytic: what changed between versions). v2 is a
@@ -6929,10 +7037,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     positions past 50. When adding a query, insert it near the top.
     """
     return {
-        # new in round 9 (never driver-checked) — positions 1-13
+        # new in round 9 (never driver-checked) — positions 1-15
         "wordpiece_trainer_merges": q_wordpiece_trainer_merges,
         "tokenizer_fertility": q_tokenizer_fertility,
         "corpus_oov_rate": q_corpus_oov_rate,
+        "quality_clf_auc": q_quality_clf_auc,
+        "quality_clf_calibration": q_quality_clf_calibration,
         "quality_kn_bigram_lm": q_quality_kn_bigram_lm,
         "cluster_budget_select": q_cluster_budget_select,
         "quality_clf_train": q_quality_clf_train,
@@ -7104,6 +7214,8 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_trainer_merges": SQL_WORDPIECE_TRAINER_MERGES,
         "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
         "corpus_oov_rate": SQL_CORPUS_OOV_RATE,
+        "quality_clf_auc": SQL_QUALITY_CLF_AUC,
+        "quality_clf_calibration": SQL_QUALITY_CLF_CALIBRATION,
         "quality_kn_bigram_lm": SQL_QUALITY_KN_BIGRAM_LM,
         "cluster_budget_select": SQL_CLUSTER_BUDGET_SELECT,
         "quality_clf_train": SQL_QUALITY_CLF_TRAIN,
