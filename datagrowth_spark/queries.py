@@ -4281,7 +4281,16 @@ def q_quality_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.75) * F.col("n1p_fwd") / F.col("ctx_cnt")
         * (F.col("n1p_bwd") / F.col("t_types"))
     )
-    contrib = F.col("tf") * F.round(F.log(p_kn), 6).cast("decimal(20,6)")
+    # Integer NANO-unit contributions (the s6 micro-unit pattern of the
+    # unigram-LM oracles, one scale finer): a decimal(…,9) product here
+    # silently truncates to Spark's Decimal(38,6) — re-rounding every
+    # contribution — and the surface's usual round(ln,6) leaves a
+    # ~1e-9-per-value chance of an ln() last-ulp flipping a 6dp
+    # boundary (observed once at sf0.1). long×long is exact in both
+    # engines, and a nano-boundary flip needs the ln ulp within 1e-9 of
+    # a boundary AND the doc average within 1e-9/n of the OUTPUT round.
+    n9 = F.round(F.log(p_kn) * F.lit(1000000000.0)).cast("long")
+    contrib = F.col("tf") * n9
     return (
         tf.join(bg, ["w1", "w2"]).join(ctx, "w1").join(cont, "w2")
         .crossJoin(F.broadcast(types))
@@ -4289,7 +4298,8 @@ def q_quality_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("tf").alias("n_bigrams"),
-            F.round(F.sum("contrib").cast("double") / F.sum("tf"), 6).alias("avg_logprob"),
+            F.round(F.sum("contrib").cast("double")
+                    / (F.lit(1000000000.0) * F.sum("tf")), 6).alias("avg_logprob"),
         )
     )
 
@@ -4314,7 +4324,8 @@ SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
        round(CAST(SUM(tf * CAST(round(ln(
                  (bg_cnt - 0.75) / ctx_cnt
                  + 0.75 * n1p_fwd / ctx_cnt * (n1p_bwd / t_types)
-             ), 6) AS DECIMAL(20,6))) AS DOUBLE) / SUM(tf), 6) AS avg_logprob
+             ) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+             / (1000000000.0 * SUM(tf)), 6) AS avg_logprob
 FROM tf JOIN bg USING (w1, w2) JOIN ctx USING (w1) JOIN cont USING (w2), tt
 GROUP BY doc_id
 """
