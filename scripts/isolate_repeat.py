@@ -62,9 +62,36 @@ def main() -> None:
             ["stratum"], "score01", "n_tokens", budget=10_000_000) \
             .write.format("noop").mode("overwrite").save()
 
+    def run_weighted_sample_topk():
+        from datagrowth_spark.operators.sampling import weighted_sample
+        weighted_sample(docs, "n_tokens", "doc_id", k=1000) \
+            .write.format("noop").mode("overwrite").save()
+
+    def run_span_rewrite():
+        from datagrowth_spark.operators.dedup import drop_duplicated_spans
+        small = docs.where(F.col("doc_id") < n // 10).withColumn(
+            "text", F.concat(F.lit("a b c d e f g h i j k l m n o p q r s t u "),
+                             (F.col("doc_id") % (n // 200)).cast("string")))
+        drop_duplicated_spans(small, "text", "doc_id", n=8) \
+            .select(F.sum("n_removed")).write.format("noop").mode("overwrite").save()
+
+    def _unigram(k):
+        from datagrowth_spark.operators.unigram import unigram_train
+        wf = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+              .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+        unigram_train(wf, k=k).cleanup()
+
     runners = {
         "token_budget_select": run_token_budget_select,
         "budget_threshold_rank_free": run_budget_threshold_rank_free,
+        "weighted_sample_topk": run_weighted_sample_topk,
+        "span_rewrite_1m_docs": run_span_rewrite,
+        # warm-repeat halves of the unigram per-round marginal: the
+        # in-smoke k1/k2 deltas are confounded by whichever variant
+        # pays the big DP expression's codegen compile first; warm
+        # medians of each isolate the true per-round cost.
+        "unigram_train_k1": lambda: _unigram(1),
+        "unigram_train_k2": lambda: _unigram(2),
     }
     for op in ops:
         fn = runners[op]
