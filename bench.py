@@ -1,8 +1,13 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ..., "repeats": n, "runs": {name: [sec]}}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Stdout is TWO JSON lines: first the FULL record {"metric": ...,
+"value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...,
+"repeats": n, "runs": {name: [sec]}} (also written to
+$SPARK_GRAFT_OUT, default BENCH_FULL_LATEST.json next to this file —
+the artifact BENCH_LOCAL_rNN.json snapshots copy), then a COMPACT
+summary line sized to fit the driver's ~2 KB stdout-tail capture.
 
 Each query is executed with the noop sink (full computation, no
 collect-to-driver cost) after a one-off session warmup, and repeated
@@ -25,6 +30,12 @@ from datagrowth_spark import queries as Q
 from datagrowth_spark.core.session import get_spark
 
 HEADLINE = [
+    "sql_forecast_revenue",
+    "sql_important_stock",
+    "sql_shipmode_priority",
+    "quality_clf_earlystop",
+    "quality_clf_scores_bcast",
+    "unigram_lm_segments_bcast",
     "wordpiece_trainer_merges",
     "tokenizer_fertility",
     "corpus_oov_rate",
@@ -210,7 +221,17 @@ def main() -> None:
     # top-ups — record >=7-repeat medians for queries added after the
     # last full baseline pass without re-running the whole surface.
     only = os.environ.get("SPARK_GRAFT_ONLY", "")
-    headline = [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
+    if only:
+        wanted = {n for n in only.split(",") if n}
+        unknown = wanted - set(HEADLINE)
+        if unknown:
+            # a typo must fail loudly, not yield a silently-partial run
+            # that baseline_v2_topup.py would accept (ADVICE r9)
+            raise SystemExit(
+                f"SPARK_GRAFT_ONLY names not in HEADLINE: {sorted(unknown)}")
+        headline = [n for n in HEADLINE if n in wanted]
+    else:
+        headline = HEADLINE
     runs: dict[str, list[float]] = {name: [] for name in headline}
     errors: dict[str, str] = {}
     for _ in range(repeats):
@@ -259,6 +280,38 @@ def main() -> None:
         record["value"] = None
         record["timed_queries_total_time"] = total
     print(json.dumps(record))
+    # The driver captures only the LAST ~2 KB of stdout, so the full
+    # record above (raw runs for 160+ queries) truncates to an
+    # unparseable fragment (BENCH_r08/r09 both had parsed=null). Write
+    # the full record to a file and END stdout with a compact one-line
+    # summary that fits the tail capture: total, sf, repeats, and the
+    # slowest per-query medians (the ones a perf reader checks first).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_FULL_LATEST.json"))
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(record, fh)
+    except OSError as exc:
+        print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
+    compact = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": "sec",
+        "sf": record["sf"],
+        "repeats": repeats,
+        "queries_timed": len(timings),
+        "queries": {k: round(v, 3) for k, v in slowest.items()},
+        "queries_omitted": max(0, len(timings) - len(slowest)),
+        "full_record": os.path.basename(out_path),
+    }
+    if errors:
+        compact["partial"] = True
+        compact["errors"] = len(errors)
+        compact["timed_queries_total_time"] = total
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -239,13 +239,20 @@ def wordpiece_train(word_freq: DataFrame, k: int, word_col: str = "w",
                      / (F.col("cl").cast("double") * F.col("cr").cast("double"))
                      ).alias("score"))
         )
-        top = (scored.orderBy(F.desc("score"), F.asc("l"), F.asc("r"))
-               .limit(1).collect())
+        top = (scored
+               .orderBy(F.desc("score"), F.asc("l"), F.asc("r"))
+               .limit(1)
+               # quantize IN the engine: Python round() is banker's
+               # rounding and flips exact 6dp halves (1/128 →
+               # 0.007812) where SQL round (Spark F.round == DuckDB
+               # round, half away from zero) gives 0.007813
+               .withColumn("score6", F.round(F.col("score"), 6))
+               .collect())
         if not top:
             break
-        l, r, c, score = top[0]["l"], top[0]["r"], top[0]["c"], top[0]["score"]
+        l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
         merged = l + (r[2:] if r.startswith("##") else r)
-        merges.append((step, l, r, merged, int(c), round(float(score), 6)))
+        merges.append((step, l, r, merged, int(c), float(top[0]["score6"])))
         cur = cur.select(
             F.replace(F.col("repr"),
                       F.lit(f"{SEP}{l}{SEP}{SEP}{r}{SEP}"),

@@ -14,12 +14,22 @@ Scale design (100 TB):
   (doc, bucket), re-group to one array row per document — and
   persisted. Two corpus shuffles at setup, zero afterwards.
 * Each step is a narrow projection (margin/residual per document,
-  computed against the current weights inlined as a ≤``n_buckets``-
-  entry literal map — the model IS a driver-side constant, exactly
-  like a BPE merge table) followed by one ``groupBy(bucket)``
-  aggregate whose map-side combine collapses every task's output to
-  ≤ ``n_buckets`` rows. The driver collects ≤ ``n_buckets`` gradient
-  rows per step — bounded by the model size, not the data.
+  computed against the current weights as ONE map column — the model
+  IS a driver-side constant, exactly like a BPE merge table) followed
+  by one ``groupBy(bucket)`` aggregate whose map-side combine
+  collapses every task's output to ≤ ``n_buckets`` rows. The driver
+  collects ≤ ``n_buckets`` gradient rows per step — bounded by the
+  model size, not the data.
+* The weight map has TWO physical forms with identical semantics
+  (same integer arithmetic, bit-identical results):
+
+  - ≤ :data:`MAP_BCAST_THRESHOLD` non-zero entries → a literal
+    ``map_from_arrays`` expression (zero extra plan nodes);
+  - above it → a ONE-ROW broadcast frame cross-joined in
+    (``BroadcastNestedLoopJoin`` of a single row), so a
+    fastText-scale model (2M buckets) never builds a 2M-node
+    Catalyst expression tree — the map travels as broadcast DATA,
+    not as plan. Auto-selected; ``use_broadcast`` overrides.
 * Hot buckets cannot skew: the gradient aggregate's key space is the
   fixed bucket range and partials combine map-side.
 
@@ -50,6 +60,31 @@ from datagrowth_spark.functions.text import hashed_features, md5_long
 #: integer unit scales: weights in micro (1e-6), residuals in nano (1e-9)
 MICRO = 1_000_000
 
+#: above this many non-zero map entries the model ships as a one-row
+#: broadcast frame instead of a literal expression (a literal map's
+#: Catalyst tree grows one node per entry and breaks codegen around
+#: ~100k; broadcast data has no plan-size cost)
+MAP_BCAST_THRESHOLD = 10_000
+
+
+def _map_frame(spark, entries: list[tuple], key_type: str,
+               col_name: str) -> DataFrame:
+    """ONE-ROW frame holding ``entries`` as a single map column — the
+    broadcast-join carrier for a driver-side model too large to inline
+    as a literal expression (classifier weights, unigram pieces).
+    ``crossJoin(broadcast(...))`` of this frame is a broadcast
+    nested-loop join of a single row: every task gets the map column
+    without any expression-tree or shuffle cost."""
+    if not entries:  # one-row EMPTY map: lookups yield NULL, and the
+        # crossJoin stays a no-op row-count-wise (a 0-row frame would
+        # silently wipe the left side instead)
+        return spark.range(1).select(F.map_from_arrays(
+            F.array().cast(f"array<{key_type}>"),
+            F.array().cast("array<bigint>")).alias(col_name))
+    rows = spark.createDataFrame(entries, f"k {key_type}, v BIGINT")
+    return rows.agg(F.map_from_entries(
+        F.collect_list(F.struct("k", "v"))).alias(col_name))
+
 
 def _round_half_away(x: float) -> int:
     """SQL ``round()`` semantics (half away from zero) — Python's
@@ -78,13 +113,16 @@ class LogRegModel:
             F.array(*[F.lit(w).cast("long") for _, w in entries]),
         )
 
-    def margin(self, text: Column | str) -> Column:
+    def margin(self, text: Column | str, wmap: Column | None = None) -> Column:
         """Mean feature weight (the raw linear score), as the same
         map-only JVM expression ``hashed_linear_score`` promises for a
-        trained model: per-feature ``element_at`` into the inlined
-        weight map, exact integer sum, one division."""
+        trained model: per-feature ``element_at`` into the weight map
+        (a literal, or an injected broadcast-carried map column —
+        identical integer arithmetic either way), exact integer sum,
+        one division."""
         feats = hashed_features(text)
-        wmap = self._weight_map()
+        if wmap is None:
+            wmap = self._weight_map()
         if wmap is None:
             return F.lit(0.0)
         per_feat = F.transform(
@@ -98,13 +136,44 @@ class LogRegModel:
         n = F.greatest(F.size(feats), F.lit(1))
         return num / (F.lit(1000000.0) * n)
 
-    def probability(self, text: Column | str) -> Column:
+    def probability(self, text: Column | str,
+                    wmap: Column | None = None) -> Column:
         """``round(sigmoid(margin) * 1e6) / 1e6`` — the 6dp-quantized
         probability, bit-identical across engines."""
         p6 = F.round(
-            F.lit(1000000.0) / (F.lit(1.0) + F.exp(-self.margin(text)))
+            F.lit(1000000.0)
+            / (F.lit(1.0) + F.exp(-self.margin(text, wmap)))
         ).cast("long")
         return p6 / F.lit(1000000.0)
+
+    def weight_map_frame(self, spark) -> DataFrame:
+        """Non-zero weights as a ONE-ROW ``(__wmap)`` map frame — the
+        broadcast carrier for models too large to inline (see
+        :data:`MAP_BCAST_THRESHOLD`)."""
+        return _map_frame(spark, self._entries(), "BIGINT", "__wmap")
+
+    def _entries(self) -> list[tuple]:
+        return [(b, w) for b, w in enumerate(self.w6) if w != 0]
+
+    def score_docs(self, docs: DataFrame, text_col: str = "text",
+                   out: str = "score",
+                   use_broadcast: bool | None = None) -> DataFrame:
+        """Append the 6dp probability column — the DataFrame-level
+        apply path that picks the weight-map carrier: a literal map
+        for small models, a one-row broadcast join above
+        :data:`MAP_BCAST_THRESHOLD` (``use_broadcast`` forces either).
+        Both paths compute identical integer expressions, so scores
+        are bit-equal."""
+        entries = self._entries()
+        if use_broadcast is None:
+            use_broadcast = len(entries) > MAP_BCAST_THRESHOLD
+        text = F.col(text_col)
+        if not use_broadcast or not entries:
+            return docs.withColumn(out, self.probability(text))
+        wframe = self.weight_map_frame(docs.sparkSession)
+        return (docs.crossJoin(F.broadcast(wframe))
+                .withColumn(out, self.probability(text, F.col("__wmap")))
+                .drop("__wmap"))
 
 
 class LogRegTrainResult:
@@ -112,17 +181,23 @@ class LogRegTrainResult:
 
     * ``model`` — the trained :class:`LogRegModel`.
     * ``grad_norms`` — per-step sum of \\|gradient\\| in nano-units
-      (driver-built, k rows) for convergence monitoring.
+      (driver-built, one row per EXECUTED step) for convergence
+      monitoring and the early-stop rule.
+    * ``stopped_early`` — True iff the relative-improvement stop rule
+      fired (training ran fewer than ``k`` steps, or fired exactly on
+      step ``k``).
     * ``caches`` — persisted frames the trainer created; callers own
       their lifetime (``cleanup()`` or register with a session hook).
     """
 
-    __slots__ = ("model", "grad_norms", "caches")
+    __slots__ = ("model", "grad_norms", "stopped_early", "caches")
 
     def __init__(self, model: LogRegModel, grad_norms: list[int],
-                 caches: list[DataFrame]) -> None:
+                 caches: list[DataFrame],
+                 stopped_early: bool = False) -> None:
         self.model = model
         self.grad_norms = grad_norms
+        self.stopped_early = stopped_early
         self.caches = caches
 
     def weights_df(self, spark) -> DataFrame:
@@ -145,6 +220,9 @@ def logreg_train(
     k: int = 3,
     n_buckets: int = 1024,
     lr: float = 300.0,
+    use_broadcast: bool | None = None,
+    stop_num: int | None = None,
+    stop_den: int = 10,
 ) -> LogRegTrainResult:
     """Run ``k`` full-batch logistic-regression GD steps over hashed
     unigram+bigram features of ``text_col``; ``label`` is the 0/1
@@ -168,6 +246,18 @@ def logreg_train(
     few full-batch steps. This is the standard parameterization gap
     between per-sample SGD rates (fastText's 0.1) and full-batch GD on
     averaged features.
+
+    ``use_broadcast`` picks the weight-map carrier per step (literal
+    expression vs one-row broadcast frame; ``None`` auto-selects on
+    :data:`MAP_BCAST_THRESHOLD`) — the arithmetic is identical, so the
+    trained weights are bit-equal on either path.
+
+    Early stop: with ``stop_num`` set, training halts after step ``i``
+    (≥ 2) when ``norm_i · stop_den ≥ norm_{i-1} · stop_num`` — the
+    exact-integer relative-improvement rule (e.g. ``stop_num=9,
+    stop_den=10`` stops once a step removes < 10% of the gradient
+    norm). Integer norms make the stop step a deterministic function
+    of the data, replayable by a SQL oracle.
     """
     spark = docs.sparkSession
     text = F.col(text_col)
@@ -191,22 +281,33 @@ def logreg_train(
     )
     n_docs = base.count()
     caches = [base]
+    if use_broadcast is None:
+        use_broadcast = n_buckets > MAP_BCAST_THRESHOLD
     w6 = [0] * n_buckets
     grad_norms: list[int] = []
+    stopped = False
 
     for _step in range(k):
         entries = [(b, w) for b, w in enumerate(w6) if w != 0]
-        if entries:
-            wmap = F.map_from_arrays(
-                F.array(*[F.lit(b).cast("long") for b, _ in entries]),
-                F.array(*[F.lit(w).cast("long") for _, w in entries]),
-            )
+        stepped = base
+        if not entries:
+            num = F.lit(0).cast("long")
+        else:
+            if use_broadcast:
+                # model as broadcast DATA: a one-row map frame cross-
+                # joined in — no n_buckets-sized expression tree
+                wframe = _map_frame(spark, entries, "BIGINT", "__wmap")
+                stepped = base.crossJoin(F.broadcast(wframe))
+                wmap = F.col("__wmap")
+            else:
+                wmap = F.map_from_arrays(
+                    F.array(*[F.lit(b).cast("long") for b, _ in entries]),
+                    F.array(*[F.lit(w).cast("long") for _, w in entries]),
+                )
             num = F.aggregate(
                 F.col("fc"), F.lit(0).cast("long"),
                 lambda acc, s: acc + s["tf"].cast("long") * F.coalesce(
                     F.element_at(wmap, s["bucket"]), F.lit(0).cast("long")))
-        else:
-            num = F.lit(0).cast("long")
         margin = num / (F.lit(1000000.0) * F.col("n"))
         p6 = F.round(
             F.lit(1000000.0) / (F.lit(1.0) + F.exp(-margin))).cast("long")
@@ -214,7 +315,7 @@ def logreg_train(
             (p6 - F.col("y").cast("long") * MICRO) * F.lit(1000.0) / F.col("n")
         ).cast("long")
         grad_rows = (
-            base.select(r9.alias("r9"), F.explode("fc").alias("s"))
+            stepped.select(r9.alias("r9"), F.explode("fc").alias("s"))
             .select(F.col("s.bucket").alias("bucket"),
                     (F.col("s.tf").cast("long") * F.col("r9")).alias("c"))
             .groupBy("bucket")
@@ -229,5 +330,10 @@ def logreg_train(
             b = int(row["bucket"])
             w6[b] = _round_half_away(w6[b] - lr * g9 / (1000.0 * n_docs))
         grad_norms.append(norm)
+        if (stop_num is not None and len(grad_norms) >= 2
+                and grad_norms[-1] * stop_den >= grad_norms[-2] * stop_num):
+            stopped = True
+            break
 
-    return LogRegTrainResult(LogRegModel(w6, n_buckets), grad_norms, caches)
+    return LogRegTrainResult(LogRegModel(w6, n_buckets), grad_norms,
+                             caches, stopped_early=stopped)

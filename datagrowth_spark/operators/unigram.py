@@ -11,12 +11,20 @@ EM round runs on the distinct-word table.
 Per-round plan shape (the ``operators/classifier.py`` pattern):
 
 * The piece model is a bounded driver-side constant (exactly like a
-  shipped sentencepiece.model): scores inline as ONE literal map
-  column, so the E-step is a NARROW projection — the Viterbi DP is a
-  pure Catalyst fold (``F.aggregate`` over the position sequence), no
-  joins, no Python, no shuffle. (At a vocab too large to inline,
-  swap the literal for a broadcast join of position candidates — same
-  plan shape, one broadcast.)
+  shipped sentencepiece.model): scores travel as ONE map column, so
+  the E-step is a NARROW projection — the Viterbi DP is a pure
+  Catalyst fold (``F.aggregate`` over the position sequence), no
+  joins on the hot path, no Python, no shuffle. The map column has
+  two physical carriers with identical semantics: ≤
+  ``MAP_BCAST_THRESHOLD`` pieces inline as a literal
+  ``map_from_arrays``; above it the scores ship as a ONE-ROW
+  broadcast frame cross-joined in (``BroadcastNestedLoopJoin`` of a
+  single row), so a real 32k–250k sentencepiece vocab never builds a
+  vocab-sized Catalyst expression tree. Auto-selected;
+  ``use_broadcast`` overrides. The Viterbi fold itself is NOT
+  unrolled per position — ``F.aggregate`` evaluates one O(maxp)
+  lambda iteratively at runtime — so expression size is O(maxp),
+  independent of word length and vocab.
 * The M-step is one ``groupBy(piece)`` aggregate whose map-side
   combine collapses each task's output to ≤ vocab rows, then a
   model-sized driver collect. Per-round cost is flat in the round
@@ -48,7 +56,11 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from datagrowth_spark.operators.classifier import _round_half_away
+from datagrowth_spark.operators.classifier import (
+    MAP_BCAST_THRESHOLD,
+    _map_frame,
+    _round_half_away,
+)
 
 #: default structural bounds — words longer than MAX_WORD_LEN are
 #: excluded from training (documented contract; tails are rare), and
@@ -70,6 +82,23 @@ def _piece_map(scores6: dict[str, int]) -> Column:
         F.array(*[F.lit(p) for p in pieces]),
         F.array(*[F.lit(scores6[p]).cast("long") for p in pieces]),
     )
+
+
+def _with_piece_map(df: DataFrame, scores6: dict[str, int],
+                    use_broadcast: bool | None) -> DataFrame:
+    """Attach the piece-score map as the ``__pm`` column via the
+    carrier the model size calls for: a literal expression for small
+    vocabs, a one-row broadcast frame above
+    :data:`MAP_BCAST_THRESHOLD` (``use_broadcast`` forces either).
+    Downstream Viterbi expressions reference ``F.col("__pm")`` and are
+    identical on both paths, so segmentations are bit-equal."""
+    if use_broadcast is None:
+        use_broadcast = len(scores6) > MAP_BCAST_THRESHOLD
+    if not use_broadcast:
+        return df.withColumn("__pm", _piece_map(scores6))
+    pmf = _map_frame(df.sparkSession,
+                     sorted(scores6.items()), "STRING", "__pm")
+    return df.crossJoin(F.broadcast(pmf))
 
 
 def _forward(w: Column, pm: Column, maxp: int) -> Column:
@@ -170,15 +199,17 @@ class UnigramTrainResult:
             rows, "piece STRING, cnt BIGINT, logprob DOUBLE")
 
     def segment(self, words: DataFrame, word_col: str = "w",
-                out: str = "pieces") -> DataFrame:
+                out: str = "pieces",
+                use_broadcast: bool | None = None) -> DataFrame:
         """Viterbi-segment ``word_col`` under the trained model (the
         tokenizer-apply half). Words containing characters the model
-        never saw yield NULL pieces — the caller's contract."""
+        never saw yield NULL pieces — the caller's contract.
+        ``use_broadcast`` picks the score-map carrier (see
+        :func:`_with_piece_map`); segmentations are bit-equal on
+        either path."""
         w = F.col(word_col)
-        pm = _piece_map(self.scores6)
         reachable = F.element_at(F.col("__bests"), F.length(w) + 1).isNotNull()
-        return (words
-                .withColumn("__pm", pm)
+        return (_with_piece_map(words, self.scores6, use_broadcast)
                 .withColumn("__bests", _forward(w, F.col("__pm"), self._maxp))
                 .withColumn(out, F.when(reachable,
                                         _backtrack(w, F.col("__pm"),
@@ -200,6 +231,7 @@ def unigram_train(
     freq_col: str = "freq",
     maxp: int = MAX_PIECE_LEN,
     maxw: int = MAX_WORD_LEN,
+    use_broadcast: bool | None = None,
 ) -> UnigramTrainResult:
     """Run ``k`` EM rounds of unigram-LM training over a (word, freq)
     vocabulary frame (the same input contract as ``bpe_train``).
@@ -214,6 +246,11 @@ def unigram_train(
     piece counts (M). The vocab set is FIXED after seeding — unused
     pieces keep their smoothed floor score rather than being pruned,
     which keeps every round's normalization well-defined.
+
+    ``use_broadcast`` picks the E-step score-map carrier (literal vs
+    one-row broadcast frame; ``None`` auto-selects on the vocab size)
+    — identical integer DP either way, so the trained model is
+    bit-equal on both paths.
     """
     w = F.col(word_col)
     base = (word_freq
@@ -242,9 +279,7 @@ def unigram_train(
     totals = [(t, v)]
 
     for _round in range(k):
-        pm = _piece_map(scores6)
-        seg = (base
-               .withColumn("__pm", pm)
+        seg = (_with_piece_map(base, scores6, use_broadcast)
                .withColumn("__bests", _forward(F.col("w"), F.col("__pm"), maxp))
                .withColumn("pieces", _backtrack(F.col("w"), F.col("__pm"),
                                                 F.col("__bests"), maxp)))

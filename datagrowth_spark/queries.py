@@ -3780,6 +3780,28 @@ def q_unigram_lm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.array_join("pieces", " ").alias("seg")))
 
 
+def q_unigram_lm_segments_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unigram_lm_segments`` with the BROADCAST score-map carrier
+    forced on end-to-end (r9 verdict item 1): every E-step and the
+    final segmentation ship the piece scores as a one-row broadcast
+    frame instead of a literal ``map_from_arrays`` — the plan shape a
+    real 32k–250k sentencepiece vocab (too big to inline) runs. The
+    Viterbi DP expressions are identical on both carriers, so this
+    shares ``unigram_lm_segments``'s oracle verbatim."""
+    from datagrowth_spark.operators.unigram import unigram_train
+
+    res = unigram_train(_bpe_word_freq(spark, sf_dir), k=_UNI_K,
+                        vocab_multi=_UNI_MULTI, maxp=_UNI_MAXP,
+                        maxw=_UNI_MAXW, use_broadcast=True)
+    for _c in res.caches:
+        _register_cache(_c)
+    base = res.caches[0]
+    top = (base.orderBy(F.desc("freq"), F.asc("w")).limit(50))
+    return (res.segment(top, use_broadcast=True)
+            .select("w", F.col("freq").cast("long").alias("freq"),
+                    F.array_join("pieces", " ").alias("seg")))
+
+
 def _uni_dp_sql(tag: str, prev_scores: str) -> str:
     """One Viterbi chain (forward DP + backtrack) as chained CTEs:
     ``mp{tag}`` (score map), ``d{tag}_0..MAXW``, ``bt{tag}_0..MAXW`` —
@@ -4653,6 +4675,93 @@ FROM dt LEFT JOIN final_m USING (doc_id)
 ORDER BY score DESC, doc_id
 LIMIT 50
 """
+
+
+def q_quality_clf_scores_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``quality_clf_scores`` with the BROADCAST model carrier forced
+    on end-to-end (r9 verdict item 1): the trainer ships each step's
+    weights as a one-row broadcast map frame instead of a literal
+    ``map_from_arrays`` expression, and the apply pass scores through
+    ``LogRegModel.score_docs(use_broadcast=True)`` — the plan shape a
+    fastText-production model (2M buckets, too big to inline) runs.
+    Integer arithmetic is identical on both carriers, so this shares
+    ``quality_clf_scores``'s oracle verbatim."""
+    from datagrowth_spark.operators.classifier import logreg_train
+
+    docs = _t(spark, sf_dir, "documents")
+    res = logreg_train(docs, F.col("lang") == "en", k=_CLF_K,
+                       n_buckets=_CLF_BUCKETS, lr=_CLF_LR,
+                       use_broadcast=True)
+    for _c in res.caches:
+        _register_cache(_c)
+    return (res.model.score_docs(
+                docs.where(F.size(TX.hashed_features(F.col("text"))) > 0),
+                use_broadcast=True)
+            .select("doc_id",
+                    (F.col("lang") == "en").cast("int").alias("y"),
+                    "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(50))
+
+
+_CLF_ES_K = 5       # early-stop step budget (k_max)
+_CLF_ES_NUM = 9     # stop when norm_i * 10 >= norm_{i-1} * 9
+_CLF_ES_DEN = 10
+
+
+def q_quality_clf_earlystop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence-monitored training (r9 verdict item 7 — makes
+    ``grad_norms`` load-bearing): run up to ``_CLF_ES_K`` GD steps and
+    STOP once a step removes < 10% of the gradient norm — the
+    exact-integer rule ``norm_i · 10 ≥ norm_{i-1} · 9``, deterministic
+    because norms are exact nano-unit integer sums in both engines.
+    Output: one row per EXECUTED step with its norm and whether the
+    stop rule fired there; the DuckDB oracle unrolls all ``_CLF_ES_K``
+    steps, computes the same norms, and windows down to the executed
+    prefix."""
+    from datagrowth_spark.operators.classifier import logreg_train
+
+    docs = _t(spark, sf_dir, "documents")
+    res = logreg_train(docs, F.col("lang") == "en", k=_CLF_ES_K,
+                       n_buckets=_CLF_BUCKETS, lr=_CLF_LR,
+                       stop_num=_CLF_ES_NUM, stop_den=_CLF_ES_DEN)
+    for _c in res.caches:
+        _register_cache(_c)
+    rows = [(i + 1, n,
+             1 if (res.stopped_early and i == len(res.grad_norms) - 1) else 0)
+            for i, n in enumerate(res.grad_norms)]
+    return (spark.createDataFrame(
+                rows, "step INT, grad_norm9 BIGINT, stopped INT")
+            .orderBy("step"))
+
+
+def _clf_earlystop_sql() -> str:
+    norm_rows = " UNION ALL ".join(
+        f"SELECT {i} AS step, CAST(SUM(ABS(g9)) AS BIGINT) AS grad_norm9 "
+        f"FROM g{i}" for i in range(1, _CLF_ES_K + 1))
+    return _logreg_sql(_CLF_ES_K) + f""",
+norms AS ({norm_rows}),
+flagged AS (
+  SELECT step, grad_norm9,
+         CASE WHEN step >= 2
+                AND grad_norm9 * {_CLF_ES_DEN}
+                    >= LAG(grad_norm9) OVER (ORDER BY step) * {_CLF_ES_NUM}
+              THEN 1 ELSE 0 END AS fired
+  FROM norms
+),
+first_stop AS (
+  SELECT COALESCE(MIN(CASE WHEN fired = 1 THEN step END), {_CLF_ES_K}) AS s
+  FROM flagged
+)
+SELECT step, grad_norm9,
+       CASE WHEN fired = 1 AND step = s THEN 1 ELSE 0 END AS stopped
+FROM flagged, first_stop
+WHERE step <= s
+ORDER BY step
+"""
+
+
+SQL_QUALITY_CLF_EARLYSTOP = _clf_earlystop_sql()
 
 
 def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6935,6 +7044,110 @@ def q_sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_WAITING_SUPPLIERS)
 
 
+_SQL_FORECAST_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change), verbatim ANSI on both
+    engines — the canonical scan-aggregate: every predicate (date
+    window, discount band, quantity cap) pushes into the lineitem
+    parquet scan, the sum is a partial-then-final aggregate with no
+    shuffle beyond the single-row exchange, and the per-row product
+    goes through exact DECIMAL(18,4) before one cast out (the house
+    revenue convention, e.g. ``sql_volume_shipping``)."""
+    _register_sql_views(spark, sf_dir)
+    return spark.sql(_SQL_FORECAST_REVENUE)
+
+
+_SQL_IMPORTANT_STOCK = """
+WITH partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         ((l_partkey * 41 + l_suppkey * 97) % 9000 + 1000) / 100.0 AS ps_supplycost,
+         (l_partkey * 13 + l_suppkey * 29) % 9999 + 1 AS ps_availqty
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+),
+national AS (
+  SELECT ps_partkey,
+         CAST(ps_supplycost * ps_availqty AS DECIMAL(18,4)) AS stock_value
+  FROM partsupp, supplier, nation
+  WHERE ps_suppkey = s_suppkey
+    AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_3'
+)
+SELECT ps_partkey, CAST(SUM(stock_value) AS DOUBLE) AS value
+FROM national
+GROUP BY ps_partkey
+HAVING SUM(stock_value) > (
+  SELECT SUM(stock_value) * 0.0001 FROM national)
+ORDER BY value DESC, ps_partkey
+"""
+
+
+def q_sql_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), verbatim ANSI on
+    both engines, with the deterministic partsupp stand-in CTE (the
+    ``sql_product_profit`` Q9 convention) extended with an integer
+    ``ps_availqty``. The planner test: the HAVING threshold is a
+    SCALAR SUBQUERY over the same national-stock CTE — Catalyst
+    computes the 0.01% global threshold once (one-row broadcast) and
+    filters the per-part aggregate against it; nation and supplier
+    broadcast into the partsupp scan on both passes. Exact
+    DECIMAL(18,4) sums make the strict > threshold comparison
+    order-independent on both engines."""
+    _register_sql_views(spark, sf_dir)
+    return spark.sql(_SQL_IMPORTANT_STOCK)
+
+
+_SQL_SHIPMODE_PRIORITY = """
+WITH flagged AS (
+  SELECT l_orderkey,
+         CASE ((l_orderkey * 7 + l_linenumber) % 4)
+           WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP'
+           WHEN 2 THEN 'AIR' ELSE 'TRUCK' END AS l_shipmode,
+         l_shipdate,
+         (l_orderkey * 31 + l_linenumber * 17) % 60 AS receipt_delay
+  FROM lineitem
+)
+SELECT l_shipmode,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                       OR o_orderpriority = '2-HIGH'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                      AND o_orderpriority <> '2-HIGH'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders, flagged
+WHERE o_orderkey = l_orderkey
+  AND l_shipmode IN ('MAIL', 'SHIP')
+  AND receipt_delay > 30
+  AND l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_shipmode
+ORDER BY l_shipmode
+"""
+
+
+def q_sql_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority), verbatim ANSI on
+    both engines. The fixture has no shipmode/commit/receipt columns,
+    so the stand-in CTE derives a deterministic ``l_shipmode`` and an
+    integer ``receipt_delay`` whose > 30 predicate plays the official
+    late-receipt filter (the ``sql_waiting_suppliers`` Q21 adaptation
+    convention). The structure under test is the official one: the
+    shipmode/date filters prune lineitem BEFORE the orders join, and
+    the conditional priority counts are one partial-aggregated
+    two-branch CASE pass."""
+    _register_sql_views(spark, sf_dir)
+    return spark.sql(_SQL_SHIPMODE_PRIORITY)
+
+
 def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule bundle (Rae et al. 2021 §A1.1, simplified to
     the SQL-expressible core): per document — word count bounds, mean
@@ -7043,65 +7256,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver oracle-checks the FIRST 50 entries only, so ordering is a
     coverage decision: entries with the least recent correctness signal
     (never-checked, new-this-round, or failed-last-round) come first;
-    the long-stable TPC-H relational queries — green in every round and
-    independently smoke-checked via ``entry()`` — absorb the overflow
-    positions past 50. When adding a query, insert it near the top.
+    long-stable queries absorb the overflow positions past 50. When
+    adding a query, insert it near the top. With this round's window
+    (6 new + the final 12 r6-stale + 32 of the r7 cohort) the whole
+    registry is at most two rounds stale at any time.
     """
     return {
-        # new in round 9 (never driver-checked) — positions 1-15
-        "wordpiece_trainer_merges": q_wordpiece_trainer_merges,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "corpus_oov_rate": q_corpus_oov_rate,
-        "quality_clf_auc": q_quality_clf_auc,
-        "quality_clf_calibration": q_quality_clf_calibration,
-        "quality_kn_bigram_lm": q_quality_kn_bigram_lm,
-        "cluster_budget_select": q_cluster_budget_select,
-        "quality_clf_train": q_quality_clf_train,
-        "quality_clf_scores": q_quality_clf_scores,
-        "unigram_lm_pieces": q_unigram_lm_pieces,
-        "unigram_lm_segments": q_unigram_lm_segments,
-        "sql_min_cost_supplier": q_sql_min_cost_supplier,
-        "sql_product_profit": q_sql_product_profit,
-        "sql_top_supplier": q_sql_top_supplier,
-        "sql_discounted_revenue": q_sql_discounted_revenue,
-        # r6-stale cohort (verdict r8 item 2): 42 fit the 50-entry
-        # driver window this round; the 5 overflow entries sit at
-        # positions 51+ so round 10 leads with them
-        "basket_part_pairs": q_basket_part_pairs,
-        "collection_validate": q_collection_validate,
-        "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
-        "corpus_weighted_sample": q_corpus_weighted_sample,
-        "curriculum_pack": q_curriculum_pack,
-        "customer_set_ops": q_customer_set_ops,
-        "decontamination_winnow": q_decontamination_winnow,
-        "dedup_containment": q_dedup_containment,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_span_rewrite": q_dedup_span_rewrite,
-        "dedup_spans_crossdoc": q_dedup_spans_crossdoc,
-        "dedup_winnow_pairs": q_dedup_winnow_pairs,
-        "embedding_outliers": q_embedding_outliers,
-        "embedding_quantize": q_embedding_quantize,
-        "entity_match_blocks": q_entity_match_blocks,
-        "epoch_shuffle": q_epoch_shuffle,
-        "events_anomaly": q_events_anomaly,
-        "events_cube": q_events_cube,
-        "events_cumulative_users": q_events_cumulative_users,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "events_type_pivot": q_events_type_pivot,
-        "events_user_paths": q_events_user_paths,
-        "length_bucket_batches": q_length_bucket_batches,
-        "link_pagerank": q_link_pagerank,
-        "link_triangles": q_link_triangles,
-        "pipeline_composition": q_pipeline_composition,
-        "price_quantity_regression": q_price_quantity_regression,
-        "quality_bigram_lm": q_quality_bigram_lm,
-        "search_bm25": q_search_bm25,
-        "semantic_dedup": q_semantic_dedup,
-        "source_quota_enforce": q_source_quota_enforce,
-        "sql_correlated_scalar": q_sql_correlated_scalar,
-        "sql_cte_setops": q_sql_cte_setops,
-        "sql_exists_suppliers": q_sql_exists_suppliers,
+        # new in round 10 (never driver-checked) — positions 1-6
+        "sql_forecast_revenue": q_sql_forecast_revenue,
+        "sql_important_stock": q_sql_important_stock,
+        "sql_shipmode_priority": q_sql_shipmode_priority,
+        "quality_clf_earlystop": q_quality_clf_earlystop,
+        "quality_clf_scores_bcast": q_quality_clf_scores_bcast,
+        "unigram_lm_segments_bcast": q_unigram_lm_segments_bcast,
+        # r6-stale backlog (verdict r9 missing-item 1): all 12 fit — every
+        # registry query then has an r7+ driver check
         "sql_frontend": q_sql_frontend,
         "sql_in_subquery_having": q_sql_in_subquery_having,
         "sql_lateral_topn": q_sql_lateral_topn,
@@ -7109,13 +7278,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_rollup_grouping": q_sql_rollup_grouping,
         "sql_time_range_window": q_sql_time_range_window,
         "sql_window_topn": q_sql_window_topn,
-        # r6-stale overflow (oldest signal after the window)
         "streaming_dedup_incremental": q_streaming_dedup_incremental,
         "streaming_user_stats": q_streaming_user_stats,
         "text_char_entropy": q_text_char_entropy,
         "text_ngram_novelty": q_text_ngram_novelty,
         "text_self_dedup": q_text_self_dedup,
-        # last driver-checked round 7
+        # stalest rotation cohort (last driver-checked r7): first 32 of 50
+        # fill the window; the rest lead round 11
         "big_orders": q_big_orders,
         "boilerplate_prefixes": q_boilerplate_prefixes,
         "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
@@ -7148,6 +7317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
+        # r7-checked overflow (positions 51+; next round's leaders)
         "media_resize": q_media_resize,
         "mixture_token_plan": q_mixture_token_plan,
         "order_count_distribution": q_order_count_distribution,
@@ -7166,7 +7336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_seed_merge": q_streaming_seed_merge,
         "streaming_sessionize": q_streaming_sessionize,
         "token_bigram_topk": q_token_bigram_topk,
-        # last driver-checked round 8 (freshest signal)
+        # last driver-checked round 8
         "active_suppliers": q_active_suppliers,
         "bpe_encode_lengths": q_bpe_encode_lengths,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -7217,11 +7387,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": q_top_orders,
         "top_parts_per_brand": q_top_parts_per_brand,
         "url_canonicalize": q_url_canonicalize,
+        # last driver-checked round 9
+        "basket_part_pairs": q_basket_part_pairs,
+        "cluster_budget_select": q_cluster_budget_select,
+        "collection_validate": q_collection_validate,
+        "corpus_oov_rate": q_corpus_oov_rate,
+        "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
+        "corpus_weighted_sample": q_corpus_weighted_sample,
+        "curriculum_pack": q_curriculum_pack,
+        "customer_set_ops": q_customer_set_ops,
+        "decontamination_winnow": q_decontamination_winnow,
+        "dedup_containment": q_dedup_containment,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_span_rewrite": q_dedup_span_rewrite,
+        "dedup_spans_crossdoc": q_dedup_spans_crossdoc,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "embedding_outliers": q_embedding_outliers,
+        "embedding_quantize": q_embedding_quantize,
+        "entity_match_blocks": q_entity_match_blocks,
+        "epoch_shuffle": q_epoch_shuffle,
+        "events_anomaly": q_events_anomaly,
+        "events_cube": q_events_cube,
+        "events_cumulative_users": q_events_cumulative_users,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "events_type_pivot": q_events_type_pivot,
+        "events_user_paths": q_events_user_paths,
+        "length_bucket_batches": q_length_bucket_batches,
+        "link_pagerank": q_link_pagerank,
+        "link_triangles": q_link_triangles,
+        "pipeline_composition": q_pipeline_composition,
+        "price_quantity_regression": q_price_quantity_regression,
+        "quality_bigram_lm": q_quality_bigram_lm,
+        "quality_clf_auc": q_quality_clf_auc,
+        "quality_clf_calibration": q_quality_clf_calibration,
+        "quality_clf_scores": q_quality_clf_scores,
+        "quality_clf_train": q_quality_clf_train,
+        "quality_kn_bigram_lm": q_quality_kn_bigram_lm,
+        "search_bm25": q_search_bm25,
+        "semantic_dedup": q_semantic_dedup,
+        "source_quota_enforce": q_source_quota_enforce,
+        "sql_correlated_scalar": q_sql_correlated_scalar,
+        "sql_cte_setops": q_sql_cte_setops,
+        "sql_discounted_revenue": q_sql_discounted_revenue,
+        "sql_exists_suppliers": q_sql_exists_suppliers,
+        "sql_min_cost_supplier": q_sql_min_cost_supplier,
+        "sql_product_profit": q_sql_product_profit,
+        "sql_top_supplier": q_sql_top_supplier,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "unigram_lm_pieces": q_unigram_lm_pieces,
+        "unigram_lm_segments": q_unigram_lm_segments,
+        "wordpiece_trainer_merges": q_wordpiece_trainer_merges,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # new in round 10
+        "sql_forecast_revenue": _SQL_FORECAST_REVENUE,
+        "sql_important_stock": _SQL_IMPORTANT_STOCK,
+        "sql_shipmode_priority": _SQL_SHIPMODE_PRIORITY,
+        "quality_clf_earlystop": SQL_QUALITY_CLF_EARLYSTOP,
+        # the _bcast variants force the broadcast model carrier; the
+        # arithmetic is carrier-independent, so the oracles are the
+        # literal-path strings verbatim
+        "quality_clf_scores_bcast": SQL_QUALITY_CLF_SCORES,
+        "unigram_lm_segments_bcast": SQL_UNIGRAM_LM_SEGMENTS,
         "wordpiece_trainer_merges": SQL_WORDPIECE_TRAINER_MERGES,
         "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
         "corpus_oov_rate": SQL_CORPUS_OOV_RATE,

@@ -81,7 +81,57 @@ def main() -> None:
               .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
         unigram_train(wf, k=k).cleanup()
 
+    def run_sigstore_probe_pair():
+        """Isolated verdict on the r9 100M smoke's probe inversion
+        (after-vacuum 34.4 s vs pre-vacuum 28.9 s, opposite of 10M):
+        build the TTL'd store ONCE exactly as the smoke does, then
+        interleave warm repeats of both probes around one vacuum.
+        Emits its own two JSON lines (pre/post)."""
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from datagrowth_spark.operators.dedup import incremental_minhash_dedup
+        from datagrowth_spark.operators.sigstore import SignatureStore
+
+        sig_dir = _tempfile.mkdtemp(prefix="sigstore-isolate-")
+        clock = {"t": 1000.0}
+        store = SignatureStore(
+            spark, os.path.join(sig_dir, "s"), num_hashes=16,
+            ttl_seconds=250.0, now_fn=lambda: clock["t"])
+        chunk = n // 10
+        for b in range(10):
+            clock["t"] = 1000.0 + b * 100.0
+            sigs = spark.range(b * chunk, (b + 1) * chunk).select(
+                F.col("id"),
+                *[(F.abs(F.xxhash64("id", F.lit(i))) % 4294967311)
+                  .alias(f"mh_{i}") for i in range(16)])
+            store.append(sigs)
+        probe_batch = docs.where(F.col("doc_id") < 100_000)
+
+        def probe():
+            result = incremental_minhash_dedup(
+                probe_batch, store.signatures(), "text", "doc_id",
+                num_hashes=16, bands=4, n=3)
+            result.verdicts.write.format("noop").mode("overwrite").save()
+            result.cleanup()
+
+        for phase in ("pre_vacuum", "post_vacuum"):
+            if phase == "post_vacuum":
+                store.vacuum()
+            probe()  # warmup, discarded
+            times = []
+            for _ in range(repeats):
+                t0 = time.time()
+                probe()
+                times.append(round(time.time() - t0, 2))
+            print(json.dumps({"op": f"sigstore_probe_{phase}", "rows": n,
+                              "unit": "sec", "repeats": times,
+                              "median": statistics.median(times)}),
+                  flush=True)
+        _shutil.rmtree(sig_dir, ignore_errors=True)
+
     runners = {
+        "sigstore_probe_pair": run_sigstore_probe_pair,
         "token_budget_select": run_token_budget_select,
         "budget_threshold_rank_free": run_budget_threshold_rank_free,
         "weighted_sample_topk": run_weighted_sample_topk,
@@ -95,6 +145,9 @@ def main() -> None:
     }
     for op in ops:
         fn = runners[op]
+        if op == "sigstore_probe_pair":
+            fn()  # self-timing: builds the store once, prints both lines
+            continue
         fn()  # warmup, discarded
         times = []
         for _ in range(repeats):

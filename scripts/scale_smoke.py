@@ -232,6 +232,16 @@ def main() -> None:
     timings["logreg_per_step_marginal"] = round(
         (timings["logreg_train_k3"] - timings["logreg_train_k1"]) / 2, 2)
 
+    @bench("logreg_train_k1_b65536_bcast")
+    def _():
+        # the fastText-scale plan shape (r9 verdict item 1): 65536
+        # buckets auto-select the broadcast weight-map carrier — no
+        # 65k-node literal expression, one BroadcastNestedLoopJoin of
+        # a 1-row map frame per step
+        # k=2 so step 2 actually carries the (large) trained map
+        from datagrowth_spark.operators.classifier import logreg_train
+        logreg_train(_clf_docs, F.col("y"), k=2, n_buckets=65536).cleanup()
+
     _uni_wf = (docs.select(F.explode(F.split("text", " ")).alias("w"))
                .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
 
@@ -250,6 +260,16 @@ def main() -> None:
     # corpus row count
     timings["unigram_per_round_marginal"] = round(
         timings["unigram_train_k2"] - timings["unigram_train_k1"], 2)
+
+    @bench("unigram_train_k1_maxp8_v8k_bcast")
+    def _():
+        # realistic structural bounds (r9 verdict item 5): maxp=8
+        # (O(maxp) fold lambda, NOT unrolled per position) with an 8k
+        # seed vocab on the broadcast score-map carrier — the plan a
+        # real sentencepiece config runs
+        from datagrowth_spark.operators.unigram import unigram_train
+        unigram_train(_uni_wf, k=1, vocab_multi=8000, maxp=8,
+                      use_broadcast=True).cleanup()
 
     @bench("pagerank_5m_edges")
     def _():
