@@ -34,6 +34,7 @@ HEADLINE = [
     "sql_important_stock",
     "sql_shipmode_priority",
     "quality_clf_earlystop",
+    "quality_clf_heldout",
     "quality_clf_scores_bcast",
     "unigram_lm_segments_bcast",
     "wordpiece_trainer_merges",

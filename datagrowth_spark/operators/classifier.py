@@ -186,18 +186,22 @@ class LogRegTrainResult:
     * ``stopped_early`` — True iff the relative-improvement stop rule
       fired (training ran fewer than ``k`` steps, or fired exactly on
       step ``k``).
+    * ``n_docs`` — number of feature-bearing training documents (the
+      GD normalizer N; docs with zero features are excluded).
     * ``caches`` — persisted frames the trainer created; callers own
       their lifetime (``cleanup()`` or register with a session hook).
     """
 
-    __slots__ = ("model", "grad_norms", "stopped_early", "caches")
+    __slots__ = ("model", "grad_norms", "stopped_early", "n_docs", "caches")
 
     def __init__(self, model: LogRegModel, grad_norms: list[int],
                  caches: list[DataFrame],
-                 stopped_early: bool = False) -> None:
+                 stopped_early: bool = False,
+                 n_docs: int = 0) -> None:
         self.model = model
         self.grad_norms = grad_norms
         self.stopped_early = stopped_early
+        self.n_docs = n_docs
         self.caches = caches
 
     def weights_df(self, spark) -> DataFrame:
@@ -336,4 +340,4 @@ def logreg_train(
             break
 
     return LogRegTrainResult(LogRegModel(w6, n_buckets), grad_norms,
-                             caches, stopped_early=stopped)
+                             caches, stopped_early=stopped, n_docs=n_docs)

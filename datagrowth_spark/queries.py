@@ -1555,14 +1555,9 @@ FROM member m JOIN canon c ON c.cluster_id = m.cluster_id
 """
 
 
-def q_corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup-aware train/val/test split: every member of a near-dup
-    cluster lands in the SAME split (split key = the cluster's
-    canonical id, not the doc id), so train/eval leakage through
-    near-duplicates is impossible by construction — the group-aware
-    splitting rule real eval hygiene requires. Composition: jaccard
-    pairs → connected components → salted-hash bucket of the group key.
-    """
+def _leakage_safe_split_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, group_key, split) — the group-aware split shared by
+    ``corpus_split_leakage_safe`` and the held-out classifier eval."""
     from datagrowth_spark.operators.graph import dedup_clusters
     from datagrowth_spark.operators.sampling import hash_bucket
 
@@ -1577,12 +1572,25 @@ def q_corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < 90, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    return grouped.select("doc_id", F.col("group_key").cast("long").alias("group_key"),
+    return grouped.select("doc_id",
+                          F.col("group_key").cast("long").alias("group_key"),
                           split.alias("split"))
 
 
-SQL_CORPUS_SPLIT_LEAKAGE_SAFE = f"""
-WITH RECURSIVE pairs AS ({SQL_DEDUP_NGRAM_JACCARD}),
+def q_corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split: every member of a near-dup
+    cluster lands in the SAME split (split key = the cluster's
+    canonical id, not the doc id), so train/eval leakage through
+    near-duplicates is impossible by construction — the group-aware
+    splitting rule real eval hygiene requires. Composition: jaccard
+    pairs → connected components → salted-hash bucket of the group key.
+    """
+    return _leakage_safe_split_frame(spark, sf_dir)
+
+
+#: the split CTE chain (through a ``splits`` view) — shared verbatim
+#: by the split query's oracle and the held-out classifier-eval oracle
+_SQL_SPLIT_CTES = f"""RECURSIVE pairs AS ({SQL_DEDUP_NGRAM_JACCARD}),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
@@ -1598,17 +1606,24 @@ grouped AS (
   SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_key
   FROM documents d LEFT JOIN components c ON c.node = d.doc_id
 ),
-bucketed AS (
+split_bucketed AS (
   SELECT doc_id, group_key,
          CAST(('0x' || substr(md5('split:' || CAST(group_key AS VARCHAR)), 1, 8)) AS BIGINT)
          % 100 AS bucket
   FROM grouped
-)
-SELECT doc_id, group_key,
-       CASE WHEN bucket < 80 THEN 'train'
-            WHEN bucket < 90 THEN 'val'
-            ELSE 'test' END AS split
-FROM bucketed
+),
+splits AS (
+  SELECT doc_id, group_key,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM split_bucketed
+)"""
+
+SQL_CORPUS_SPLIT_LEAKAGE_SAFE = f"""
+WITH {_SQL_SPLIT_CTES}
+SELECT doc_id, group_key, split
+FROM splits
 """
 
 
@@ -4591,15 +4606,23 @@ def q_quality_clf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(50))
 
 
-def _logreg_sql(k: int) -> str:
+def _logreg_sql(k: int, pre: str = "", extra: str = "",
+                pd_train: str = "pd", dt_train: str = "dt") -> str:
     """Unrolled-CTE oracle prefix for the logistic trainer: the hashed
     feature matrix (pd/dt), all-zero w0 over the full bucket range, and
     per step i the margin (m{i}), nano-residual (r{i}), per-bucket
     gradient (g{i}) and weight update (w{i}) — integer-exact
-    throughout, mirroring operators/classifier.py formula for formula."""
+    throughout, mirroring operators/classifier.py formula for formula.
+
+    ``pre`` injects CTEs between WITH and the feature matrix (e.g. the
+    leakage-safe split chain; start it with RECURSIVE if needed);
+    ``extra`` appends CTEs after the matrix (e.g. train-subset views);
+    ``pd_train``/``dt_train`` name the frames the GD steps run on, so
+    a held-out oracle trains on a subset while the full matrix stays
+    available for eval scoring."""
     b, lr = _CLF_BUCKETS, _CLF_LR
     parts = [f"""
-WITH t AS (
+WITH {pre}t AS (
   SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
          {_TOKS_SQL} AS toks
   FROM documents
@@ -4624,13 +4647,13 @@ pd AS (
 dt AS (
   SELECT doc_id, y, SUM(tf) AS n FROM pd GROUP BY 1, 2
 ),
-nn AS (SELECT COUNT(*) AS N FROM dt),
-w0 AS (SELECT range AS bucket, CAST(0 AS BIGINT) AS w6 FROM range({b}))"""]
+w0 AS (SELECT range AS bucket, CAST(0 AS BIGINT) AS w6 FROM range({b})){extra},
+nn AS (SELECT COUNT(*) AS N FROM {dt_train})"""]
     for i in range(1, k + 1):
         parts.append(f""",
 m{i} AS (
   SELECT pd.doc_id, SUM(pd.tf * w.w6) AS num
-  FROM pd JOIN w{i - 1} w USING (bucket)
+  FROM {pd_train} pd JOIN w{i - 1} w USING (bucket)
   GROUP BY pd.doc_id
 ),
 r{i} AS (
@@ -4638,11 +4661,11 @@ r{i} AS (
          CAST(round((CAST(round(1000000.0 / (1.0 + exp(-(COALESCE(m{i}.num, 0)
                                                          / (1000000.0 * dt.n))))) AS BIGINT)
                      - 1000000 * dt.y) * 1000.0 / dt.n) AS BIGINT) AS r9
-  FROM dt LEFT JOIN m{i} USING (doc_id)
+  FROM {dt_train} dt LEFT JOIN m{i} USING (doc_id)
 ),
 g{i} AS (
   SELECT pd.bucket, SUM(pd.tf * r.r9) AS g9
-  FROM pd JOIN r{i} r USING (doc_id)
+  FROM {pd_train} pd JOIN r{i} r USING (doc_id)
   GROUP BY pd.bucket
 ),
 w{i} AS (
@@ -4762,6 +4785,107 @@ ORDER BY step
 
 
 SQL_QUALITY_CLF_EARLYSTOP = _clf_earlystop_sql()
+
+
+def q_quality_clf_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation wired through the LEAKAGE-SAFE splitter
+    (r9 verdict item 7's second half): train the classifier on the
+    group-aware 'train' split only, score the held-out (val+test)
+    documents, and report their exact Mann-Whitney ROC-AUC — the
+    honest generalization number, immune to near-duplicate leakage by
+    construction because every near-dup cluster lives entirely on one
+    side of the split. Plan shape: the split is the
+    ``corpus_split_leakage_safe`` composition (banded jaccard pairs →
+    components → salted hash), training is the standard bounded-
+    collect GD loop on the train subset, eval is the sharded exact
+    rank-sum (no single-partition window). Output: one row
+    (n_train, npos, nneg, auc)."""
+    from datagrowth_spark.operators.classifier import logreg_train
+    from datagrowth_spark.operators.ranking import add_global_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    splits = _leakage_safe_split_frame(spark, sf_dir).select(
+        "doc_id", "split").persist()
+    _register_cache(splits)
+    train_docs = docs.join(
+        splits.where(F.col("split") == "train").select("doc_id"), "doc_id")
+    res = logreg_train(train_docs, F.col("lang") == "en", k=_CLF_K,
+                       n_buckets=_CLF_BUCKETS, lr=_CLF_LR)
+    for _c in res.caches:
+        _register_cache(_c)
+    heldout = (docs.join(
+        splits.where(F.col("split") != "train").select("doc_id"), "doc_id")
+        .where(F.size(TX.hashed_features(F.col("text"))) > 0))
+    scored = heldout.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y"),
+        res.model.probability(F.col("text")).alias("score")).persist()
+    _register_cache(scored)
+    ranked = add_global_rank(scored, "score", tiebreaks=("doc_id",), out="rn")
+    groups = ranked.groupBy("score").agg(
+        F.sum("y").alias("npos_g"),
+        F.min("rn").alias("min_rn"),
+        F.max("rn").alias("max_rn"))
+    totals = ranked.agg(F.sum("y").alias("npos"),
+                        F.count(F.lit(1)).alias("n"))
+    rpos2 = groups.agg(
+        F.sum(F.col("npos_g") * (F.col("min_rn") + F.col("max_rn")))
+        .alias("rpos2"))
+    return (rpos2.crossJoin(F.broadcast(totals))
+            .select(
+                F.lit(res.n_docs).cast("long").alias("n_train"),
+                F.col("npos"),
+                (F.col("n") - F.col("npos")).alias("nneg"),
+                F.round(
+                    (F.col("rpos2") - F.col("npos") * (F.col("npos") + 1))
+                    .cast("double")
+                    / (F.lit(2.0) * (F.col("npos")
+                                     * (F.col("n") - F.col("npos")))),
+                    6).alias("auc")))
+
+
+_SQL_CLF_TRAIN_SUBSET = """,
+pd_tr AS (
+  SELECT pd.* FROM pd JOIN splits s ON s.doc_id = pd.doc_id
+  WHERE s.split = 'train'
+),
+dt_tr AS (
+  SELECT dt.* FROM dt JOIN splits s ON s.doc_id = dt.doc_id
+  WHERE s.split = 'train'
+)"""
+
+SQL_QUALITY_CLF_HELDOUT = _logreg_sql(
+    _CLF_K, pre=_SQL_SPLIT_CTES + ",\n",
+    extra=_SQL_CLF_TRAIN_SUBSET, pd_train="pd_tr", dt_train="dt_tr",
+) + f""",
+final_m AS (
+  SELECT pd.doc_id, SUM(pd.tf * w.w6) AS num
+  FROM pd JOIN w{_CLF_K} w USING (bucket)
+  GROUP BY pd.doc_id
+),
+scored AS (
+  SELECT dt.doc_id, dt.y,
+         CAST(round(1000000.0 / (1.0 + exp(-(COALESCE(final_m.num, 0)
+                                             / (1000000.0 * dt.n))))) AS BIGINT)
+         / 1000000.0 AS score
+  FROM dt JOIN splits s ON s.doc_id = dt.doc_id
+  LEFT JOIN final_m ON final_m.doc_id = dt.doc_id
+  WHERE s.split <> 'train'
+),
+auc_ranked AS (
+  SELECT y, score, ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn FROM scored
+),
+auc_grp AS (
+  SELECT score, SUM(y) AS npos_g, MIN(rn) AS min_rn, MAX(rn) AS max_rn
+  FROM auc_ranked GROUP BY score
+),
+auc_tot AS (SELECT CAST(SUM(y) AS BIGINT) AS npos, COUNT(*) AS n FROM auc_ranked),
+auc_r2 AS (SELECT CAST(SUM(npos_g * (min_rn + max_rn)) AS BIGINT) AS rpos2 FROM auc_grp)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dt_tr) AS n_train,
+       npos, (n - npos) AS nneg,
+       round(CAST(rpos2 - npos * (npos + 1) AS DOUBLE)
+             / (2.0 * (npos * (n - npos))), 6) AS auc
+FROM auc_r2, auc_tot
+"""
 
 
 def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7258,15 +7382,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (never-checked, new-this-round, or failed-last-round) come first;
     long-stable queries absorb the overflow positions past 50. When
     adding a query, insert it near the top. With this round's window
-    (6 new + the final 12 r6-stale + 32 of the r7 cohort) the whole
+    (7 new + the final 12 r6-stale + 31 of the r7 cohort) the whole
     registry is at most two rounds stale at any time.
     """
     return {
-        # new in round 10 (never driver-checked) — positions 1-6
+        # new in round 10 (never driver-checked) — positions 1-7
         "sql_forecast_revenue": q_sql_forecast_revenue,
         "sql_important_stock": q_sql_important_stock,
         "sql_shipmode_priority": q_sql_shipmode_priority,
         "quality_clf_earlystop": q_quality_clf_earlystop,
+        "quality_clf_heldout": q_quality_clf_heldout,
         "quality_clf_scores_bcast": q_quality_clf_scores_bcast,
         "unigram_lm_segments_bcast": q_unigram_lm_segments_bcast,
         # r6-stale backlog (verdict r9 missing-item 1): all 12 fit — every
@@ -7283,7 +7408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_char_entropy": q_text_char_entropy,
         "text_ngram_novelty": q_text_ngram_novelty,
         "text_self_dedup": q_text_self_dedup,
-        # stalest rotation cohort (last driver-checked r7): first 32 of 50
+        # stalest rotation cohort (last driver-checked r7): first 31 of 50
         # fill the window; the rest lead round 11
         "big_orders": q_big_orders,
         "boilerplate_prefixes": q_boilerplate_prefixes,
@@ -7316,8 +7441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_heldout_perplexity": q_lm_heldout_perplexity,
         "media_decode": q_media_decode,
         "media_features": q_media_features,
-        "media_frames": q_media_frames,
         # r7-checked overflow (positions 51+; next round's leaders)
+        "media_frames": q_media_frames,
         "media_resize": q_media_resize,
         "mixture_token_plan": q_mixture_token_plan,
         "order_count_distribution": q_order_count_distribution,
@@ -7447,6 +7572,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_important_stock": _SQL_IMPORTANT_STOCK,
         "sql_shipmode_priority": _SQL_SHIPMODE_PRIORITY,
         "quality_clf_earlystop": SQL_QUALITY_CLF_EARLYSTOP,
+        "quality_clf_heldout": SQL_QUALITY_CLF_HELDOUT,
         # the _bcast variants force the broadcast model carrier; the
         # arithmetic is carrier-independent, so the oracles are the
         # literal-path strings verbatim

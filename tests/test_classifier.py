@@ -245,3 +245,32 @@ class TestEarlyStop:
         finally:
             full.cleanup()
             stopped.cleanup()
+
+
+class TestTrainSubsetEval:
+    def test_n_docs_counts_feature_bearing_docs(self, spark):
+        docs = _docs(spark)
+        res = logreg_train(docs, F.col("y") == 1, k=1, n_buckets=256,
+                           lr=50.0)
+        try:
+            assert res.n_docs == docs.count()  # every fixture doc has text
+        finally:
+            res.cleanup()
+
+    def test_training_on_subset_ignores_heldout_rows(self, spark):
+        """Weights trained on a filtered frame equal weights trained on
+        a frame that never contained the held-out rows — the subset
+        join leaks nothing."""
+        docs = _docs(spark)
+        subset = docs.where(F.col("doc_id") < 20)
+        via_filter = logreg_train(docs.where(F.col("doc_id") < 20),
+                                  F.col("y") == 1, k=2, n_buckets=256,
+                                  lr=50.0)
+        direct = logreg_train(subset, F.col("y") == 1, k=2, n_buckets=256,
+                              lr=50.0)
+        try:
+            assert via_filter.model.w6 == direct.model.w6
+            assert via_filter.n_docs == direct.n_docs == 20
+        finally:
+            via_filter.cleanup()
+            direct.cleanup()
