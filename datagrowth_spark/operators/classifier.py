@@ -81,7 +81,15 @@ def _map_frame(spark, entries: list[tuple], key_type: str,
         return spark.range(1).select(F.map_from_arrays(
             F.array().cast(f"array<{key_type}>"),
             F.array().cast("array<bigint>")).alias(col_name))
-    rows = spark.createDataFrame(entries, f"k {key_type}, v BIGINT")
+    if len(entries) > 50_000:
+        # Arrow batch transfer: a 2M-entry model serializes in one
+        # columnar pass instead of 2M pickled tuples through Py4J
+        import pandas as pd
+        rows = spark.createDataFrame(
+            pd.DataFrame(entries, columns=["k", "v"]),
+            schema=f"k {key_type}, v BIGINT")
+    else:
+        rows = spark.createDataFrame(entries, f"k {key_type}, v BIGINT")
     return rows.agg(F.map_from_entries(
         F.collect_list(F.struct("k", "v"))).alias(col_name))
 
