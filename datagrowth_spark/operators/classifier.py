@@ -20,16 +20,29 @@ Scale design (100 TB):
   collapses every task's output to ≤ ``n_buckets`` rows. The driver
   collects ≤ ``n_buckets`` gradient rows per step — bounded by the
   model size, not the data.
-* The weight map has TWO physical forms with identical semantics
+* The model has TWO physical carriers with identical semantics
   (same integer arithmetic, bit-identical results):
 
   - ≤ :data:`MAP_BCAST_THRESHOLD` non-zero entries → a literal
-    ``map_from_arrays`` expression (zero extra plan nodes);
-  - above it → a ONE-ROW broadcast frame cross-joined in
-    (``BroadcastNestedLoopJoin`` of a single row), so a
-    fastText-scale model (2M buckets) never builds a 2M-node
-    Catalyst expression tree — the map travels as broadcast DATA,
-    not as plan. Auto-selected; ``use_broadcast`` overrides.
+    ``map_from_arrays`` expression looked up per feature (zero extra
+    plan nodes; fine at this size);
+  - above it → the weights ship as a small (bucket, w6) frame
+    BROADCAST-HASH-JOINED against the exploded per-(doc, bucket)
+    feature frame. This fixes BOTH large-model cliffs at once: no
+    model-sized Catalyst expression tree (a 2M-entry literal breaks
+    codegen), and O(1) hashed lookup per feature — measured r10:
+    Spark's ``element_at`` on a map column is a LINEAR SCAN
+    (``GetMapValueUtil.getValueEval``), interpreted when it sits
+    inside a higher-order ``aggregate``, so ANY map-column carrier
+    (literal or broadcast) costs O(|model|) per lookup and a
+    65536-bucket step at 10M docs ran >55 min without finishing one
+    task. The join path finishes the same step in seconds.
+    Auto-selected; ``use_broadcast`` overrides.
+* On the join path the exploded feature frame is persisted
+  pre-partitioned by document, so each step's per-doc margin
+  aggregation and the residual join-back reuse that partitioning —
+  per-step shuffle work stays exactly ONE bounded per-bucket gradient
+  exchange, the same as the literal path.
 * Hot buckets cannot skew: the gradient aggregate's key space is the
   fixed bucket range and partials combine map-side.
 
@@ -60,11 +73,28 @@ from datagrowth_spark.functions.text import hashed_features, md5_long
 #: integer unit scales: weights in micro (1e-6), residuals in nano (1e-9)
 MICRO = 1_000_000
 
-#: above this many non-zero map entries the model ships as a one-row
-#: broadcast frame instead of a literal expression (a literal map's
-#: Catalyst tree grows one node per entry and breaks codegen around
-#: ~100k; broadcast data has no plan-size cost)
+#: above this many non-zero model entries the scoring/training plan
+#: switches from a literal map expression to a broadcast hash join of
+#: a (key, value) weight frame: a literal map's Catalyst tree grows one
+#: node per entry (codegen breaks ~100k), and map-column lookups are
+#: LINEAR scans (see module docstring) — both cliffs start well below
+#: real model sizes
 MAP_BCAST_THRESHOLD = 10_000
+
+
+def _kv_frame(spark, entries: list[tuple], key_type: str,
+              key_name: str, val_name: str) -> DataFrame:
+    """Driver-side model entries as a small (key, value) frame — the
+    broadcast-HASH-join carrier for large models."""
+    schema = f"{key_name} {key_type}, {val_name} BIGINT"
+    if len(entries) > 50_000:
+        # Arrow batch transfer: a 2M-entry model serializes in one
+        # columnar pass instead of 2M pickled tuples through Py4J
+        import pandas as pd
+        return spark.createDataFrame(
+            pd.DataFrame(entries, columns=[key_name, val_name]),
+            schema=schema)
+    return spark.createDataFrame(entries, schema)
 
 
 def _map_frame(spark, entries: list[tuple], key_type: str,
@@ -81,15 +111,7 @@ def _map_frame(spark, entries: list[tuple], key_type: str,
         return spark.range(1).select(F.map_from_arrays(
             F.array().cast(f"array<{key_type}>"),
             F.array().cast("array<bigint>")).alias(col_name))
-    if len(entries) > 50_000:
-        # Arrow batch transfer: a 2M-entry model serializes in one
-        # columnar pass instead of 2M pickled tuples through Py4J
-        import pandas as pd
-        rows = spark.createDataFrame(
-            pd.DataFrame(entries, columns=["k", "v"]),
-            schema=f"k {key_type}, v BIGINT")
-    else:
-        rows = spark.createDataFrame(entries, f"k {key_type}, v BIGINT")
+    rows = _kv_frame(spark, entries, key_type, "k", "v")
     return rows.agg(F.map_from_entries(
         F.collect_list(F.struct("k", "v"))).alias(col_name))
 
@@ -154,34 +176,52 @@ class LogRegModel:
         ).cast("long")
         return p6 / F.lit(1000000.0)
 
-    def weight_map_frame(self, spark) -> DataFrame:
-        """Non-zero weights as a ONE-ROW ``(__wmap)`` map frame — the
-        broadcast carrier for models too large to inline (see
-        :data:`MAP_BCAST_THRESHOLD`)."""
-        return _map_frame(spark, self._entries(), "BIGINT", "__wmap")
-
     def _entries(self) -> list[tuple]:
         return [(b, w) for b, w in enumerate(self.w6) if w != 0]
 
     def score_docs(self, docs: DataFrame, text_col: str = "text",
                    out: str = "score",
-                   use_broadcast: bool | None = None) -> DataFrame:
+                   use_broadcast: bool | None = None,
+                   id_col: str = "doc_id") -> DataFrame:
         """Append the 6dp probability column — the DataFrame-level
-        apply path that picks the weight-map carrier: a literal map
-        for small models, a one-row broadcast join above
-        :data:`MAP_BCAST_THRESHOLD` (``use_broadcast`` forces either).
-        Both paths compute identical integer expressions, so scores
-        are bit-equal."""
+        apply path that picks the model carrier: the literal map
+        expression for small models, a broadcast HASH join of the
+        (bucket, w6) weight frame against the exploded feature rows
+        above :data:`MAP_BCAST_THRESHOLD` (``use_broadcast`` forces
+        either; the join path keys docs by ``id_col``, which must be
+        unique). Both paths compute identical integer expressions, so
+        scores are bit-equal; the join path costs one per-doc
+        re-aggregation and one id join-back — O(1) per feature instead
+        of the map carrier's O(|model|) linear scan (see module
+        docstring)."""
         entries = self._entries()
         if use_broadcast is None:
             use_broadcast = len(entries) > MAP_BCAST_THRESHOLD
         text = F.col(text_col)
-        if not use_broadcast or not entries:
+        if not use_broadcast:
             return docs.withColumn(out, self.probability(text))
-        wframe = self.weight_map_frame(docs.sparkSession)
-        return (docs.crossJoin(F.broadcast(wframe))
-                .withColumn(out, self.probability(text, F.col("__wmap")))
-                .drop("__wmap"))
+        wkv = _kv_frame(docs.sparkSession, entries, "BIGINT",
+                        "bucket", "__w6")
+        flat = docs.select(
+            F.col(id_col).alias("__sid"),
+            F.explode(hashed_features(text)).alias("__ft"),
+        ).select("__sid",
+                 (md5_long(F.col("__ft")) % self.n_buckets).alias("bucket"))
+        per_doc = (flat.join(F.broadcast(wkv), "bucket", "left")
+                   .groupBy("__sid")
+                   .agg(F.sum(F.coalesce(F.col("__w6"),
+                                         F.lit(0).cast("long"))).alias("__num"),
+                        F.count(F.lit(1)).alias("__nf")))
+        margin = F.col("__num") / (F.lit(1000000.0) * F.col("__nf"))
+        p6 = F.round(F.lit(1000000.0)
+                     / (F.lit(1.0) + F.exp(-margin))).cast("long")
+        scores = per_doc.select("__sid", (p6 / F.lit(1000000.0)).alias("__p"))
+        return (docs.join(scores,
+                          docs[id_col] == scores["__sid"], "left")
+                # feature-less docs never reach the aggregation: their
+                # margin is 0 by contract → exactly 0.5
+                .withColumn(out, F.coalesce(F.col("__p"), F.lit(0.5)))
+                .drop("__sid", "__p"))
 
 
 class LogRegTrainResult:
@@ -295,42 +335,71 @@ def logreg_train(
     caches = [base]
     if use_broadcast is None:
         use_broadcast = n_buckets > MAP_BCAST_THRESHOLD
+    flat = None
+    if use_broadcast:
+        # join-path layout: the exploded per-(doc, bucket, tf) frame,
+        # persisted PRE-PARTITIONED by document so every step's
+        # per-doc aggregation and residual join-back reuse the
+        # partitioning — no per-step corpus shuffle
+        flat = (base.select("__id", "y", "n", F.explode("fc").alias("s"))
+                .select("__id", "y", "n",
+                        F.col("s.bucket").alias("bucket"),
+                        F.col("s.tf").cast("long").alias("tf"))
+                .repartition("__id")
+                .persist())
+        flat.count()
+        caches.append(flat)
     w6 = [0] * n_buckets
     grad_norms: list[int] = []
     stopped = False
 
     for _step in range(k):
         entries = [(b, w) for b, w in enumerate(w6) if w != 0]
-        stepped = base
-        if not entries:
-            num = F.lit(0).cast("long")
+        if use_broadcast:
+            # broadcast HASH join of the weight frame: O(1) lookup per
+            # feature row (a map column would linear-scan the model
+            # per lookup — the measured r10 cliff, module docstring)
+            wkv = _kv_frame(spark, entries, "BIGINT", "bucket", "__w6")
+            num_df = (flat.join(F.broadcast(wkv), "bucket", "left")
+                      .groupBy("__id", "y", "n")
+                      .agg(F.sum(F.col("tf") * F.coalesce(
+                          F.col("__w6"), F.lit(0).cast("long"))).alias("num")))
+            margin = F.col("num") / (F.lit(1000000.0) * F.col("n"))
+            p6 = F.round(F.lit(1000000.0)
+                         / (F.lit(1.0) + F.exp(-margin))).cast("long")
+            r9 = F.round(
+                (p6 - F.col("y").cast("long") * MICRO)
+                * F.lit(1000.0) / F.col("n")).cast("long")
+            grad_src = (flat.join(num_df.select("__id", r9.alias("r9")),
+                                  "__id")
+                        .select("bucket", (F.col("tf") * F.col("r9"))
+                                .alias("c")))
         else:
-            if use_broadcast:
-                # model as broadcast DATA: a one-row map frame cross-
-                # joined in — no n_buckets-sized expression tree
-                wframe = _map_frame(spark, entries, "BIGINT", "__wmap")
-                stepped = base.crossJoin(F.broadcast(wframe))
-                wmap = F.col("__wmap")
-            else:
+            if entries:
                 wmap = F.map_from_arrays(
                     F.array(*[F.lit(b).cast("long") for b, _ in entries]),
                     F.array(*[F.lit(w).cast("long") for _, w in entries]),
                 )
-            num = F.aggregate(
-                F.col("fc"), F.lit(0).cast("long"),
-                lambda acc, s: acc + s["tf"].cast("long") * F.coalesce(
-                    F.element_at(wmap, s["bucket"]), F.lit(0).cast("long")))
-        margin = num / (F.lit(1000000.0) * F.col("n"))
-        p6 = F.round(
-            F.lit(1000000.0) / (F.lit(1.0) + F.exp(-margin))).cast("long")
-        r9 = F.round(
-            (p6 - F.col("y").cast("long") * MICRO) * F.lit(1000.0) / F.col("n")
-        ).cast("long")
+                num = F.aggregate(
+                    F.col("fc"), F.lit(0).cast("long"),
+                    lambda acc, s: acc + s["tf"].cast("long") * F.coalesce(
+                        F.element_at(wmap, s["bucket"]),
+                        F.lit(0).cast("long")))
+            else:
+                num = F.lit(0).cast("long")
+            margin = num / (F.lit(1000000.0) * F.col("n"))
+            p6 = F.round(
+                F.lit(1000000.0) / (F.lit(1.0) + F.exp(-margin))).cast("long")
+            r9 = F.round(
+                (p6 - F.col("y").cast("long") * MICRO)
+                * F.lit(1000.0) / F.col("n")).cast("long")
+            grad_src = (
+                base.select(r9.alias("r9"), F.explode("fc").alias("s"))
+                .select(F.col("s.bucket").alias("bucket"),
+                        (F.col("s.tf").cast("long") * F.col("r9"))
+                        .alias("c")))
         grad_rows = (
-            stepped.select(r9.alias("r9"), F.explode("fc").alias("s"))
-            .select(F.col("s.bucket").alias("bucket"),
-                    (F.col("s.tf").cast("long") * F.col("r9")).alias("c"))
-            .groupBy("bucket")
+            grad_src.groupBy("bucket")
             # DECIMAL(38,0): exact and overflow-proof at any corpus size
             .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("g9"))
             .collect()  # ≤ n_buckets rows — bounded by the MODEL size

@@ -25,6 +25,18 @@ Per-round plan shape (the ``operators/classifier.py`` pattern):
   unrolled per position — ``F.aggregate`` evaluates one O(maxp)
   lambda iteratively at runtime — so expression size is O(maxp),
   independent of word length and vocab.
+
+  HONEST LIMIT (measured r10, see operators/classifier.py): Spark
+  evaluates ``element_at`` on a map column as a LINEAR key scan, and
+  higher-order-function bodies run interpreted — so EITHER carrier
+  costs O(|vocab|) per lookup inside the fold. The carrier switch
+  removes the expression-size cliff (plan compiles at any vocab);
+  per-lookup cost is fine through the measured maxp=8/8k-piece smoke
+  but a production 64k+ vocab wants the candidate-JOIN E-step
+  (explode (position, length) candidates, broadcast-hash-join the
+  piece frame, re-fold positions) — designed, not yet built; the
+  classifier's join path (``classifier.py logreg_train
+  use_broadcast``) is the pattern to follow.
 * The M-step is one ``groupBy(piece)`` aggregate whose map-side
   combine collapses each task's output to ≤ vocab rows, then a
   model-sized driver collect. Per-round cost is flat in the round

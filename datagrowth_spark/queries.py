@@ -4701,14 +4701,17 @@ LIMIT 50
 
 
 def q_quality_clf_scores_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``quality_clf_scores`` with the BROADCAST model carrier forced
-    on end-to-end (r9 verdict item 1): the trainer ships each step's
-    weights as a one-row broadcast map frame instead of a literal
-    ``map_from_arrays`` expression, and the apply pass scores through
-    ``LogRegModel.score_docs(use_broadcast=True)`` — the plan shape a
-    fastText-production model (2M buckets, too big to inline) runs.
-    Integer arithmetic is identical on both carriers, so this shares
-    ``quality_clf_scores``'s oracle verbatim."""
+    """``quality_clf_scores`` with the BROADCAST-JOIN model carrier
+    forced on end-to-end (r9 verdict item 1): each training step
+    broadcast-HASH-joins the (bucket, w6) weight frame against the
+    pre-partitioned exploded feature rows, and the apply pass scores
+    through ``LogRegModel.score_docs(use_broadcast=True)`` — the plan
+    shape a fastText-production model (2M buckets) requires, because a
+    literal OR map-column carrier costs O(|model|) per lookup (Spark's
+    ``element_at`` on maps is a linear scan — measured r10, see the
+    classifier module docstring). Integer arithmetic is identical on
+    both carriers, so this shares ``quality_clf_scores``'s oracle
+    verbatim."""
     from datagrowth_spark.operators.classifier import logreg_train
 
     docs = _t(spark, sf_dir, "documents")

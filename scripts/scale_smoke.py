@@ -232,13 +232,14 @@ def main() -> None:
     timings["logreg_per_step_marginal"] = round(
         (timings["logreg_train_k3"] - timings["logreg_train_k1"]) / 2, 2)
 
-    @bench("logreg_train_k1_b65536_bcast")
+    @bench("logreg_train_k2_b65536_join")
     def _():
         # the fastText-scale plan shape (r9 verdict item 1): 65536
-        # buckets auto-select the broadcast weight-map carrier — no
-        # 65k-node literal expression, one BroadcastNestedLoopJoin of
-        # a 1-row map frame per step
-        # k=2 so step 2 actually carries the (large) trained map
+        # buckets auto-select the broadcast-HASH-JOIN weight carrier
+        # — no 65k-node literal expression AND O(1) lookup per feature
+        # (the map-column carrier linear-scans the model per lookup:
+        # the first r10 smoke ran >55 min without finishing one task
+        # here). k=2 so step 2 actually carries the trained weights.
         from datagrowth_spark.operators.classifier import logreg_train
         logreg_train(_clf_docs, F.col("y"), k=2, n_buckets=65536).cleanup()
 
@@ -265,8 +266,11 @@ def main() -> None:
     def _():
         # realistic structural bounds (r9 verdict item 5): maxp=8
         # (O(maxp) fold lambda, NOT unrolled per position) with an 8k
-        # seed vocab on the broadcast score-map carrier — the plan a
-        # real sentencepiece config runs
+        # seed vocab on the broadcast score-map carrier. NOTE the
+        # carrier fixes plan size only — map lookups inside the fold
+        # linear-scan the vocab (unigram.py HONEST LIMIT), so this
+        # entry also measures that cost at 8k pieces; 64k+ needs the
+        # candidate-join E-step (not yet built)
         from datagrowth_spark.operators.unigram import unigram_train
         unigram_train(_uni_wf, k=1, vocab_multi=8000, maxp=8,
                       use_broadcast=True).cleanup()

@@ -174,10 +174,11 @@ class TestBroadcastCarrier:
         finally:
             res.cleanup()
 
-    def test_broadcast_plan_has_no_literal_map(self, spark):
-        """The broadcast carrier's physical plan joins a one-row map
-        frame (BroadcastNestedLoopJoin) instead of inlining an
-        n_buckets-sized map_from_arrays literal."""
+    def test_broadcast_plan_is_hash_join_no_literal_map(self, spark):
+        """The broadcast carrier's physical plan HASH-joins the weight
+        frame (O(1) lookup per feature) instead of inlining an
+        n_buckets-sized map_from_arrays literal (whose element_at is a
+        linear scan — the measured r10 cliff)."""
         docs = _docs(spark)
         res = logreg_train(docs, F.col("y") == 1, k=1, n_buckets=256,
                            lr=50.0)
@@ -185,12 +186,12 @@ class TestBroadcastCarrier:
             bc_plan = res.model.score_docs(
                 docs, use_broadcast=True)._jdf.queryExecution() \
                 .executedPlan().toString()
-            assert "BroadcastNestedLoopJoin" in bc_plan
+            assert "BroadcastHashJoin" in bc_plan
             assert "map_from_arrays" not in bc_plan
             lit_plan = res.model.score_docs(
                 docs, use_broadcast=False)._jdf.queryExecution() \
                 .executedPlan().toString()
-            assert "BroadcastNestedLoopJoin" not in lit_plan
+            assert "BroadcastHashJoin" not in lit_plan
         finally:
             res.cleanup()
 
