@@ -33,8 +33,13 @@ live signature rows (k longs per doc) from a bounded file count, and
 the batch-vs-store join shape of ``incremental_minhash_dedup`` never
 shuffles the store — so a store kept at N live rows by TTL costs the
 same per ingest whether it has seen 10·N or 1000·N lifetime rows.
-(Measured in the scale smoke: vacuumed vs unvacuumed probe at a
-majority-expired 10M-row store.)
+(Measured at the 10M decade: scale-smoke vacuumed vs unvacuumed
+probe at a majority-expired store, 7.5 s vs 9.8 s. The r9 100M
+in-smoke pair read INVERTED (34.4 vs 28.9 s) — by the house rule an
+in-smoke swing is not evidence either way; the isolated-repeat
+harness exists (`scripts/isolate_repeat.py sigstore_probe_pair`) and
+the flat-probe claim stays qualified to 10M until that 100M verdict
+lands.)
 
 Reference behavior anchor: TTL semantics mirror ``purge_at``
 (``/root/reference/datagrowth/resources/base.py:47-53``); the

@@ -28,13 +28,17 @@ Per-round plan shape (the ``operators/classifier.py`` pattern):
 
   HONEST LIMIT (measured r10, see operators/classifier.py): Spark
   evaluates ``element_at`` on a map column as a LINEAR key scan, and
-  higher-order-function bodies run interpreted — so EITHER carrier
-  costs O(|vocab|) per lookup inside the fold. The carrier switch
-  removes the expression-size cliff (plan compiles at any vocab);
-  per-lookup cost is fine through the measured maxp=8/8k-piece smoke
-  but a production 64k+ vocab wants the candidate-JOIN E-step
-  (explode (position, length) candidates, broadcast-hash-join the
-  piece frame, re-fold positions) — designed, not yet built; the
+  higher-order-function bodies ALWAYS run interpreted — so EITHER
+  carrier costs O(|vocab|) string comparisons per candidate inside
+  the fold. The carrier switch removes only the expression-size
+  cliff (the plan compiles at any vocab); the lookup cost is real:
+  an 8k-piece E-step over a 500k-distinct-word table ran >19 min
+  without finishing one of 32 tasks (r10 smoke, stack-dump
+  confirmed), while the default ~350-piece vocab is fine. A
+  production 8k–250k vocab therefore REQUIRES the candidate-JOIN
+  E-step (explode (position, length) substring candidates,
+  broadcast-hash-join the piece frame — O(1)/candidate — then fold
+  positions over the joined scores) — designed, not yet built; the
   classifier's join path (``classifier.py logreg_train
   use_broadcast``) is the pattern to follow.
 * The M-step is one ``groupBy(piece)`` aggregate whose map-side

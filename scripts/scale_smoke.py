@@ -262,18 +262,20 @@ def main() -> None:
     timings["unigram_per_round_marginal"] = round(
         timings["unigram_train_k2"] - timings["unigram_train_k1"], 2)
 
-    @bench("unigram_train_k1_maxp8_v8k_bcast")
+    @bench("unigram_train_k1_maxp8")
     def _():
-        # realistic structural bounds (r9 verdict item 5): maxp=8
-        # (O(maxp) fold lambda, NOT unrolled per position) with an 8k
-        # seed vocab on the broadcast score-map carrier. NOTE the
-        # carrier fixes plan size only — map lookups inside the fold
-        # linear-scan the vocab (unigram.py HONEST LIMIT), so this
-        # entry also measures that cost at 8k pieces; 64k+ needs the
-        # candidate-join E-step (not yet built)
+        # structural-bounds half of r9 verdict item 5: maxp=8 at the
+        # default vocab isolates the fold's O(maxp) scaling (the
+        # lambda is NOT unrolled per position — expression size stays
+        # O(maxp)). The 8k-vocab half is ANSWERED, not smoked: map
+        # lookups inside the (always-interpreted) HOF fold linear-scan
+        # the vocab, so an 8k-piece E-step at this word-table size ran
+        # >19 min without finishing one task (r10, stack-dump
+        # confirmed) — large vocabs need the candidate-join E-step
+        # (unigram.py HONEST LIMIT), the classifier join path's
+        # pattern.
         from datagrowth_spark.operators.unigram import unigram_train
-        unigram_train(_uni_wf, k=1, vocab_multi=8000, maxp=8,
-                      use_broadcast=True).cleanup()
+        unigram_train(_uni_wf, k=1, maxp=8).cleanup()
 
     @bench("pagerank_5m_edges")
     def _():
