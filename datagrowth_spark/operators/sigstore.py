@@ -33,13 +33,15 @@ live signature rows (k longs per doc) from a bounded file count, and
 the batch-vs-store join shape of ``incremental_minhash_dedup`` never
 shuffles the store — so a store kept at N live rows by TTL costs the
 same per ingest whether it has seen 10·N or 1000·N lifetime rows.
-(Measured at the 10M decade: scale-smoke vacuumed vs unvacuumed
-probe at a majority-expired store, 7.5 s vs 9.8 s. The r9 100M
-in-smoke pair read INVERTED (34.4 vs 28.9 s) — by the house rule an
-in-smoke swing is not evidence either way; the isolated-repeat
-harness exists (`scripts/isolate_repeat.py sigstore_probe_pair`) and
-the flat-probe claim stays qualified to 10M until that 100M verdict
-lands.)
+(Measured at BOTH decades. 10M: scale-smoke vacuumed vs unvacuumed
+probe 7.5 s vs 9.8 s. 100M: the r9 in-smoke pair read INVERTED
+(34.4 vs 28.9 s), so per the house rule r10 ran the isolated
+3-repeat pair (`scripts/isolate_repeat.py 100 3 sigstore_probe_pair`,
+store built once, warmup discarded): pre-vacuum median 57.6 s,
+post-vacuum median 19.6 s — the inversion was in-smoke noise; the
+vacuumed probe is ~3x faster at 100M, and the post-vacuum first
+repeat (68 s, discarded-adjacent) shows the transient file-churn
+cost that polluted the r9 smoke reading.)
 
 Reference behavior anchor: TTL semantics mirror ``purge_at``
 (``/root/reference/datagrowth/resources/base.py:47-53``); the

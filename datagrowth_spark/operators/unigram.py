@@ -11,36 +11,29 @@ EM round runs on the distinct-word table.
 Per-round plan shape (the ``operators/classifier.py`` pattern):
 
 * The piece model is a bounded driver-side constant (exactly like a
-  shipped sentencepiece.model): scores travel as ONE map column, so
-  the E-step is a NARROW projection — the Viterbi DP is a pure
-  Catalyst fold (``F.aggregate`` over the position sequence), no
-  joins on the hot path, no Python, no shuffle. The map column has
-  two physical carriers with identical semantics: ≤
-  ``MAP_BCAST_THRESHOLD`` pieces inline as a literal
-  ``map_from_arrays``; above it the scores ship as a ONE-ROW
-  broadcast frame cross-joined in (``BroadcastNestedLoopJoin`` of a
-  single row), so a real 32k–250k sentencepiece vocab never builds a
-  vocab-sized Catalyst expression tree. Auto-selected;
-  ``use_broadcast`` overrides. The Viterbi fold itself is NOT
-  unrolled per position — ``F.aggregate`` evaluates one O(maxp)
-  lambda iteratively at runtime — so expression size is O(maxp),
-  independent of word length and vocab.
+  shipped sentencepiece.model), and the Viterbi DP is a pure Catalyst
+  fold (``F.aggregate`` over the position sequence) — never unrolled
+  per position, so expression size is O(maxp) regardless of word
+  length or vocab. The model reaches the fold by one of two paths
+  with bit-identical semantics, auto-selected on
+  ``MAP_BCAST_THRESHOLD`` (``use_broadcast`` overrides):
 
-  HONEST LIMIT (measured r10, see operators/classifier.py): Spark
-  evaluates ``element_at`` on a map column as a LINEAR key scan, and
-  higher-order-function bodies ALWAYS run interpreted — so EITHER
-  carrier costs O(|vocab|) string comparisons per candidate inside
-  the fold. The carrier switch removes only the expression-size
-  cliff (the plan compiles at any vocab); the lookup cost is real:
-  an 8k-piece E-step over a 500k-distinct-word table ran >19 min
-  without finishing one of 32 tasks (r10 smoke, stack-dump
-  confirmed), while the default ~350-piece vocab is fine. A
-  production 8k–250k vocab therefore REQUIRES the candidate-JOIN
-  E-step (explode (position, length) substring candidates,
-  broadcast-hash-join the piece frame — O(1)/candidate — then fold
-  positions over the joined scores) — designed, not yet built; the
-  classifier's join path (``classifier.py logreg_train
-  use_broadcast``) is the pattern to follow.
+  - small vocabs: a literal ``map_from_arrays`` score map, looked up
+    per candidate — zero joins, zero shuffles. Spark's map lookup is
+    a LINEAR key scan and HOF bodies run interpreted (measured r10:
+    an 8k-piece map-carrier E-step over a 500k-distinct-word table
+    ran >19 min without finishing one of 32 tasks, stack-dump
+    confirmed), so this path is deliberately capped at small models
+    where the scan is cheap (~350 pieces: fine).
+  - large vocabs: the candidate-JOIN E-step. A (word, start, plen)
+    candidate layout — built ONCE per training, persisted
+    pre-partitioned by word, positions never change between rounds —
+    is broadcast-HASH-joined (O(1)/candidate) against the round's
+    (piece, score) frame and folded into a DENSE per-word score
+    array; the Viterbi fold then does O(1) ``element_at`` ARRAY
+    lookups (array indexing, unlike map lookup, is constant-time).
+    Per-round distributed work: one broadcast join + one
+    partitioning-reusing groupBy — no corpus shuffle.
 * The M-step is one ``groupBy(piece)`` aggregate whose map-side
   combine collapses each task's output to ≤ vocab rows, then a
   model-sized driver collect. Per-round cost is flat in the round
@@ -74,7 +67,7 @@ from pyspark.sql import functions as F
 
 from datagrowth_spark.operators.classifier import (
     MAP_BCAST_THRESHOLD,
-    _map_frame,
+    _kv_frame,
     _round_half_away,
 )
 
@@ -100,31 +93,79 @@ def _piece_map(scores6: dict[str, int]) -> Column:
     )
 
 
-def _with_piece_map(df: DataFrame, scores6: dict[str, int],
-                    use_broadcast: bool | None) -> DataFrame:
-    """Attach the piece-score map as the ``__pm`` column via the
-    carrier the model size calls for: a literal expression for small
-    vocabs, a one-row broadcast frame above
-    :data:`MAP_BCAST_THRESHOLD` (``use_broadcast`` forces either).
-    Downstream Viterbi expressions reference ``F.col("__pm")`` and are
-    identical on both paths, so segmentations are bit-equal."""
-    if use_broadcast is None:
-        use_broadcast = len(scores6) > MAP_BCAST_THRESHOLD
-    if not use_broadcast:
-        return df.withColumn("__pm", _piece_map(scores6))
-    pmf = _map_frame(df.sparkSession,
-                     sorted(scores6.items()), "STRING", "__pm")
-    return df.crossJoin(F.broadcast(pmf))
+def _candidate_layout(df: DataFrame, word_col: str, maxp: int,
+                      carry: list[str]) -> DataFrame:
+    """Join-E-step layout: one row per (word, start, plen) — the
+    candidate substring, NULL when start+plen-1 overruns the word —
+    so the per-round score array is DENSE in (start, plen) order
+    (index = (start-1)·maxp + plen). Positions never change between
+    rounds, so the trainer builds this once and persists it
+    pre-partitioned by word; only the scores join varies per round."""
+    w = F.col(word_col)
+    return (df
+            .select(word_col, *carry,
+                    F.explode(F.sequence(F.lit(1), F.length(w)))
+                    .alias("__i"))
+            .select(word_col, *carry, "__i",
+                    F.explode(F.sequence(F.lit(1), F.lit(maxp)))
+                    .alias("__p"))
+            .select(word_col, *carry, "__i", "__p",
+                    F.when(F.col("__i") + F.col("__p") - 1 <= F.length(w),
+                           w.substr(F.col("__i"), F.col("__p")))
+                    .alias("__piece")))
 
 
-def _forward(w: Column, pm: Column, maxp: int) -> Column:
+def _scored_candidate_arrays(cands: DataFrame, scores6: dict[str, int],
+                             word_col: str, carry: list[str]) -> DataFrame:
+    """One broadcast HASH join of the (piece, score) frame against the
+    candidate layout, folded to a dense ``__sc`` score array per word
+    — O(1) array lookups replace the map carrier's O(|vocab|) linear
+    scans (module HONEST LIMIT). NULL slots (invalid start/plen or
+    out-of-vocab piece) reproduce the map-miss semantics exactly, so
+    the downstream Viterbi fold is bit-identical."""
+    pkv = _kv_frame(cands.sparkSession, sorted(scores6.items()),
+                    "STRING", "__piece", "__s6")
+    return (cands.join(F.broadcast(pkv), "__piece", "left")
+            .groupBy(word_col, *carry)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("__i", "__p", "__s6"))),
+                lambda s: s["__s6"]).alias("__sc")))
+
+
+
+
+def _map_score_at(w: Column, pm: Column):
+    """Piece-score lookup against the ``__pm`` map column — O(|vocab|)
+    per lookup (linear map scan; module HONEST LIMIT)."""
+    def score_at(i: Column, p: int) -> Column:
+        return F.element_at(pm, F.substring(w, i - p + 1, p))
+    return score_at
+
+
+def _array_score_at(sc: Column, maxp: int):
+    """Piece-score lookup against the dense ``__sc`` candidate-score
+    array ((start-1)·maxp + plen indexing, built by
+    :func:`_scored_candidates`) — O(1) per lookup; invalid and
+    out-of-vocab slots hold NULL, matching the map-miss semantics
+    exactly. The index clamp mirrors the fold's prev-clamp: the
+    ``p <= i`` guard is false wherever the clamp would matter."""
+    def score_at(i: Column, p: int) -> Column:
+        return F.element_at(
+            sc, F.greatest((i - p) * maxp + p, F.lit(1)))
+    return score_at
+
+
+def _forward(w: Column, score_at, maxp: int) -> Column:
     """Viterbi forward pass: ``bests[i+1]`` = best exact-integer path
     value segmenting the first ``i`` chars (1-indexed array; position
-    0 seeds with 0). A pure fold over the char positions."""
+    0 seeds with 0). A pure fold over the char positions;
+    ``score_at(i, p)`` supplies the score of the p-char piece ENDING
+    at position i (NULL when invalid/OOV)."""
     def step(acc: Column, i: Column) -> Column:
         cands = []
         for p in range(1, maxp + 1):
-            v = F.element_at(pm, F.substring(w, i - p + 1, p))
+            v = score_at(i, p)
             # NULL when p > i or the piece is out of vocab; greatest()
             # skips NULLs in both Spark and DuckDB. p=1 always hits
             # (every training char is a vocab piece), so a real value
@@ -147,19 +188,21 @@ def _forward(w: Column, pm: Column, maxp: int) -> Column:
     )
 
 
-def _backtrack(w: Column, pm: Column, bests: Column, maxp: int) -> Column:
+def _backtrack(w: Column, score_at, bests: Column, maxp: int) -> Column:
     """Reconstruct the Viterbi segmentation: walk from the last
     position, taking at each step the SMALLEST piece length whose
     predecessor value + piece score equals the position's optimum —
     a fixed total rule, so both engines pick the same pieces even on
     tied paths. A fold with (pos, pieces) struct state; each step
-    consumes ≥ 1 char, so ``length(w)`` iterations always finish."""
+    consumes ≥ 1 char, so ``length(w)`` iterations always finish.
+    ``score_at`` as in :func:`_forward` (the piece TEXT always comes
+    from ``substring(w, ...)`` — only the score lookup varies)."""
     def step(st: Column, _i: Column) -> Column:
         pos = st["pos"]
         sel = None
         for p in range(1, maxp + 1):
             piece = F.substring(w, pos - p + 1, p)
-            v = F.element_at(pm, piece)
+            v = score_at(pos, p)
             # index clamps as in _forward: the `p <= pos` conjunct makes
             # the arm false whenever the clamp would matter
             prev = F.element_at(bests, F.greatest(pos - p + 1, F.lit(1)))
@@ -220,18 +263,35 @@ class UnigramTrainResult:
         """Viterbi-segment ``word_col`` under the trained model (the
         tokenizer-apply half). Words containing characters the model
         never saw yield NULL pieces — the caller's contract.
-        ``use_broadcast`` picks the score-map carrier (see
-        :func:`_with_piece_map`); segmentations are bit-equal on
-        either path."""
+        ``use_broadcast`` picks the scoring path (``None`` = auto on
+        :data:`MAP_BCAST_THRESHOLD`): a literal score map for small
+        vocabs, the candidate-JOIN layout (O(1) array lookups, one
+        broadcast hash join + word join-back) for large ones;
+        segmentations are bit-equal on either path."""
+        if use_broadcast is None:
+            use_broadcast = len(self.scores6) > MAP_BCAST_THRESHOLD
         w = F.col(word_col)
         reachable = F.element_at(F.col("__bests"), F.length(w) + 1).isNotNull()
-        return (_with_piece_map(words, self.scores6, use_broadcast)
-                .withColumn("__bests", _forward(w, F.col("__pm"), self._maxp))
+        if not use_broadcast:
+            base = words.withColumn("__pm", _piece_map(self.scores6))
+            score_at = _map_score_at(w, F.col("__pm"))
+            drops = ("__pm", "__bests")
+        else:
+            distinct_w = words.select(
+                F.col(word_col).alias("__cw")).distinct()
+            cands = _candidate_layout(distinct_w, "__cw", self._maxp, [])
+            sc = _scored_candidate_arrays(cands, self.scores6, "__cw", [])
+            base = (words.join(sc, words[word_col] == sc["__cw"],
+                               "left").drop("__cw"))
+            score_at = _array_score_at(F.col("__sc"), self._maxp)
+            drops = ("__sc", "__bests")
+        return (base
+                .withColumn("__bests", _forward(w, score_at, self._maxp))
                 .withColumn(out, F.when(reachable,
-                                        _backtrack(w, F.col("__pm"),
+                                        _backtrack(w, score_at,
                                                    F.col("__bests"),
                                                    self._maxp)))
-                .drop("__pm", "__bests"))
+                .drop(*drops))
 
     def cleanup(self, blocking: bool = False) -> None:
         for frame in self.caches:
@@ -263,9 +323,10 @@ def unigram_train(
     pieces keep their smoothed floor score rather than being pruned,
     which keeps every round's normalization well-defined.
 
-    ``use_broadcast`` picks the E-step score-map carrier (literal vs
-    one-row broadcast frame; ``None`` auto-selects on the vocab size)
-    — identical integer DP either way, so the trained model is
+    ``use_broadcast`` picks the E-step scoring path (``None``
+    auto-selects on the vocab size): the literal score map for small
+    vocabs, the candidate-JOIN layout (module docstring) for large
+    ones — identical integer DP either way, so the trained model is
     bit-equal on both paths.
     """
     w = F.col(word_col)
@@ -294,11 +355,38 @@ def unigram_train(
     scores6 = {p: _score6(c, t, v) for p, c in counts.items()}
     totals = [(t, v)]
 
+    if use_broadcast is None:
+        use_broadcast = len(scores6) > MAP_BCAST_THRESHOLD
+    cands = None
+    if use_broadcast:
+        # join-E-step layout, built once: positions/substrings never
+        # change between rounds — only the scores join does. Persisted
+        # pre-partitioned by word so every round's groupBy(word)
+        # reuses the partitioning.
+        cands = (_candidate_layout(base, "w", maxp, ["freq"])
+                 .repartition("w").persist())
+        cands.count()
+        caches.append(cands)
+
     for _round in range(k):
-        seg = (_with_piece_map(base, scores6, use_broadcast)
-               .withColumn("__bests", _forward(F.col("w"), F.col("__pm"), maxp))
-               .withColumn("pieces", _backtrack(F.col("w"), F.col("__pm"),
-                                                F.col("__bests"), maxp)))
+        if use_broadcast:
+            sc = _scored_candidate_arrays(cands, scores6, "w", ["freq"])
+            score_at = _array_score_at(F.col("__sc"), maxp)
+            seg = (sc
+                   .withColumn("__bests",
+                               _forward(F.col("w"), score_at, maxp))
+                   .withColumn("pieces",
+                               _backtrack(F.col("w"), score_at,
+                                          F.col("__bests"), maxp)))
+        else:
+            stepped = base.withColumn("__pm", _piece_map(scores6))
+            score_at = _map_score_at(F.col("w"), F.col("__pm"))
+            seg = (stepped
+                   .withColumn("__bests",
+                               _forward(F.col("w"), score_at, maxp))
+                   .withColumn("pieces",
+                               _backtrack(F.col("w"), score_at,
+                                          F.col("__bests"), maxp)))
         rows = (seg.select(F.explode("pieces").alias("piece"), "freq")
                 .groupBy("piece").agg(F.sum("freq").alias("c"))
                 .collect())                           # model-sized

@@ -3796,13 +3796,16 @@ def q_unigram_lm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_unigram_lm_segments_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``unigram_lm_segments`` with the BROADCAST score-map carrier
-    forced on end-to-end (r9 verdict item 1): every E-step and the
-    final segmentation ship the piece scores as a one-row broadcast
-    frame instead of a literal ``map_from_arrays`` — the plan shape a
-    real 32k–250k sentencepiece vocab (too big to inline) runs. The
-    Viterbi DP expressions are identical on both carriers, so this
-    shares ``unigram_lm_segments``'s oracle verbatim."""
+    """``unigram_lm_segments`` with the candidate-JOIN E-step forced
+    on end-to-end (r9 verdict item 1): every training round and the
+    final segmentation broadcast-HASH-join the (piece, score) frame
+    against the once-built (word, start, plen) candidate layout and
+    Viterbi-fold over DENSE per-word score arrays (O(1) array
+    lookups) — the plan shape a real 32k–250k sentencepiece vocab
+    requires, because map-column lookups are linear scans (measured
+    r10, see the unigram/classifier module docstrings). The integer
+    DP is identical on both paths, so this shares
+    ``unigram_lm_segments``'s oracle verbatim."""
     from datagrowth_spark.operators.unigram import unigram_train
 
     res = unigram_train(_bpe_word_freq(spark, sf_dir), k=_UNI_K,

@@ -50,11 +50,12 @@ class TestUnigramTrain:
         res = unigram_train(wf, k=1, vocab_multi=20)
         try:
             from datagrowth_spark.operators.unigram import (
-                _forward, _piece_map)
+                _forward, _map_score_at, _piece_map)
             pm = _piece_map(res.scores6)
+            score_at = _map_score_at(F.col("w"), F.col("__pm"))
             rows = (res.segment(res.caches[0])
                     .withColumn("__pm", pm)
-                    .withColumn("bests", _forward(F.col("w"), F.col("__pm"),
+                    .withColumn("bests", _forward(F.col("w"), score_at,
                                                   MAX_PIECE_LEN))
                     .select("w", "pieces", "bests").collect())
             for r in rows:
@@ -148,12 +149,16 @@ class TestBroadcastCarrier:
             bc.cleanup()
 
     def test_broadcast_plan_shape(self, spark):
+        """The join E-step's plan broadcast-HASH-joins the piece frame
+        (O(1) per candidate) — no model-sized literal, no map column
+        at all (map lookups are linear scans, the measured r10
+        cliff)."""
         wf = _wf(spark, [("banana", 4), ("bandana", 3)])
         res = unigram_train(wf, k=1, vocab_multi=10)
         try:
             plan = res.segment(res.caches[0], use_broadcast=True) \
                 ._jdf.queryExecution().executedPlan().toString()
-            assert "BroadcastNestedLoopJoin" in plan
+            assert "BroadcastHashJoin" in plan
             assert "map_from_arrays" not in plan
         finally:
             res.cleanup()
