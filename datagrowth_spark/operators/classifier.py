@@ -97,25 +97,6 @@ def _kv_frame(spark, entries: list[tuple], key_type: str,
     return spark.createDataFrame(entries, schema)
 
 
-def _map_frame(spark, entries: list[tuple], key_type: str,
-               col_name: str) -> DataFrame:
-    """ONE-ROW frame holding ``entries`` as a single map column — the
-    broadcast-join carrier for a driver-side model too large to inline
-    as a literal expression (classifier weights, unigram pieces).
-    ``crossJoin(broadcast(...))`` of this frame is a broadcast
-    nested-loop join of a single row: every task gets the map column
-    without any expression-tree or shuffle cost."""
-    if not entries:  # one-row EMPTY map: lookups yield NULL, and the
-        # crossJoin stays a no-op row-count-wise (a 0-row frame would
-        # silently wipe the left side instead)
-        return spark.range(1).select(F.map_from_arrays(
-            F.array().cast(f"array<{key_type}>"),
-            F.array().cast("array<bigint>")).alias(col_name))
-    rows = _kv_frame(spark, entries, key_type, "k", "v")
-    return rows.agg(F.map_from_entries(
-        F.collect_list(F.struct("k", "v"))).alias(col_name))
-
-
 def _round_half_away(x: float) -> int:
     """SQL ``round()`` semantics (half away from zero) — Python's
     built-in ``round`` is banker's rounding and would diverge from the
@@ -143,18 +124,22 @@ class LogRegModel:
             F.array(*[F.lit(w).cast("long") for _, w in entries]),
         )
 
-    def margin(self, text: Column | str, wmap: Column | None = None) -> Column:
+    def margin(self, text: Column | str) -> Column:
         """Mean feature weight (the raw linear score), as the same
         map-only JVM expression ``hashed_linear_score`` promises for a
-        trained model: per-feature ``element_at`` into the weight map
-        (a literal, or an injected broadcast-carried map column —
-        identical integer arithmetic either way), exact integer sum,
-        one division."""
+        trained model: per-feature ``element_at`` into the literal
+        weight map, exact integer sum, one division. Small-model path
+        only — no map-column carrier exists any more (a map column's
+        ``element_at`` is an O(|model|) linear scan, the measured r10
+        cliff); large models go through :meth:`score_docs`'s broadcast
+        hash join."""
+        tcol = F.col(text) if isinstance(text, str) else text
         feats = hashed_features(text)
-        if wmap is None:
-            wmap = self._weight_map()
-        if wmap is None:
-            return F.lit(0.0)
+        wmap = self._weight_map()
+        if wmap is None:  # all-zero model: margin 0, but NULL text
+            # still NULL (matches the trained-model paths)
+            return F.when(tcol.isNull(),
+                          F.lit(None).cast("double")).otherwise(F.lit(0.0))
         per_feat = F.transform(
             feats,
             lambda ft: F.coalesce(
@@ -166,13 +151,12 @@ class LogRegModel:
         n = F.greatest(F.size(feats), F.lit(1))
         return num / (F.lit(1000000.0) * n)
 
-    def probability(self, text: Column | str,
-                    wmap: Column | None = None) -> Column:
+    def probability(self, text: Column | str) -> Column:
         """``round(sigmoid(margin) * 1e6) / 1e6`` — the 6dp-quantized
         probability, bit-identical across engines."""
         p6 = F.round(
             F.lit(1000000.0)
-            / (F.lit(1.0) + F.exp(-self.margin(text, wmap)))
+            / (F.lit(1.0) + F.exp(-self.margin(text)))
         ).cast("long")
         return p6 / F.lit(1000000.0)
 
@@ -190,10 +174,13 @@ class LogRegModel:
         above :data:`MAP_BCAST_THRESHOLD` (``use_broadcast`` forces
         either; the join path keys docs by ``id_col``, which must be
         unique). Both paths compute identical integer expressions, so
-        scores are bit-equal; the join path costs one per-doc
-        re-aggregation and one id join-back — O(1) per feature instead
-        of the map carrier's O(|model|) linear scan (see module
-        docstring)."""
+        scores are bit-equal — including for NULL ``text_col``, which
+        yields a NULL score on both (the join path explodes no feature
+        rows for a NULL text, so the 0.5 backfill is explicitly gated
+        on text being non-null; an EMPTY text is 0.5 on both). The
+        join path costs one per-doc re-aggregation and one id
+        join-back — O(1) per feature instead of the map carrier's
+        O(|model|) linear scan (see module docstring)."""
         entries = self._entries()
         if use_broadcast is None:
             use_broadcast = len(entries) > MAP_BCAST_THRESHOLD
@@ -219,8 +206,14 @@ class LogRegModel:
         return (docs.join(scores,
                           docs[id_col] == scores["__sid"], "left")
                 # feature-less docs never reach the aggregation: their
-                # margin is 0 by contract → exactly 0.5
-                .withColumn(out, F.coalesce(F.col("__p"), F.lit(0.5)))
+                # margin is 0 by contract → exactly 0.5 — but a NULL
+                # text must stay NULL (the literal path's NULL margin
+                # propagates; backfilling 0.5 here would silently
+                # diverge between the two carriers)
+                .withColumn(out, F.when(text.isNull(),
+                                        F.lit(None).cast("double"))
+                            .otherwise(F.coalesce(F.col("__p"),
+                                                  F.lit(0.5))))
                 .drop("__sid", "__p"))
 
 
@@ -299,10 +292,18 @@ def logreg_train(
     between per-sample SGD rates (fastText's 0.1) and full-batch GD on
     averaged features.
 
-    ``use_broadcast`` picks the weight-map carrier per step (literal
-    expression vs one-row broadcast frame; ``None`` auto-selects on
-    :data:`MAP_BCAST_THRESHOLD`) — the arithmetic is identical, so the
-    trained weights are bit-equal on either path.
+    ``use_broadcast`` picks the weight carrier per step (literal map
+    expression vs broadcast-hash-joined (bucket, w6) frame; ``None``
+    auto-selects on :data:`MAP_BCAST_THRESHOLD`) — the arithmetic is
+    identical, so the trained weights are bit-equal on either path.
+
+    Driver memory bound: ``w6`` is materialized dense
+    (``[0] * n_buckets`` Python ints, ~28 B each → ~56 MB at
+    fastText's 2M buckets) and the join path rebuilds the non-zero
+    (bucket, w6) frame each step via one Arrow batch (~16 MB at 2M
+    entries) — both bounded by the MODEL size, never the corpus;
+    measured fine at 65536 buckets (SCALE_SMOKE_r10
+    ``logreg_train_k2_b65536_join``, 34.75 s at 10M docs).
 
     Early stop: with ``stop_num`` set, training halts after step ``i``
     (≥ 2) when ``norm_i · stop_den ≥ norm_{i-1} · stop_num`` — the

@@ -196,14 +196,36 @@ class TestBroadcastCarrier:
             res.cleanup()
 
     def test_empty_model_broadcast_keeps_rows(self, spark):
-        """An all-zero model's broadcast frame is a ONE-ROW empty map —
-        the crossJoin must not wipe the corpus (a 0-row frame would)."""
+        """An all-zero model's weight frame is EMPTY — the left join
+        must keep every corpus row and backfill sigmoid(0) = 0.5."""
         docs = _docs(spark)
         model = LogRegModel([0] * 64, 64)
         out = model.score_docs(docs, use_broadcast=True)
         assert out.count() == docs.count()
         # sigmoid(0) everywhere
         assert {r["score"] for r in out.select("score").collect()} == {0.5}
+
+    def test_null_text_scores_null_on_both_carriers(self, spark):
+        """A NULL text yields a NULL score on BOTH carriers (r10
+        advisory): the literal path's NULL margin propagates, and the
+        join path's 0.5 backfill is gated on text being non-null. An
+        EMPTY text is 0.5 on both."""
+        docs = spark.createDataFrame(
+            [(1, "alpha beta", 1), (2, None, 0), (3, "", 0)],
+            "doc_id long, text string, y int")
+        trained = logreg_train(docs.where(F.col("text").isNotNull()),
+                               F.col("y") == 1, k=1, n_buckets=64, lr=50.0)
+        try:
+            for model in (trained.model, LogRegModel([0] * 64, 64)):
+                lit = {r["doc_id"]: r["score"] for r in model.score_docs(
+                    docs, use_broadcast=False).collect()}
+                bc = {r["doc_id"]: r["score"] for r in model.score_docs(
+                    docs, use_broadcast=True).collect()}
+                assert lit == bc
+                assert lit[2] is None
+                assert lit[3] == 0.5
+        finally:
+            trained.cleanup()
 
 
 class TestEarlyStop:
