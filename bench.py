@@ -30,6 +30,8 @@ from datagrowth_spark import queries as Q
 from datagrowth_spark.core.session import get_spark
 
 HEADLINE = [
+    "dedup_exact_normalized",
+    "dedup_paragraphs",
     "sql_forecast_revenue",
     "sql_important_stock",
     "sql_shipmode_priority",

@@ -138,6 +138,20 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.encode(F.array_join(toks, " "), "utf-8"))
 
 
+def normalize_text(text: Column | str) -> Column:
+    """CCNet/Dolma-style dedup-key normalization, pure Catalyst:
+    lowercase, replace every non-``[a-z0-9 ]`` char (punctuation,
+    tabs, newlines — digits stay) with a space, collapse space runs,
+    trim. Idempotent; NULL in → NULL out. Applied before exact
+    paragraph/document dedup so case and whitespace variants of the
+    same content share one hash key. Both regexes avoid
+    engine-specific character classes (``' +'``, not ``'\\s+'``) so a
+    DuckDB oracle replays them byte-for-byte."""
+    text = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(F.lower(text), "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(stripped, " +", " "))
+
+
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles from a token-array column, 1-based construction
     identical to DuckDB's list indexing so oracle SQL can mirror it.

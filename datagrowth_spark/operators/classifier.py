@@ -75,11 +75,23 @@ MICRO = 1_000_000
 
 #: above this many non-zero model entries the scoring/training plan
 #: switches from a literal map expression to a broadcast hash join of
-#: a (key, value) weight frame: a literal map's Catalyst tree grows one
-#: node per entry (codegen breaks ~100k), and map-column lookups are
-#: LINEAR scans (see module docstring) — both cliffs start well below
-#: real model sizes
-MAP_BCAST_THRESHOLD = 10_000
+#: a (key, value) weight frame. Set from the measured r11 crossover
+#: probe (``scripts/carrier_crossover.py``, 10M rows, k=2 /
+#: 500k-word k=1; full curve in BENCH_NOTES r11): the literal map's
+#: per-lookup LINEAR scan makes its cost double with every model-size
+#: doubling (unigram map E-step 36 → 60 → 183 → 381 s at 512 → 4096
+#: pieces; classifier map step 57 → 257 s at 1024 → 16384 buckets)
+#: while the join path is FLAT (15-30 s at every size, both
+#: trainers). No crossover was found: the join also won both sf0.1
+#: bench pairs at the SMALLEST real model sizes (633-weight scorer
+#: 5.2 vs 9.7 s; ~340-piece segmenter 3.4 vs 3.9 s). 256 keeps the
+#: literal expression only for trivial models, where per-step JOB
+#: count (the join path runs a broadcast + an extra aggregate per
+#: step), not per-row cost, dominates — below the smallest measured
+#: point, so the literal path there is a convenience, not a
+#: performance claim. Bit-equality of the two carriers is pinned by
+#: pytest at 64/256-bucket and maxp=8/4k-piece configs.
+MAP_BCAST_THRESHOLD = 256
 
 
 def _kv_frame(spark, entries: list[tuple], key_type: str,

@@ -48,6 +48,66 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    sep: str = "\n\n") -> DataFrame:
+    """Paragraph-level exact dedup with document rebuild — the
+    CCNet/Dolma pipeline stage between document-exact and span-level
+    dedup: split each document on ``sep``, keep each distinct
+    paragraph's FIRST corpus-wide occurrence (smallest (id, position)
+    — duplicates WITHIN a document collapse too), drop every other
+    copy, and rebuild each document from its surviving paragraphs in
+    original order.
+
+    ``sep`` is used both as the split regex and the rejoin string, so
+    it must be a literal that is also a regex-safe pattern (the
+    conventional ``"\\n\\n"`` is). Empty paragraphs (separator runs,
+    leading/trailing separators) are dropped before hashing.
+
+    Output: one row per input document —
+    ``(id, n_paras, n_kept, new_text)``; ``new_text`` is ``''`` when
+    every paragraph was dropped, and docs with no paragraphs at all
+    (empty text) carry ``n_paras = 0``.
+
+    Plan (100 TB): paragraphs explode once; the keeper decision is ONE
+    ``groupBy`` on the paragraph md5 (fixed-width shuffle key,
+    map-side-combinable ``min(struct(id, pos))``) — never a
+    window/global sort; the survivor join-back shares the md5 key so
+    it co-partitions with the keeper table; the rebuild is one
+    ``groupBy(id)``. Shuffle volume is paragraph-linear, never
+    corpus-squared.
+    """
+    sid = F.col(id_col)
+    parts = F.split(F.col(text_col), sep, -1)
+    paras = (df.select(sid.alias("__id"),
+                       F.posexplode(parts).alias("__pos", "__para"))
+             .where(F.col("__para") != "")
+             .withColumn("__h", F.md5(F.encode("__para", "utf-8"))))
+    keeper = paras.groupBy("__h").agg(
+        F.min(F.struct("__id", "__pos")).alias("__k"))
+    surv = (paras.join(keeper, "__h")
+            .where((F.col("__id") == F.col("__k.__id"))
+                   & (F.col("__pos") == F.col("__k.__pos"))))
+    stats = paras.groupBy("__id").agg(F.count(F.lit(1)).alias("n_paras"))
+    rebuilt = (surv.groupBy("__id")
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("__pos", "__para"))),
+                            lambda s: s["__para"]),
+                        sep).alias("new_text")))
+    return (df.select(sid.alias("__id"))
+            .join(stats, "__id", "left")
+            .join(rebuilt, "__id", "left")
+            .select(F.col("__id").alias(id_col),
+                    F.coalesce("n_paras", F.lit(0).cast("long"))
+                    .alias("n_paras"),
+                    F.coalesce("n_kept", F.lit(0).cast("long"))
+                    .alias("n_kept"),
+                    F.coalesce("new_text", F.lit("")).alias("new_text")))
+
+
 def ngram_novelty(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 5, hashed: bool = False) -> DataFrame:
     """Per-document n-gram novelty: the fraction of a document's distinct

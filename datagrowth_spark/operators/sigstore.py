@@ -33,15 +33,15 @@ live signature rows (k longs per doc) from a bounded file count, and
 the batch-vs-store join shape of ``incremental_minhash_dedup`` never
 shuffles the store — so a store kept at N live rows by TTL costs the
 same per ingest whether it has seen 10·N or 1000·N lifetime rows.
-(Measured at BOTH decades. 10M: scale-smoke vacuumed vs unvacuumed
-probe 7.5 s vs 9.8 s. 100M: the r9 in-smoke pair read INVERTED
-(34.4 vs 28.9 s), so per the house rule r10 ran the isolated
-3-repeat pair (`scripts/isolate_repeat.py 100 3 sigstore_probe_pair`,
-store built once, warmup discarded): pre-vacuum median 57.6 s,
-post-vacuum median 19.6 s — the inversion was in-smoke noise; the
-vacuumed probe is ~3x faster at 100M, and the post-vacuum first
-repeat (68 s, discarded-adjacent) shows the transient file-churn
-cost that polluted the r9 smoke reading.)
+(Measured with ISOLATED 3-repeat pairs at BOTH decades —
+``scripts/isolate_repeat.py <M> 3 sigstore_probe_pair``, store built
+once, warmup discarded. 10M (r11): pre-vacuum median 6.15 s,
+post-vacuum 6.36 s — flat within noise, as expected when the dead
+weight is only ~10 small fragments. 100M (r10): pre-vacuum median
+57.6 s, post-vacuum 19.6 s — vacuum pays ~3x once the expired
+fraction dominates the scan; the r9 in-smoke inversion (34.4 vs
+28.9 s) was transient file churn, visible as the post-vacuum first
+repeat's 68 s outlier.)
 
 Reference behavior anchor: TTL semantics mirror ``purge_at``
 (``/root/reference/datagrowth/resources/base.py:47-53``); the

@@ -18,13 +18,16 @@ Per-round plan shape (the ``operators/classifier.py`` pattern):
   with bit-identical semantics, auto-selected on
   ``MAP_BCAST_THRESHOLD`` (``use_broadcast`` overrides):
 
-  - small vocabs: a literal ``map_from_arrays`` score map, looked up
-    per candidate — zero joins, zero shuffles. Spark's map lookup is
-    a LINEAR key scan and HOF bodies run interpreted (measured r10:
-    an 8k-piece map-carrier E-step over a 500k-distinct-word table
-    ran >19 min without finishing one of 32 tasks, stack-dump
-    confirmed), so this path is deliberately capped at small models
-    where the scan is cheap (~350 pieces: fine).
+  - trivial vocabs (≤ 256 pieces): a literal ``map_from_arrays``
+    score map, looked up per candidate — zero joins, zero shuffles.
+    Spark's map lookup is a LINEAR key scan and HOF bodies run
+    interpreted (measured r10: an 8k-piece map-carrier E-step over a
+    500k-distinct-word table ran >19 min without finishing one of 32
+    tasks, stack-dump confirmed; the r11 crossover probe traced the
+    curve — map E-step 36/60/183/381 s at 512/1024/2048/4096 pieces
+    vs a flat ~15 s on the join path, BENCH_NOTES r11), so this path
+    survives only below the smallest measured point, where per-round
+    JOB count rather than per-row cost dominates.
   - large vocabs: the candidate-JOIN E-step. A (word, start, plen)
     candidate layout — built ONCE per training, persisted
     pre-partitioned by word, positions never change between rounds —

@@ -1145,6 +1145,138 @@ GROUP BY md5(text)
 """
 
 
+def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over NORMALIZED text (new r11): the CCNet/Dolma
+    normalization key (``functions/text.py normalize_text`` —
+    lowercase, punctuation→space, whitespace collapse, trim) applied
+    before the hash-groupBy, so case and whitespace variants of the
+    same content collapse into one group. The fixture's texts have no
+    exact duplicates at gate sf, so the query clones every 7th doc
+    under a shifted id with a deterministic perturbation by
+    ``doc_id % 3`` (uppercased / space-padded / double-spaced) — a
+    RAW exact dedup finds nothing across the clone pairs; the
+    normalized key must re-collapse every pair. Output: the
+    normalized dup groups (≥ 2 members), top 200 by keeper id."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    perturbed = (F.when(F.col("doc_id") % 3 == 0, F.upper(text))
+                 .when(F.col("doc_id") % 3 == 1,
+                       F.concat(F.lit("  "), text, F.lit(" ")))
+                 .otherwise(F.regexp_replace(text, " ", "  ")))
+    clones = (docs.where(F.col("doc_id") % 7 == 0)
+              .select((F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+                      perturbed.alias("text")))
+    corpus = docs.select("doc_id", "text").unionAll(clones)
+    normed = corpus.select(
+        "doc_id", TX.normalize_text(F.col("text")).alias("text"))
+    return (DD.exact_dedup(normed, "text", "doc_id")
+            .where(F.col("dup_count") >= 2)
+            .orderBy("keep_id")
+            .limit(200))
+
+
+SQL_DEDUP_EXACT_NORMALIZED = """
+WITH v AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN upper(text)
+           WHEN 1 THEN '  ' || text || ' '
+           ELSE replace(text, ' ', '  ') END AS text
+  FROM documents
+  WHERE doc_id % 7 = 0
+),
+n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM v
+)
+SELECT md5(norm) AS content_hash, MIN(doc_id) AS keep_id,
+       COUNT(*) AS dup_count
+FROM n
+GROUP BY 1
+HAVING COUNT(*) >= 2
+ORDER BY keep_id
+LIMIT 200
+"""
+
+
+_PARA_WORDS = 12  # words per synthetic paragraph (fixture has no \n)
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with document rebuild (new r11 —
+    ``operators/dedup.py paragraph_dedup``, the CCNet/Dolma stage
+    between doc-exact and span dedup): keep each distinct paragraph's
+    first corpus-wide (doc_id, position) occurrence, drop the rest,
+    rebuild docs from survivors in order. The fixture's texts carry no
+    newlines, so paragraphs are materialized as ``_PARA_WORDS``-word
+    chunks joined with a real ``\\n\\n`` separator — identical
+    construction on both engines. Output: the docs that LOST at least
+    one paragraph, with the rebuilt text's md5."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    chunks = F.when(n < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.floor((n - 1) / F.lit(_PARA_WORDS))
+                       .cast("int")),
+            lambda i: F.array_join(
+                F.slice(toks, i * _PARA_WORDS + 1, _PARA_WORDS), " ")))
+    paradocs = docs.select(
+        "doc_id", F.array_join(chunks, "\n\n").alias("text"))
+    out = DD.paragraph_dedup(paradocs, "text", "doc_id")
+    return (out.where(F.col("n_kept") < F.col("n_paras"))
+            .select("doc_id", "n_paras", "n_kept",
+                    F.md5(F.encode("new_text", "utf-8")).alias("new_md5"))
+            .orderBy("doc_id")
+            .limit(100))
+
+
+SQL_DEDUP_PARAGRAPHS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(t) / {_PARA_WORDS}.0) AS INT)),
+                        i -> array_to_string(
+                               t[i * {_PARA_WORDS} + 1 : i * {_PARA_WORDS} + {_PARA_WORDS}],
+                               ' ')) AS paras
+  FROM toks
+),
+p AS (
+  SELECT doc_id, s.pos AS pos, s.para AS para
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(0, len(paras)),
+                                     i -> struct_pack(pos := i,
+                                                      para := paras[i + 1]))) AS s
+        FROM chunks)
+  WHERE s.para <> ''
+),
+surv AS (
+  SELECT doc_id, pos, para
+  FROM p
+  QUALIFY row_number() OVER (PARTITION BY md5(para)
+                             ORDER BY doc_id, pos) = 1
+),
+c AS (SELECT doc_id, COUNT(*) AS n_paras FROM p GROUP BY doc_id),
+r AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(para, e'\\n\\n' ORDER BY pos) AS new_text
+  FROM surv GROUP BY doc_id
+)
+SELECT c.doc_id, c.n_paras, COALESCE(r.n_kept, 0) AS n_kept,
+       md5(COALESCE(r.new_text, '')) AS new_md5
+FROM c LEFT JOIN r USING (doc_id)
+WHERE COALESCE(r.n_kept, 0) < c.n_paras
+ORDER BY doc_id
+LIMIT 100
+"""
+
+
 _SHINGLES_SQL = f"""
   SELECT doc_id AS id, unnest(list_distinct(
     CASE WHEN len({_TOKS_SQL}) < 3 THEN []
@@ -3805,7 +3937,11 @@ def q_unigram_lm_segments_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     requires, because map-column lookups are linear scans (measured
     r10, see the unigram/classifier module docstrings). The integer
     DP is identical on both paths, so this shares
-    ``unigram_lm_segments``'s oracle verbatim."""
+    ``unigram_lm_segments``'s oracle verbatim. (Since the r11
+    crossover probe moved ``MAP_BCAST_THRESHOLD`` to 256, the join
+    E-step is ALSO the auto-selected path at this vocab size; the
+    forced flag keeps the plan pinned independent of the
+    threshold.)"""
     from datagrowth_spark.operators.unigram import unigram_train
 
     res = unigram_train(_bpe_word_freq(spark, sf_dir), k=_UNI_K,
@@ -4593,10 +4729,14 @@ def q_quality_clf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_clf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Apply the freshly-trained classifier back to the corpus — the
-    swap-in scorer ``hashed_linear_score`` documents (element_at into
-    the trained weight map, map-only JVM stage): 6dp-quantized
-    probability per document, top 50 with doc_id tiebreak."""
+    """Apply the freshly-trained classifier back to the corpus:
+    6dp-quantized probability per document, top 50 with doc_id
+    tiebreak. Uses the expression-level ``probability()`` apply path
+    (the literal weight-map carrier) — kept on that path explicitly
+    so the oracle gate keeps exercising the literal carrier after the
+    r11 threshold change made the broadcast join the auto-selected
+    default at 1024 buckets (``quality_clf_scores_bcast`` pins the
+    join side; the two are bit-equal)."""
     res = _clf_train_result(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents")
     p = res.model.probability(F.col("text"))
@@ -7388,11 +7528,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (never-checked, new-this-round, or failed-last-round) come first;
     long-stable queries absorb the overflow positions past 50. When
     adding a query, insert it near the top. With this round's window
-    (7 new + the final 12 r6-stale + 31 of the r7 cohort) the whole
-    registry is at most two rounds stale at any time.
+    (2 new + the final 19 r7-stale + 29 of the r8 cohort) every
+    registry query has an r8+ driver check after round 11.
     """
     return {
-        # new in round 10 (never driver-checked) — positions 1-7
+        # new in round 11 (never driver-checked) — positions 1-2
+        "dedup_exact_normalized": q_dedup_exact_normalized,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        # r7-stale backlog (r10 verdict missing-item 3): all 19 fit —
+        # every registry query then has an r8+ driver check
+        "media_frames": q_media_frames,
+        "media_resize": q_media_resize,
+        "mixture_token_plan": q_mixture_token_plan,
+        "order_count_distribution": q_order_count_distribution,
+        "orders_rollup": q_orders_rollup,
+        "pipeline_growth_enrich": q_pipeline_growth_enrich,
+        "pipeline_seed_merge": q_pipeline_seed_merge,
+        "promo_share_monthly": q_promo_share_monthly,
+        "quality_unigram_lm": q_quality_unigram_lm,
+        "rich_idle_customers": q_rich_idle_customers,
+        "similarity_topk": q_similarity_topk,
+        "similarity_topk_ivf": q_similarity_topk_ivf,
+        "sql_market_share": q_sql_market_share,
+        "sql_volume_shipping": q_sql_volume_shipping,
+        "streaming_dedup_exact": q_streaming_dedup_exact,
+        "streaming_events_hourly": q_streaming_events_hourly,
+        "streaming_seed_merge": q_streaming_seed_merge,
+        "streaming_sessionize": q_streaming_sessionize,
+        "token_bigram_topk": q_token_bigram_topk,
+        # r8-checked rotation cohort: first 29 of 50 fill the window;
+        # the remaining 21 lead round 12
+        "active_suppliers": q_active_suppliers,
+        "bpe_encode_lengths": q_bpe_encode_lengths,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_trainer_merges": q_bpe_trainer_merges,
+        "bpe_trainer_vocab": q_bpe_trainer_vocab,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "corpus_budget_select": q_corpus_budget_select,
+        "corpus_mix_rebalance": q_corpus_mix_rebalance,
+        "corpus_pack": q_corpus_pack,
+        "corpus_sample": q_corpus_sample,
+        "corpus_split_stratified": q_corpus_split_stratified,
+        "corpus_token_drift": q_corpus_token_drift,
+        "corpus_vocab": q_corpus_vocab,
+        "curation_pipeline": q_curation_pipeline,
+        "customers_without_orders": q_customers_without_orders,
+        "dataset_version_diff": q_dataset_version_diff,
+        "decontamination": q_decontamination,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "docs_by_lang": q_docs_by_lang,
+        "dsir_importance": q_dsir_importance,
+        "finished_not_pending_custs": q_finished_not_pending_custs,
+        "html_extract": q_html_extract,
+        "nation_pair_revenue": q_nation_pair_revenue,
+        "nation_revenue": q_nation_revenue,
+        "order_priority_check": q_order_priority_check,
+        "pii_scan": q_pii_scan,
+        "pipeline_growth_chain": q_pipeline_growth_chain,
+        # r8-checked overflow (positions 51+; round 12's leaders)
+        "pricing_summary": q_pricing_summary,
+        "quality_linear_classifier": q_quality_linear_classifier,
+        "quality_threshold_by_lang": q_quality_threshold_by_lang,
+        "returned_items": q_returned_items,
+        "sole_supplier_orders": q_sole_supplier_orders,
+        "sql_global_sales_opp": q_sql_global_sales_opp,
+        "sql_part_promotion": q_sql_part_promotion,
+        "sql_small_qty_revenue": q_sql_small_qty_revenue,
+        "sql_waiting_suppliers": q_sql_waiting_suppliers,
+        "streaming_click_attribution": q_streaming_click_attribution,
+        "supplier_diversity": q_supplier_diversity,
+        "text_fingerprint": q_text_fingerprint,
+        "text_language_id": q_text_language_id,
+        "text_quality": q_text_quality,
+        "text_repetition": q_text_repetition,
+        "text_stats": q_text_stats,
+        "text_winnow_fingerprints": q_text_winnow_fingerprints,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "top_orders": q_top_orders,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "url_canonicalize": q_url_canonicalize,
+        # last driver-checked round 10 (the r10 window: 7 new + 12
+        # r6-stale + 31 of the r7 cohort)
         "sql_forecast_revenue": q_sql_forecast_revenue,
         "sql_important_stock": q_sql_important_stock,
         "sql_shipmode_priority": q_sql_shipmode_priority,
@@ -7400,8 +7618,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_clf_heldout": q_quality_clf_heldout,
         "quality_clf_scores_bcast": q_quality_clf_scores_bcast,
         "unigram_lm_segments_bcast": q_unigram_lm_segments_bcast,
-        # r6-stale backlog (verdict r9 missing-item 1): all 12 fit — every
-        # registry query then has an r7+ driver check
         "sql_frontend": q_sql_frontend,
         "sql_in_subquery_having": q_sql_in_subquery_having,
         "sql_lateral_topn": q_sql_lateral_topn,
@@ -7414,8 +7630,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_char_entropy": q_text_char_entropy,
         "text_ngram_novelty": q_text_ngram_novelty,
         "text_self_dedup": q_text_self_dedup,
-        # stalest rotation cohort (last driver-checked r7): first 31 of 50
-        # fill the window; the rest lead round 11
         "big_orders": q_big_orders,
         "boilerplate_prefixes": q_boilerplate_prefixes,
         "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
@@ -7447,77 +7661,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_heldout_perplexity": q_lm_heldout_perplexity,
         "media_decode": q_media_decode,
         "media_features": q_media_features,
-        # r7-checked overflow (positions 51+; next round's leaders)
-        "media_frames": q_media_frames,
-        "media_resize": q_media_resize,
-        "mixture_token_plan": q_mixture_token_plan,
-        "order_count_distribution": q_order_count_distribution,
-        "orders_rollup": q_orders_rollup,
-        "pipeline_growth_enrich": q_pipeline_growth_enrich,
-        "pipeline_seed_merge": q_pipeline_seed_merge,
-        "promo_share_monthly": q_promo_share_monthly,
-        "quality_unigram_lm": q_quality_unigram_lm,
-        "rich_idle_customers": q_rich_idle_customers,
-        "similarity_topk": q_similarity_topk,
-        "similarity_topk_ivf": q_similarity_topk_ivf,
-        "sql_market_share": q_sql_market_share,
-        "sql_volume_shipping": q_sql_volume_shipping,
-        "streaming_dedup_exact": q_streaming_dedup_exact,
-        "streaming_events_hourly": q_streaming_events_hourly,
-        "streaming_seed_merge": q_streaming_seed_merge,
-        "streaming_sessionize": q_streaming_sessionize,
-        "token_bigram_topk": q_token_bigram_topk,
-        # last driver-checked round 8
-        "active_suppliers": q_active_suppliers,
-        "bpe_encode_lengths": q_bpe_encode_lengths,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "bpe_trainer_merges": q_bpe_trainer_merges,
-        "bpe_trainer_vocab": q_bpe_trainer_vocab,
-        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
-        "corpus_budget_select": q_corpus_budget_select,
-        "corpus_mix_rebalance": q_corpus_mix_rebalance,
-        "corpus_pack": q_corpus_pack,
-        "corpus_sample": q_corpus_sample,
-        "corpus_split_stratified": q_corpus_split_stratified,
-        "corpus_token_drift": q_corpus_token_drift,
-        "corpus_vocab": q_corpus_vocab,
-        "curation_pipeline": q_curation_pipeline,
-        "customers_without_orders": q_customers_without_orders,
-        "dataset_version_diff": q_dataset_version_diff,
-        "decontamination": q_decontamination,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "docs_by_lang": q_docs_by_lang,
-        "dsir_importance": q_dsir_importance,
-        "finished_not_pending_custs": q_finished_not_pending_custs,
-        "html_extract": q_html_extract,
-        "nation_pair_revenue": q_nation_pair_revenue,
-        "nation_revenue": q_nation_revenue,
-        "order_priority_check": q_order_priority_check,
-        "pii_scan": q_pii_scan,
-        "pipeline_growth_chain": q_pipeline_growth_chain,
-        "pricing_summary": q_pricing_summary,
-        "quality_linear_classifier": q_quality_linear_classifier,
-        "quality_threshold_by_lang": q_quality_threshold_by_lang,
-        "returned_items": q_returned_items,
-        "sole_supplier_orders": q_sole_supplier_orders,
-        "sql_global_sales_opp": q_sql_global_sales_opp,
-        "sql_part_promotion": q_sql_part_promotion,
-        "sql_small_qty_revenue": q_sql_small_qty_revenue,
-        "sql_waiting_suppliers": q_sql_waiting_suppliers,
-        "streaming_click_attribution": q_streaming_click_attribution,
-        "supplier_diversity": q_supplier_diversity,
-        "text_fingerprint": q_text_fingerprint,
-        "text_language_id": q_text_language_id,
-        "text_quality": q_text_quality,
-        "text_repetition": q_text_repetition,
-        "text_stats": q_text_stats,
-        "text_winnow_fingerprints": q_text_winnow_fingerprints,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "top_orders": q_top_orders,
-        "top_parts_per_brand": q_top_parts_per_brand,
-        "url_canonicalize": q_url_canonicalize,
         # last driver-checked round 9
         "basket_part_pairs": q_basket_part_pairs,
         "cluster_budget_select": q_cluster_budget_select,
@@ -7573,6 +7716,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # new in round 11
+        "dedup_exact_normalized": SQL_DEDUP_EXACT_NORMALIZED,
+        "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
         # new in round 10
         "sql_forecast_revenue": _SQL_FORECAST_REVENUE,
         "sql_important_stock": _SQL_IMPORTANT_STOCK,

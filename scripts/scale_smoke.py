@@ -277,6 +277,31 @@ def main() -> None:
         from datagrowth_spark.operators.unigram import unigram_train
         unigram_train(_uni_wf, k=1, maxp=8).cleanup()
 
+    @bench("unigram_train_k1_v8k_join")
+    def _():
+        # r10 verdict item 1 — the cliff decade, on the join E-step:
+        # 8192 multi-char pieces over this ~n/20-distinct-word table
+        # is exactly the shape where the map carrier ran >19 min
+        # without finishing one of 32 tasks (r10, stack-dump
+        # confirmed). The candidate-JOIN E-step (unigram.py:96-154)
+        # must finish in normal time: one broadcast hash join of the
+        # (piece, score) frame + the O(maxp) fold over dense arrays.
+        from datagrowth_spark.operators.unigram import unigram_train
+        unigram_train(_uni_wf, k=1, vocab_multi=8192,
+                      use_broadcast=True).cleanup()
+
+    @bench("unigram_train_k2_v8k_join")
+    def _():
+        from datagrowth_spark.operators.unigram import unigram_train
+        unigram_train(_uni_wf, k=2, vocab_multi=8192,
+                      use_broadcast=True).cleanup()
+
+    # per-round marginal AT THE CLIFF DECADE: k2 minus k1 isolates one
+    # EM round carrying the full 8k-piece model through the join path
+    timings["unigram_v8k_per_round_marginal"] = round(
+        timings["unigram_train_k2_v8k_join"]
+        - timings["unigram_train_k1_v8k_join"], 2)
+
     @bench("pagerank_5m_edges")
     def _():
         # 5 power iterations over a 5M-edge synthetic link graph: each
