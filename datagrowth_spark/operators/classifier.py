@@ -314,8 +314,10 @@ def logreg_train(
     fastText's 2M buckets) and the join path rebuilds the non-zero
     (bucket, w6) frame each step via one Arrow batch (~16 MB at 2M
     entries) — both bounded by the MODEL size, never the corpus;
-    measured fine at 65536 buckets (SCALE_SMOKE_r10
-    ``logreg_train_k2_b65536_join``, 34.75 s at 10M docs).
+    measured fine at 65536 buckets (SCALE_SMOKE_r11
+    ``logreg_train_k2_b65536_join``, 26.7 s at 10M docs; the join
+    carrier's per-step marginal at 1024 buckets is 0.43 s vs the old
+    map default's 15.1 s — the r11 crossover probe's flat curve).
 
     Early stop: with ``stop_num`` set, training halts after step ``i``
     (≥ 2) when ``norm_i · stop_den ≥ norm_{i-1} · stop_num`` — the

@@ -36,7 +36,12 @@ Per-round plan shape (the ``operators/classifier.py`` pattern):
     array; the Viterbi fold then does O(1) ``element_at`` ARRAY
     lookups (array indexing, unlike map lookup, is constant-time).
     Per-round distributed work: one broadcast join + one
-    partitioning-reusing groupBy — no corpus shuffle.
+    partitioning-reusing groupBy — no corpus shuffle. MEASURED at
+    the cliff decade (SCALE_SMOKE_r11 ``unigram_train_k{1,2}_v8k_
+    join``: 8192 multi-char pieces over the 10M-doc/~500k-word smoke
+    corpus): ~17 s for seeding + one EM round, ~12.7 s marginal per
+    additional round — the same E-step whose map carrier could not
+    finish ONE of 32 tasks in >19 min (r10 stack-dump).
 * The M-step is one ``groupBy(piece)`` aggregate whose map-side
   combine collapses each task's output to ≤ vocab rows, then a
   model-sized driver collect. Per-round cost is flat in the round

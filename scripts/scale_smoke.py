@@ -355,6 +355,32 @@ def main() -> None:
         ngram_novelty(corpus, "text", "doc_id", n=5, hashed=True) \
             .write.format("noop").mode("overwrite").save()
 
+    @bench("paragraph_dedup_2m_docs")
+    def _():
+        # 2M docs × 2 12-word paragraphs, ~5% of docs collapsing onto
+        # shared paragraph keys (the winnow corpus shape): paragraph
+        # explode → md5-keyed keeper groupBy → co-partitioned survivor
+        # join-back → per-doc rebuild. One decade past the bench
+        # corpus for the new r11 operator.
+        from datagrowth_spark.operators.dedup import paragraph_dedup
+        nd = n // 5
+        key = F.when(F.col("id") % 20 == 0, F.col("id") % (nd // 50)) \
+            .otherwise(F.col("id"))
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda j: F.concat(F.lit("w"), ((key * 31 + j * 7)
+                                            % 200_000).cast("string")),
+        )
+        para_text = F.concat(
+            F.array_join(F.slice(words, 1, 12), " "),
+            F.lit("\n\n"),
+            F.array_join(F.slice(words, 13, 12), " "))
+        corpus = spark.range(nd).select(
+            F.col("id").alias("doc_id"), para_text.alias("text"))
+        paragraph_dedup(corpus, "text", "doc_id") \
+            .select(F.sum("n_kept"), F.sum("n_paras")) \
+            .write.format("noop").mode("overwrite").save()
+
     @bench("basket_pairs_10m_items")
     def _():
         # 10M (order, item) rows, ~5 items per order → in-row pair
