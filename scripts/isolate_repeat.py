@@ -48,6 +48,16 @@ def main() -> None:
         )
     )
 
+    def run_exact_dedup_groupby():
+        from datagrowth_spark.operators.dedup import exact_dedup
+        exact_dedup(docs, "text", "doc_id") \
+            .write.format("noop").mode("overwrite").save()
+
+    def run_pack_layout():
+        from datagrowth_spark.operators.packing import pack_layout
+        pack_layout(docs, "doc_id", "n_tokens", ctx=2048) \
+            .write.format("noop").mode("overwrite").save()
+
     def run_token_budget_select():
         from datagrowth_spark.operators.selection import select_by_token_budget
         select_by_token_budget(docs, ["stratum"], "score", "n_tokens",
@@ -132,6 +142,8 @@ def main() -> None:
 
     runners = {
         "sigstore_probe_pair": run_sigstore_probe_pair,
+        "exact_dedup_groupby": run_exact_dedup_groupby,
+        "pack_layout_sharded_prefix_sum": run_pack_layout,
         "token_budget_select": run_token_budget_select,
         "budget_threshold_rank_free": run_budget_threshold_rank_free,
         "weighted_sample_topk": run_weighted_sample_topk,
