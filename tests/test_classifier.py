@@ -228,6 +228,36 @@ class TestBroadcastCarrier:
             trained.cleanup()
 
 
+class TestAutoCarrierSelection:
+    """MAP_BCAST_THRESHOLD = 256 (r11, set from the measured crossover
+    curve): training auto-selects on n_buckets, scoring on the
+    non-zero entry count. The join path's persisted flat layout is the
+    observable (caches length 2 vs 1)."""
+
+    def test_train_auto_selects_on_bucket_count(self, spark):
+        docs = _docs(spark)
+        y = F.col("y") == 1
+        joined = logreg_train(docs, y, k=1, n_buckets=257)
+        literal = logreg_train(docs, y, k=1, n_buckets=256)
+        try:
+            assert len(joined.caches) == 2   # flat layout -> join path
+            assert len(literal.caches) == 1  # literal-map path
+        finally:
+            joined.cleanup()
+            literal.cleanup()
+
+    def test_score_auto_selects_on_entry_count(self, spark):
+        docs = _docs(spark)
+        big = LogRegModel([1] * 300, 300)      # 300 non-zero > 256
+        small = LogRegModel([1] * 256, 256)    # 256 non-zero, at bound
+        big_plan = big.score_docs(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        small_plan = small.score_docs(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in big_plan
+        assert "BroadcastHashJoin" not in small_plan
+
+
 class TestEarlyStop:
     def test_stop_rule_fires_and_truncates(self, spark):
         """stop_num=0 makes the rule fire on step 2 (norm*den >= 0
