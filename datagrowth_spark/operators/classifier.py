@@ -185,7 +185,10 @@ class LogRegModel:
         (bucket, w6) weight frame against the exploded feature rows
         above :data:`MAP_BCAST_THRESHOLD` (``use_broadcast`` forces
         either; the join path keys docs by ``id_col``, which must be
-        unique). Both paths compute identical integer expressions, so
+        unique — a NULL id is tolerated for at most one row: the
+        join-back matches null-safely via ``eqNullSafe``, so a NULL-id
+        row scores identically on both carriers, ADVICE r11). Both
+        paths compute identical integer expressions, so
         scores are bit-equal — including for NULL ``text_col``, which
         yields a NULL score on both (the join path explodes no feature
         rows for a NULL text, so the 0.5 backfill is explicitly gated
@@ -216,7 +219,7 @@ class LogRegModel:
                      / (F.lit(1.0) + F.exp(-margin))).cast("long")
         scores = per_doc.select("__sid", (p6 / F.lit(1000000.0)).alias("__p"))
         return (docs.join(scores,
-                          docs[id_col] == scores["__sid"], "left")
+                          docs[id_col].eqNullSafe(scores["__sid"]), "left")
                 # feature-less docs never reach the aggregation: their
                 # margin is 0 by contract → exactly 0.5 — but a NULL
                 # text must stay NULL (the literal path's NULL margin

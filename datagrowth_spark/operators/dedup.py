@@ -21,6 +21,8 @@ construction (Broder; see PAPERS.md) re-expressed relationally.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -59,10 +61,16 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     copy, and rebuild each document from its surviving paragraphs in
     original order.
 
-    ``sep`` is used both as the split regex and the rejoin string, so
-    it must be a literal that is also a regex-safe pattern (the
-    conventional ``"\\n\\n"`` is). Empty paragraphs (separator runs,
-    leading/trailing separators) are dropped before hashing.
+    ``sep`` is a LITERAL separator: the split side regex-escapes it
+    (``re.escape``), so a regex-active separator like ``"||"`` or
+    ``"."`` splits on the literal characters and the split/rejoin pair
+    stays consistent for any separator. Empty paragraphs (separator
+    runs, leading/trailing separators) are dropped before hashing.
+
+    ``id_col`` must be unique (and non-null): the keeper rule is
+    ``min(struct(id, pos))`` and the two final left joins key on the
+    id, so duplicate ids would silently multiply output rows — the
+    same contract as ``LogRegModel.score_docs``.
 
     Output: one row per input document —
     ``(id, n_paras, n_kept, new_text)``; ``new_text`` is ``''`` when
@@ -78,7 +86,7 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     corpus-squared.
     """
     sid = F.col(id_col)
-    parts = F.split(F.col(text_col), sep, -1)
+    parts = F.split(F.col(text_col), re.escape(sep), -1)
     paras = (df.select(sid.alias("__id"),
                        F.posexplode(parts).alias("__pos", "__para"))
              .where(F.col("__para") != "")

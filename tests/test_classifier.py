@@ -227,6 +227,30 @@ class TestBroadcastCarrier:
         finally:
             trained.cleanup()
 
+    def test_null_id_scores_equal_on_both_carriers(self, spark):
+        """A NULL id row keeps its real score on the join carrier (the
+        join-back is null-safe — ADVICE r11): before eqNullSafe the
+        null-unsafe equi-join dropped the aggregated score and the row
+        silently fell to the 0.5 backfill while the literal path
+        computed the true probability."""
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma", 1), (None, "alpha beta gamma", 1),
+             (3, "delta epsilon", 0)],
+            "doc_id long, text string, y int")
+        trained = logreg_train(docs.where(F.col("doc_id").isNotNull()),
+                               F.col("y") == 1, k=2, n_buckets=64, lr=50.0)
+        try:
+            lit = {r["doc_id"]: r["score"] for r in trained.model.score_docs(
+                docs, use_broadcast=False).collect()}
+            bc = {r["doc_id"]: r["score"] for r in trained.model.score_docs(
+                docs, use_broadcast=True).collect()}
+            assert lit == bc
+            # the NULL-id row has the same text as doc 1 — same score,
+            # and NOT the 0.5 backfill
+            assert bc[None] == bc[1]
+        finally:
+            trained.cleanup()
+
 
 class TestAutoCarrierSelection:
     """MAP_BCAST_THRESHOLD = 256 (r11, set from the measured crossover

@@ -64,6 +64,22 @@ class TestParagraphDedup:
         # the 5 shared 'c*' paragraphs survive only in their first docs
         assert sum(r["n_kept"] for r in a.values()) == 40 + 5
 
+    def test_regex_metacharacter_separator_is_literal(self, spark):
+        """``sep`` is a LITERAL (ADVICE r11): a regex-active separator
+        like ``"||"`` must split on the literal characters, not on the
+        regex alternation (which would split between every char)."""
+        docs = spark.createDataFrame(
+            [(1, "alpha||beta"), (2, "beta||gamma"), (3, "a.b")],
+            "doc_id long, text string")
+        out = _rows(paragraph_dedup(docs, sep="||"))
+        assert out[1]["new_text"] == "alpha||beta"
+        assert (out[1]["n_paras"], out[1]["n_kept"]) == (2, 2)
+        assert out[2]["new_text"] == "gamma"
+        # '.' separator must not match every character either
+        dot = _rows(paragraph_dedup(docs, sep="."))
+        assert dot[3]["new_text"] == "a.b"
+        assert (dot[3]["n_paras"], dot[3]["n_kept"]) == (2, 2)
+
 
 class TestNormalizeText:
     def test_case_whitespace_punct_collapse(self, spark):
