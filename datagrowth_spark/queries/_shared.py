@@ -1,0 +1,484 @@
+"""Benchmark/correctness query surface.
+
+Every entry pairs an idiomatic-Spark DataFrame program with an ANSI-SQL
+oracle that DuckDB runs on the same parquet tables. Cross-engine
+determinism rules used throughout:
+
+* money/double sums go through DECIMAL(18,2|4) (exact, order-independent)
+  then cast to DOUBLE — identical values regardless of partition/merge
+  order at any scale;
+* averages are exact-decimal sums divided as doubles;
+* the only hash primitive is md5 (identical everywhere); integer hashes
+  take the first 8 hex chars as BIGINT;
+* float similarities are rounded to 6dp *before* thresholding or
+  ranking so last-ulp float differences can never flip a comparison;
+* every top-k has a full deterministic tiebreaker.
+
+Scale notes are inline per query: what shuffles, what broadcasts, what
+prunes.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datagrowth_spark.core.session import ensure_ts_readable
+from datagrowth_spark.functions import text as TX
+from datagrowth_spark.operators import dedup as DD
+from datagrowth_spark.operators import multimodal as MM
+from datagrowth_spark.operators import similarity as SIM
+from datagrowth_spark.sources import testclient as TC
+
+
+# Session-lifetime cache registry (r7 verdict item 6): query functions
+# persist intermediates that multiple passes read (rank sketch
+# construction, vocab joins); operators without a cleanup handle
+# register theirs too. Per-query driver sessions never notice; library
+# consumers call release_caches() between queries, and the oracle
+# harness asserts the CacheManager is empty after every sweep.
+from datagrowth_spark.core.caching import persist_registered as _persist
+from datagrowth_spark.core.caching import register as _register_cache
+from datagrowth_spark.core.caching import release as release_caches
+
+
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+
+def _dec_sum(col, scale: int = 2):
+    """Order-independent exact sum of a double column, surfaced as double."""
+    return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
+
+
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+_RAW_TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+_NORM_TOKS_SQL = (
+    "list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+'), t -> t <> '')"
+)
+
+
+
+_Z_BITS = 4
+
+
+
+def _zorder_sql() -> str:
+    k = 2
+    terms = []
+    for i, tcol in enumerate(("ta", "tb")):
+        for j in range(_Z_BITS):
+            weight = 1 << (j * k + (k - 1 - i))
+            terms.append(f"((({tcol} - 1) // {1 << j}) % 2) * {weight}")
+    z = " + ".join(terms)
+    return f"""
+WITH d AS (
+  SELECT doc_id, n_chars, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_toks
+  FROM documents
+),
+t AS (
+  SELECT doc_id, n_chars, n_toks,
+         NTILE({1 << _Z_BITS}) OVER (ORDER BY n_chars ASC, doc_id ASC) AS ta,
+         NTILE({1 << _Z_BITS}) OVER (ORDER BY n_toks ASC, doc_id ASC) AS tb
+  FROM d
+)
+SELECT doc_id, n_chars, n_toks, CAST({z} AS BIGINT) AS zkey FROM t
+"""
+
+
+
+def _langid_sql() -> str:
+    from datagrowth_spark.functions.text import LANG_STOPWORDS
+
+    score_exprs = {
+        lang: (
+            f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in sw)})))"
+            f" / CAST(greatest(len(toks), 1) AS DOUBLE)"
+        )
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    # Mirror the Spark fold: iterate langs sorted, strict >, start ('und', 0.0)
+    best_lang, best_score = "'und'", "0.0"
+    for lang in sorted(score_exprs):
+        s = f"s_{lang}"
+        best_lang = f"CASE WHEN {s} > {best_score} THEN '{lang}' ELSE {best_lang} END"
+        best_score = f"CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END"
+    selects = ",\n         ".join(f"{expr} AS s_{lang}" for lang, expr in score_exprs.items())
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         {selects}
+  FROM t
+)
+SELECT doc_id, {best_lang} AS pred_lang FROM s
+"""
+
+
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id AS id, unnest(list_distinct(
+    CASE WHEN len({_TOKS_SQL}) < 3 THEN []
+         ELSE list_transform(generate_series(1, len({_TOKS_SQL}) - 2),
+              i -> concat_ws(' ', {_TOKS_SQL}[i], {_TOKS_SQL}[i+1], {_TOKS_SQL}[i+2]))
+    END)) AS shingle
+  FROM documents
+"""
+
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT id, COUNT(*) AS n_shingles FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(inter / CAST(sa.n_shingles + sb.n_shingles - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(inter / CAST(sa.n_shingles + sb.n_shingles - inter AS DOUBLE), 6) >= 0.1
+"""
+
+
+
+_NUM_HASHES = 16
+
+_BANDS = 4
+
+
+
+def _mh_expr_sql(i: int) -> str:
+    a, b = DD.minhash_params(i)
+    return (
+        f"MIN(({a} * CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) + {b}) % {DD.MINHASH_P})"
+    )
+
+
+
+def _minhash_lsh_sql() -> str:
+    rows = _NUM_HASHES // _BANDS
+    mh_selects = ",\n       ".join(f"{_mh_expr_sql(i)} AS mh_{i}" for i in range(_NUM_HASHES))
+    band_selects = []
+    for b in range(_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(mh_{i} AS VARCHAR)" for i in range(b * rows, (b + 1) * rows)
+        )
+        band_selects.append(f"SELECT id, md5('{b},' || {cols}) AS band_key FROM sig")
+    banded = "\nUNION ALL\n".join(band_selects)
+    agree = " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(_NUM_HASHES)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT id,
+       {mh_selects}
+  FROM sh GROUP BY id
+),
+banded AS ({banded}),
+candidates AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.id < b.id
+)
+SELECT c.id_a, c.id_b, round(({agree}) / CAST({_NUM_HASHES} AS DOUBLE), 6) AS est_jaccard
+FROM candidates c
+JOIN sig a ON a.id = c.id_a
+JOIN sig b ON b.id = c.id_b
+WHERE round(({agree}) / CAST({_NUM_HASHES} AS DOUBLE), 6) >= 0.2
+"""
+
+
+
+def _incremental_sql() -> str:
+    rows = _NUM_HASHES // _BANDS
+    mh_selects = ",\n       ".join(f"{_mh_expr_sql(i)} AS mh_{i}" for i in range(_NUM_HASHES))
+
+    def banded(src: str) -> str:
+        parts = []
+        for b in range(_BANDS):
+            cols = " || ',' || ".join(
+                f"CAST(mh_{i} AS VARCHAR)" for i in range(b * rows, (b + 1) * rows))
+            parts.append(f"SELECT id, md5('{b},' || {cols}) AS band_key FROM {src}")
+        return "\nUNION ALL\n".join(parts)
+
+    agree = " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(_NUM_HASHES))
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (SELECT id, {mh_selects} FROM sh GROUP BY id),
+new_sig AS (SELECT * FROM sig WHERE id % 10 >= 8),
+old_sig AS (SELECT * FROM sig WHERE id % 10 < 8),
+banded_new AS ({banded('new_sig')}),
+banded_old AS ({banded('old_sig')}),
+cand AS (
+  SELECT a.id AS id, s.id AS other
+  FROM banded_new a JOIN banded_old s ON a.band_key = s.band_key
+  UNION
+  SELECT a.id AS id, b.id AS other
+  FROM banded_new a JOIN banded_new b ON a.band_key = b.band_key AND a.id > b.id
+),
+matches AS (
+  SELECT c.id, c.other, round(({agree}) / CAST({_NUM_HASHES} AS DOUBLE), 6) AS est
+  FROM cand c
+  JOIN sig a ON a.id = c.id
+  JOIN sig b ON b.id = c.other
+  WHERE round(({agree}) / CAST({_NUM_HASHES} AS DOUBLE), 6) >= 0.2
+),
+best AS (
+  SELECT id, MIN(other) AS dup_of, arg_min(est, other) AS est_jaccard
+  FROM matches GROUP BY id
+)
+SELECT s.id AS doc_id,
+       best.dup_of IS NOT NULL AS is_dup,
+       best.dup_of,
+       best.est_jaccard
+FROM new_sig s LEFT JOIN best ON best.id = s.id
+"""
+
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    terms = []
+    for j in range(bits):
+        mask = 1 << j
+        terms.append(
+            f"(CASE WHEN len(list_filter(hashes, h -> (h & {mask}) != 0)) * 2 > n THEN {mask} ELSE 0 END)"
+        )
+    total = "\n         + ".join(terms)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform({_NORM_TOKS_SQL},
+                        w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)) AS hashes
+  FROM documents
+), m AS (
+  SELECT doc_id, hashes, greatest(len(hashes), 1) AS n FROM t
+)
+SELECT doc_id,
+       CAST({total} AS BIGINT) AS simhash
+FROM m
+"""
+
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    return f"""
+WITH sigs AS ({_simhash_sql()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+
+SQL_DEDUP_CANONICALIZE_QUALITY = f"""
+WITH RECURSIVE pairs AS ({{jaccard}}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, comp) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+),
+components AS (SELECT node, MIN(comp) AS cluster_id FROM reach GROUP BY node),
+quality AS ({{quality}}),
+member AS (
+  SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id, q.quality
+  FROM quality q LEFT JOIN components c ON c.node = q.doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM member
+),
+canon AS (SELECT cluster_id, doc_id AS canonical_id FROM ranked WHERE rn = 1)
+SELECT m.doc_id, c.canonical_id, m.doc_id = c.canonical_id AS kept
+FROM member m JOIN canon c ON c.cluster_id = m.cluster_id
+"""
+
+
+
+def _leakage_safe_split_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, group_key, split) — the group-aware split shared by
+    ``corpus_split_leakage_safe`` and the held-out classifier eval."""
+    from datagrowth_spark.operators.graph import dedup_clusters
+    from datagrowth_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    clusters = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    grouped = docs.select("doc_id").join(clusters, "doc_id", "left") \
+        .withColumn("group_key", F.coalesce("cluster_id", F.col("doc_id")))
+    bucket = hash_bucket("group_key", buckets=100, salt="split")
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return grouped.select("doc_id",
+                          F.col("group_key").cast("long").alias("group_key"),
+                          split.alias("split"))
+
+
+
+#: the split CTE chain (through a ``splits`` view) — shared verbatim
+#: by the split query's oracle and the held-out classifier-eval oracle
+_SQL_SPLIT_CTES = f"""RECURSIVE pairs AS ({SQL_DEDUP_NGRAM_JACCARD}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, comp) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+),
+components AS (SELECT node, MIN(comp) AS cluster_id FROM reach GROUP BY node),
+grouped AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN components c ON c.node = d.doc_id
+),
+split_bucketed AS (
+  SELECT doc_id, group_key,
+         CAST(('0x' || substr(md5('split:' || CAST(group_key AS VARCHAR)), 1, 8)) AS BIGINT)
+         % 100 AS bucket
+  FROM grouped
+),
+splits AS (
+  SELECT doc_id, group_key,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM split_bucketed
+)"""
+
+
+
+_PR_KNUTH = 2654435761
+
+_PR_STEP = 40503
+
+_PR_ITERS = 5
+
+_PR_DAMPING = 0.85
+
+
+
+def _pagerank_sql() -> str:
+    base = f"(1.0 - {_PR_DAMPING}) / (SELECT n FROM nn)"
+    its = []
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f"""r{i} AS (
+  SELECT d.doc_id AS node,
+         {base} + {_PR_DAMPING} * COALESCE(inf.s, 0) AS rank
+  FROM documents d
+  LEFT JOIN (
+    SELECT e.v AS node, SUM(r.rank / dg.outd) AS s
+    FROM e
+    JOIN r{i - 1} r ON r.node = e.u
+    JOIN deg dg ON dg.u = e.u
+    GROUP BY e.v
+  ) inf ON inf.node = d.doc_id
+)""")
+    chain = ",\n".join(its)
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS u,
+         (doc_id * {_PR_KNUTH} + k.k * {_PR_STEP}) % (SELECT n FROM nn) AS v
+  FROM documents, (SELECT unnest([0, 1, 2]) AS k) k
+),
+deg AS (SELECT u, COUNT(*) AS outd FROM e GROUP BY u),
+r0 AS (SELECT doc_id AS node, 1.0 / (SELECT n FROM nn) AS rank FROM documents),
+{chain}
+SELECT node AS doc_id,
+       round(rank * (SELECT n FROM nn), 6) AS rank_n
+FROM r{_PR_ITERS}
+"""
+
+
+
+def _triangles_sql() -> str:
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+directed AS (
+  SELECT doc_id AS src, ((doc_id * {_PR_KNUTH} + k * {_PR_STEP}) % (SELECT n FROM nn)) AS dst
+  FROM documents, (SELECT unnest([0, 1, 2]) AS k)
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM directed WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT unnest([a, b, c]) AS doc_id FROM tri
+)
+SELECT doc_id, COUNT(*) AS n_triangles
+FROM nodes GROUP BY doc_id
+ORDER BY n_triangles DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+
+# Shared winnowing CTE chain (3-gram md5 hashes, window 4) — used by the
+# per-doc fingerprint query and the winnow-based decontamination query.
+_WINNOW_CTES = f"""
+t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(generate_series(1, len(toks) - 2),
+                   i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+         END AS grams
+  FROM t),
+w AS (
+  SELECT doc_id, len(grams) AS n_grams,
+         CASE WHEN len(grams) >= 4
+              THEN list_transform(generate_series(1, len(grams) - 3),
+                   j -> list_aggregate(grams[j:j+3], 'min'))
+              WHEN len(grams) > 0 THEN [list_aggregate(grams, 'min')]
+              ELSE CAST([] AS VARCHAR[])
+         END AS mins
+  FROM g)
+"""
+
+
+
+SQL_SOURCE_QUOTA_ENFORCE = """
+WITH tq AS ({quality}),
+j AS (
+  SELECT d.doc_id, d.source, tq.quality,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY tq.quality DESC, d.doc_id) AS rk
+  FROM documents d JOIN tq ON tq.doc_id = d.doc_id
+  WHERE d.source NOT IN ('src7', 'src13'))
+SELECT doc_id, source, quality, CAST(rk AS BIGINT) AS rk
+FROM j WHERE rk <= 15
+"""
+
