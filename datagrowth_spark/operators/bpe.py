@@ -63,7 +63,9 @@ class BPETrainResult:
       (step, lhs, rhs, merged, pair_count); driver-built (k rows).
     * ``vocab`` — final symbol vocabulary: (symbol, freq) where freq
       is the word-frequency-weighted occurrence count.
-    * ``word_symbols`` — final segmentation: (w, freq, syms).
+    * ``word_symbols`` — final segmentation: (w, freq, syms); ``None``
+      on artifacts reloaded from disk (``operators/modelstore.py`` —
+      re-derive by replaying ``merges`` with :func:`bpe_encode`).
     * ``caches`` — persisted frames the trainer created; callers own
       their lifetime (``cleanup()`` or register with a session hook).
     """

@@ -85,17 +85,32 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     ``groupBy(id)``. Shuffle volume is paragraph-linear, never
     corpus-squared.
     """
-    sid = F.col(id_col)
-    parts = F.split(F.col(text_col), re.escape(sep), -1)
-    paras = (df.select(sid.alias("__id"),
-                       F.posexplode(parts).alias("__pos", "__para"))
-             .where(F.col("__para") != "")
-             .withColumn("__h", F.md5(F.encode("__para", "utf-8"))))
+    paras = _paragraph_frame(df, text_col, id_col, sep)
     keeper = paras.groupBy("__h").agg(
         F.min(F.struct("__id", "__pos")).alias("__k"))
     surv = (paras.join(keeper, "__h")
             .where((F.col("__id") == F.col("__k.__id"))
                    & (F.col("__pos") == F.col("__k.__pos"))))
+    return _rebuild_docs(df, paras, surv, id_col, sep)
+
+
+def _paragraph_frame(df: DataFrame, text_col: str, id_col: str,
+                     sep: str) -> DataFrame:
+    """Exploded paragraph occurrences (``__id``, ``__pos``, ``__para``,
+    ``__h``) — ``sep`` split literally, empties dropped, ``__h`` the
+    paragraph's md5 (the fixed-width shuffle/join key)."""
+    parts = F.split(F.col(text_col), re.escape(sep), -1)
+    return (df.select(F.col(id_col).alias("__id"),
+                      F.posexplode(parts).alias("__pos", "__para"))
+            .where(F.col("__para") != "")
+            .withColumn("__h", F.md5(F.encode("__para", "utf-8"))))
+
+
+def _rebuild_docs(df: DataFrame, paras: DataFrame, surv: DataFrame,
+                  id_col: str, sep: str) -> DataFrame:
+    """Shared tail of the paragraph-dedup family: per-doc paragraph
+    counts, survivor rebuild in original order (one ``groupBy(id)``),
+    and the left-join-back that keeps paragraph-less docs."""
     stats = paras.groupBy("__id").agg(F.count(F.lit(1)).alias("n_paras"))
     rebuilt = (surv.groupBy("__id")
                .agg(F.count(F.lit(1)).alias("n_kept"),
@@ -105,7 +120,7 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
                                 F.struct("__pos", "__para"))),
                             lambda s: s["__para"]),
                         sep).alias("new_text")))
-    return (df.select(sid.alias("__id"))
+    return (df.select(F.col(id_col).alias("__id"))
             .join(stats, "__id", "left")
             .join(rebuilt, "__id", "left")
             .select(F.col("__id").alias(id_col),
@@ -114,6 +129,84 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
                     F.coalesce("n_kept", F.lit(0).cast("long"))
                     .alias("n_kept"),
                     F.coalesce("new_text", F.lit("")).alias("new_text")))
+
+
+def paragraph_dedup_fuzzy(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          sep: str = "\n\n",
+                          num_hashes: int = 16, bands: int = 4,
+                          n: int = 3,
+                          threshold: float = 0.5) -> DataFrame:
+    """Fuzzy paragraph-level dedup with document rebuild — the
+    RefinedWeb/Dolma stage between :func:`paragraph_dedup` (exact) and
+    span rewrite: paragraphs that are NEAR-duplicates of an earlier
+    paragraph are dropped too, where "near" is banded MinHash-LSH over
+    word 3-shingles verified by estimated Jaccard ≥ ``threshold``
+    (same signature construction as the document-level
+    :func:`minhash_lsh_pairs`, so signatures stay engine-portable).
+
+    Semantics (deterministic, order-free): exact copies collapse to
+    one DISTINCT paragraph first (keeper = smallest corpus-wide
+    ``(id, pos)``, as in :func:`paragraph_dedup`); a distinct
+    paragraph is then dropped entirely when it shares an LSH band
+    bucket with a paragraph whose first occurrence is strictly earlier
+    AND the pair's estimated Jaccard clears the threshold — the greedy
+    first-wins rule every incremental dedup pipeline applies, stated
+    corpus-wide. Paragraphs with fewer than ``n`` tokens have no
+    shingles, hence no signature, and can only dedup exactly.
+
+    Output matches :func:`paragraph_dedup`:
+    ``(id, n_paras, n_kept, new_text)``.
+
+    ``id_col`` must be unique and non-null (same contract, same
+    reason: min-struct keeper + id join-backs).
+
+    Plan (100 TB): work splits into a paragraph-linear half (explode,
+    one md5 groupBy to the distinct-paragraph table, survivor
+    join-back, rebuild) and a DISTINCT-paragraph-sized half (shingle →
+    minhash aggregate, band self-join, verify join). The band
+    self-join never sees exact duplicates — boilerplate collapses to
+    one row before signatures — so bucket skew is bounded by
+    near-dup-cluster sizes, not by copy counts; nothing is all-pairs.
+    Signature/keeper frames feed multiple consumers and are persisted
+    via the session cache registry.
+    """
+    from datagrowth_spark.core.caching import persist_registered
+
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    paras = persist_registered(_paragraph_frame(df, text_col, id_col, sep))
+    # distinct paragraphs with their first-occurrence key; min() of the
+    # (identical) texts keeps the row single-aggregate
+    dp = persist_registered(paras.groupBy("__h").agg(
+        F.min(F.struct("__id", "__pos")).alias("__k"),
+        F.min("__para").alias("__para")))
+    sig = persist_registered(
+        minhash_signature(dp, "__para", "__h", num_hashes, n))
+    banded = (_banded_keys(sig, num_hashes, bands)
+              .join(dp.select(F.col("__h").alias("id"), "__k"), "id"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col("a.__k") < F.col("b.__k")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+             .distinct())
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    sig_a = sig.select(F.col("id").alias("id_a"),
+                       *[F.col(c).alias(f"a_{c}") for c in mh_cols])
+    sig_b = sig.select(F.col("id").alias("id_b"),
+                       *[F.col(c).alias(f"b_{c}") for c in mh_cols])
+    agree = sum(F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0)
+                for c in mh_cols)
+    losers = (cands.join(sig_a, "id_a").join(sig_b, "id_b")
+              .where(F.round(agree / F.lit(num_hashes), 6)
+                     >= F.lit(threshold))
+              .select(F.col("id_b").alias("__h"))
+              .distinct())
+    surv = (paras.join(dp.select("__h", "__k"), "__h")
+            .where((F.col("__id") == F.col("__k.__id"))
+                   & (F.col("__pos") == F.col("__k.__pos")))
+            .join(losers, "__h", "left_anti"))
+    return _rebuild_docs(df, paras, surv, id_col, sep)
 
 
 def ngram_novelty(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -106,3 +106,53 @@ class TestNormalizeText:
         frame = spark.createDataFrame([("Call 555-0199 now",)], "t string")
         (row,) = frame.select(normalize_text("t").alias("n")).collect()
         assert row["n"] == "call 555 0199 now"
+
+
+class TestParagraphDedupFuzzy:
+    def _out(self, spark, rows, **kw):
+        from datagrowth_spark.operators.dedup import paragraph_dedup_fuzzy
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r
+                for r in paragraph_dedup_fuzzy(docs, **kw).collect()}
+
+    def test_near_dup_paragraph_dropped_first_kept(self, spark):
+        a = "the quick brown fox jumps over the lazy dog"
+        b = a + " today"          # J = 7/8 on word 3-shingles
+        other = "completely different words about distributed shuffles"
+        out = self._out(spark, [(1, f"{a}\n\n{other}"), (2, f"{b}\n\nunique tail paragraph here")])
+        assert out[1]["new_text"] == f"{a}\n\n{other}"
+        assert (out[2]["n_paras"], out[2]["n_kept"]) == (2, 1)
+        assert out[2]["new_text"] == "unique tail paragraph here"
+
+    def test_exact_dups_still_collapse(self, spark):
+        a = "alpha beta gamma delta epsilon zeta"
+        out = self._out(spark, [(1, f"{a}"), (2, f"{a}")])
+        assert out[1]["new_text"] == a
+        assert out[2]["new_text"] == ""
+
+    def test_short_paragraphs_only_exact_dedup(self, spark):
+        # < 3 tokens -> no shingles -> no signature -> fuzzy can't fire
+        out = self._out(spark, [(1, "ab cd"), (2, "ab cd"), (3, "ab ce")])
+        assert out[1]["new_text"] == "ab cd"
+        assert out[2]["new_text"] == ""
+        assert out[3]["new_text"] == "ab ce"
+
+    def test_keeper_is_earliest_first_occurrence(self, spark):
+        a = ("one two three four five six seven eight nine ten "
+             "eleven twelve thirteen fourteen fifteen sixteen")
+        b = a + " seventeen"
+        # b's first occurrence is (doc 1, pos 0); a's is (doc 2, pos 0):
+        # doc 1 wins, a is the near-dup that drops
+        out = self._out(spark, [(2, a), (1, b)])
+        assert out[1]["new_text"] == b
+        assert out[2]["new_text"] == ""
+
+    def test_layout_independent(self, spark):
+        from datagrowth_spark.operators.dedup import paragraph_dedup_fuzzy
+        base = "w%d x%d common trailing words here and there"
+        rows = [(i, (base % (i % 4, i % 4)) + f"\n\nunique u{i} v{i} w{i} x{i}")
+                for i in range(30)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, paragraph_dedup_fuzzy(docs.repartition(7)).collect()))
+        b = sorted(map(tuple, paragraph_dedup_fuzzy(docs.coalesce(1)).collect()))
+        assert a == b
