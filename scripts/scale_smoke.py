@@ -38,6 +38,19 @@ def main() -> None:
             timings[name] = round(time.time() - t0, 2)
         return run
 
+    # Warm-up (r11 verdict item 4): a fixed dummy shuffle+codegen op,
+    # EXCLUDED from the timings dict, so the first real op no longer
+    # absorbs cold-JVM/codegen costs (r10/r11 saw in-smoke
+    # first-position readings up to 6.8x their isolated warm medians
+    # at 100M under a fresh 48g JVM, costing isolated re-runs every
+    # round). Size is fixed (not scale-dependent) for comparability.
+    (spark.range(2_000_000)
+     .select((F.xxhash64("id") % 1000).alias("k"),
+             F.md5(F.col("id").cast("string")).alias("v"))
+     .groupBy("k").agg(F.count(F.lit(1)).alias("c"),
+                       F.min("v").alias("m"))
+     .write.format("noop").mode("overwrite").save())
+
     # Synthetic corpus: n docs, ~5% exact duplicates, zipf-ish strata.
     docs = (
         spark.range(n)
@@ -378,6 +391,39 @@ def main() -> None:
         corpus = spark.range(nd).select(
             F.col("id").alias("doc_id"), para_text.alias("text"))
         paragraph_dedup(corpus, "text", "doc_id") \
+            .select(F.sum("n_kept"), F.sum("n_paras")) \
+            .write.format("noop").mode("overwrite").save()
+
+    @bench("paragraph_dedup_fuzzy_1m_docs")
+    def _():
+        # 1M docs × 2 12-word paragraphs; ~10% of docs carry a NEAR-
+        # duplicate (10-of-12 shared words) of a boilerplate paragraph
+        # pool — the fuzzy half (distinct-paragraph minhash → banded
+        # self-join → jaccard verify) on top of paragraph_dedup's
+        # paragraph-linear half. New r12 operator, one decade past
+        # the bench corpus.
+        from datagrowth_spark.operators.dedup import paragraph_dedup_fuzzy
+        nd = n // 10
+        near = F.col("id") % 10 == 0
+        key = F.when(near, F.col("id") % (nd // 100)).otherwise(F.col("id"))
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda j: F.concat(F.lit("w"), ((key * 31 + j * 7)
+                                            % 200_000).cast("string")),
+        )
+        # near-dup docs perturb the tail of their second paragraph so
+        # it shares 10 of 12 words with the pool paragraph
+        p2 = F.when(
+            near,
+            F.concat(F.array_join(F.slice(words, 13, 10), " "),
+                     F.lit(" x"), (F.col("id") % 97).cast("string"),
+                     F.lit(" y"), (F.col("id") % 89).cast("string")),
+        ).otherwise(F.array_join(F.slice(words, 13, 12), " "))
+        para_text = F.concat(
+            F.array_join(F.slice(words, 1, 12), " "), F.lit("\n\n"), p2)
+        corpus = spark.range(nd).select(
+            F.col("id").alias("doc_id"), para_text.alias("text"))
+        paragraph_dedup_fuzzy(corpus, "text", "doc_id") \
             .select(F.sum("n_kept"), F.sum("n_paras")) \
             .write.format("noop").mode("overwrite").save()
 
