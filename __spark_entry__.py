@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` /
 ``oracle_sql()`` expose the full operator surface (see
-datagrowth_spark/queries.py for the implementations and the
+datagrowth_spark/queries/ for the implementations and the
 cross-engine determinism rules).
 """
 

@@ -140,8 +140,26 @@ def main() -> None:
                   flush=True)
         _shutil.rmtree(sig_dir, ignore_errors=True)
 
+    _clf_cache: list = []
+
+    def _clf_carrier(n_buckets, use_broadcast):
+        # crossover-grid point, exactly as scripts/carrier_crossover.py
+        # runs it (k=2, persisted labeled docs) — for re-measuring
+        # contaminated grid readings under the quiet-box rule
+        from datagrowth_spark.operators.classifier import logreg_train
+        if not _clf_cache:
+            clf = docs.select("doc_id", "text",
+                              (F.col("stratum") < 10).alias("y")).persist()
+            clf.count()
+            _clf_cache.append(clf)
+        logreg_train(_clf_cache[0], F.col("y"), k=2, n_buckets=n_buckets,
+                     use_broadcast=use_broadcast).cleanup()
+
     runners = {
         "sigstore_probe_pair": run_sigstore_probe_pair,
+        "clf_join_1024": lambda: _clf_carrier(1024, True),
+        "clf_join_8192": lambda: _clf_carrier(8192, True),
+        "clf_map_4096": lambda: _clf_carrier(4096, False),
         "exact_dedup_groupby": run_exact_dedup_groupby,
         "pack_layout_sharded_prefix_sum": run_pack_layout,
         "token_budget_select": run_token_budget_select,
