@@ -30,6 +30,10 @@ from datagrowth_spark import queries as Q
 from datagrowth_spark.core.session import get_spark
 
 HEADLINE = [
+    "dedup_paragraphs_fuzzy",
+    "quality_clf_scores_reloaded",
+    "unigram_lm_segments_reloaded",
+    "bpe_encode_reloaded",
     "dedup_exact_normalized",
     "dedup_paragraphs",
     "sql_forecast_revenue",
