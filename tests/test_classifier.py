@@ -174,11 +174,14 @@ class TestBroadcastCarrier:
         finally:
             res.cleanup()
 
-    def test_broadcast_plan_is_hash_join_no_literal_map(self, spark):
-        """The broadcast carrier's physical plan HASH-joins the weight
-        frame (O(1) lookup per feature) instead of inlining an
-        n_buckets-sized map_from_arrays literal (whose element_at is a
-        linear scan — the measured r10 cliff)."""
+    def test_broadcast_plan_is_one_row_array_no_map(self, spark):
+        """The broadcast carrier ships the DENSE weight array as a
+        one-row frame (``BroadcastExchange IdentityBroadcastMode`` —
+        the vector is DATA, O(1) ``element_at`` per feature) instead of
+        a map carrier (whose element_at is a linear scan — the measured
+        r10 cliff) or the r11 per-bucket hash join (which paid a per-doc
+        re-aggregation and an id join-back). The literal carrier inlines
+        the array with no broadcast at all."""
         docs = _docs(spark)
         res = logreg_train(docs, F.col("y") == 1, k=1, n_buckets=256,
                            lr=50.0)
@@ -186,12 +189,14 @@ class TestBroadcastCarrier:
             bc_plan = res.model.score_docs(
                 docs, use_broadcast=True)._jdf.queryExecution() \
                 .executedPlan().toString()
-            assert "BroadcastHashJoin" in bc_plan
+            assert "IdentityBroadcastMode" in bc_plan
+            assert "BroadcastHashJoin" not in bc_plan
             assert "map_from_arrays" not in bc_plan
             lit_plan = res.model.score_docs(
                 docs, use_broadcast=False)._jdf.queryExecution() \
                 .executedPlan().toString()
-            assert "BroadcastHashJoin" not in lit_plan
+            assert "BroadcastExchange" not in lit_plan
+            assert "map_from_arrays" not in lit_plan
         finally:
             res.cleanup()
 
@@ -253,10 +258,11 @@ class TestBroadcastCarrier:
 
 
 class TestAutoCarrierSelection:
-    """MAP_BCAST_THRESHOLD = 256 (r11, set from the measured crossover
-    curve): training auto-selects on n_buckets, scoring on the
-    non-zero entry count. The join path's persisted flat layout is the
-    observable (caches length 2 vs 1)."""
+    """MAP_BCAST_THRESHOLD = 256: both training and scoring auto-select
+    the dense-array carrier on ``n_buckets`` (r12 — the literal carrier
+    is an n_buckets-long array expression regardless of sparsity, so the
+    entry count no longer matters). Observables: the train result's
+    ``carrier`` attribute and the scoring plan's broadcast node."""
 
     def test_train_auto_selects_on_bucket_count(self, spark):
         docs = _docs(spark)
@@ -264,22 +270,22 @@ class TestAutoCarrierSelection:
         joined = logreg_train(docs, y, k=1, n_buckets=257)
         literal = logreg_train(docs, y, k=1, n_buckets=256)
         try:
-            assert len(joined.caches) == 2   # flat layout -> join path
-            assert len(literal.caches) == 1  # literal-map path
+            assert joined.carrier == "broadcast"
+            assert literal.carrier == "literal"
         finally:
             joined.cleanup()
             literal.cleanup()
 
-    def test_score_auto_selects_on_entry_count(self, spark):
+    def test_score_auto_selects_on_bucket_count(self, spark):
         docs = _docs(spark)
-        big = LogRegModel([1] * 300, 300)      # 300 non-zero > 256
-        small = LogRegModel([1] * 256, 256)    # 256 non-zero, at bound
+        big = LogRegModel([1] * 257, 257)      # 257 buckets > 256
+        small = LogRegModel([1] * 256, 256)    # 256 buckets, at bound
         big_plan = big.score_docs(docs)._jdf.queryExecution() \
             .executedPlan().toString()
         small_plan = small.score_docs(docs)._jdf.queryExecution() \
             .executedPlan().toString()
-        assert "BroadcastHashJoin" in big_plan
-        assert "BroadcastHashJoin" not in small_plan
+        assert "IdentityBroadcastMode" in big_plan
+        assert "BroadcastExchange" not in small_plan
 
 
 class TestEarlyStop:
