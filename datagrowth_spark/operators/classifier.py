@@ -10,45 +10,49 @@ over the corpus feature frame.
 
 Scale design (100 TB):
 
-* The feature matrix build is MAP-ONLY (r12 optimization, guide §2.4):
-  the per-document bucket sequence is a per-row array expression
-  (``doc_id`` is unique by contract, so the old
+* The feature build is MAP-ONLY (r12, guide §2.4): each row is one
+  document (``doc_id`` unique by contract), so its bucket sequence,
+  label and feature count are per-row expressions — the pre-r12
   explode → groupBy(doc, bucket) → groupBy(doc) pair shuffled the
-  corpus twice to compute what each row already determines). One
-  persisted frame ``(y, n, bk)``, ZERO setup shuffles.
-* Each step is ONE corpus pass: a narrow projection computes the
-  margin as an exact integer fold over ``bk`` with O(1)
-  ``element_at`` lookups into the DENSE weight array (array indexing
-  is constant-time, unlike map lookup), then the per-bucket gradient
-  aggregate (explode + groupBy(bucket)) whose map-side combine
-  collapses every task's output to ≤ ``n_buckets`` rows. The driver
+  corpus twice to compute what each row already determines. The
+  persisted per-doc frame costs ZERO shuffles; the join carrier's
+  flat per-occurrence layout is derived from it with exactly ONE
+  corpus shuffle (the pre-partition by document that every step's
+  aggregation and join-back then reuse).
+* The model has TWO physical carriers with identical semantics (same
+  integer arithmetic, bit-identical results):
+
+  - ``n_buckets`` ≤ :data:`MAP_BCAST_THRESHOLD` → the DENSE weight
+    vector as a literal ``F.array`` expression, folded over the
+    per-row bucket array with O(1) ``element_at`` indexed reads
+    (r12 — the old literal-MAP carrier paid an O(non-zero entries)
+    linear scan per lookup). The fold is a higher-order function and
+    runs interpreted, which is why this carrier is capped at trivial
+    expression sizes where per-step JOB count, not per-row cost,
+    dominates.
+  - above it → the weights ship as a small (bucket, w6) frame
+    BROADCAST-HASH-JOINED against the flat per-occurrence feature
+    frame, then one per-doc aggregation and one co-partitioned
+    join-back. This fixes BOTH large-model cliffs at once: no
+    model-sized Catalyst expression tree, and O(1) HASHED lookup per
+    feature inside WholeStageCodegen. Measured r10: map-column
+    ``element_at`` is a LINEAR SCAN (``GetMapValueUtil.getValueEval``)
+    and runs interpreted inside a higher-order ``aggregate``, so any
+    map carrier costs O(|model|) per lookup — a 65536-bucket step at
+    10M docs ran >55 min without finishing one task. Measured r12:
+    a dense-ARRAY fold carrier (one-row broadcast array, O(1) per
+    lookup) is still 4–8× slower than this join at sf0.1 — the
+    interpreted-HOF per-element overhead, not the lookup complexity,
+    is the bottleneck, so the per-step work must stay inside
+    codegen'd join/aggregate operators. Auto-selected;
+    ``use_broadcast`` overrides.
+* On the join path each step's per-doc margin aggregation and the
+  residual join-back reuse the flat frame's document partitioning —
+  per-step shuffle work is exactly ONE bounded per-bucket gradient
+  exchange (map-side combine collapses every task's output to
+  ≤ ``n_buckets`` rows), the same as the literal path. The driver
   collects ≤ ``n_buckets`` gradient rows per step — bounded by the
-  model size, not the data. ONE bounded exchange per step, no joins.
-* The DENSE weight array has two physical carriers with identical
-  semantics (same integer arithmetic, bit-identical results):
-
-  - ``n_buckets`` ≤ :data:`MAP_BCAST_THRESHOLD` → a literal
-    ``F.array`` expression, constant-folded by Catalyst (zero extra
-    plan nodes; a huge literal would bloat the expression tree, hence
-    the cap);
-  - above it → the full weight vector ships as a ONE-ROW
-    ``array<long>`` frame attached by broadcast cross join
-    (BroadcastNestedLoopJoin of a single row — the array is DATA, so
-    no model-sized expression tree, and every task holds exactly one
-    copy, like a broadcast hash relation but without the per-step
-    re-aggregation and join-back the old (bucket, w6) hash-join
-    carrier paid). Auto-selected; ``use_broadcast`` overrides.
-
-  Why dense arrays and not maps: measured r10 — Spark's
-  ``element_at`` on a map column is a LINEAR SCAN
-  (``GetMapValueUtil.getValueEval``), interpreted when it sits inside
-  a higher-order ``aggregate``, so ANY map-column carrier (literal or
-  broadcast) costs O(|model|) per lookup and a 65536-bucket step at
-  10M docs ran >55 min without finishing one task. Dense-array
-  ``element_at`` is O(1) at any model size (r12: replaces the r11
-  broadcast-hash-join carrier, which was also O(1)/lookup but cost an
-  extra persisted corpus copy, a per-doc re-aggregation and a
-  join-back every step — two corpus passes per step instead of one).
+  model size, not the data.
 * Hot buckets cannot skew: the gradient aggregate's key space is the
   fixed bucket range and partials combine map-side.
 
@@ -79,24 +83,27 @@ from datagrowth_spark.functions.text import hashed_features, md5_long
 #: integer unit scales: weights in micro (1e-6), residuals in nano (1e-9)
 MICRO = 1_000_000
 
-#: above this many buckets (= dense-array length) the weight array
-#: ships as a one-row broadcast frame instead of a literal ``F.array``
-#: expression. Historically (≤ r11) this also switched between the
-#: literal-MAP carrier and the broadcast-hash-JOIN carrier, set from
+#: above this many buckets the plan switches from the literal
+#: dense-array expression to the broadcast-hash-JOIN carrier. Set from
 #: the measured r11 crossover probe (``scripts/carrier_crossover.py``,
-#: 10M rows; full curve in BENCH_NOTES r11): the literal map's
-#: per-lookup LINEAR scan makes its cost double with every model-size
+#: 10M rows; full curve in BENCH_NOTES r11): the literal map carrier's
+#: per-lookup LINEAR scan made its cost double with every model-size
 #: doubling (unigram map E-step 36 → 60 → 183 → 381 s at 512 → 4096
 #: pieces; classifier map step 57 → 257 s at 1024 → 16384 buckets)
-#: while the join path was FLAT (15-30 s at every size, both
-#: trainers). r12 replaced both with the dense-array carrier —
-#: O(1)/lookup at EVERY size — so the threshold now only bounds the
-#: literal expression-tree size (a 2M-literal array would bloat
-#: analysis/codegen; a one-row broadcast is data, size-independent).
-#: 256 is kept: below it the literal saves the broadcast job, above
-#: it the broadcast keeps plans flat. Bit-equality of the two
-#: carriers is pinned by pytest at 64/256-bucket and maxp=8/4k-piece
-#: configs.
+#: while the join path is FLAT (15-30 s at every size, both trainers).
+#: No crossover was found: the join also won both sf0.1 bench pairs at
+#: the SMALLEST real model sizes (633-weight scorer 5.2 vs 9.7 s;
+#: ~340-piece segmenter 3.4 vs 3.9 s). 256 keeps the literal
+#: expression only for trivial models, where per-step JOB count (the
+#: join path runs a broadcast + an extra aggregate per step), not
+#: per-row cost, dominates — below the smallest measured point, so the
+#: literal path there is a convenience, not a performance claim.
+#: r12 re-confirmed the join side from the other direction: a one-row
+#: broadcast dense-ARRAY fold carrier (O(1)/lookup, no join) measured
+#: 4–8× SLOWER than the join at sf0.1 because higher-order folds run
+#: interpreted — so the threshold is a codegen boundary, not a lookup-
+#: complexity one. Bit-equality of the two carriers is pinned by
+#: pytest at 64/256-bucket and maxp=8/4k-piece configs.
 MAP_BCAST_THRESHOLD = 256
 
 
@@ -121,24 +128,6 @@ def _warr_literal(values: list[int]) -> Column:
     ``element_at`` is an O(1) indexed read. Small vectors only (the
     pre-folding expression tree is ``len(values)`` nodes)."""
     return F.array(*[F.lit(int(v)).cast("long") for v in values])
-
-
-def _one_row_array_frame(spark, values: list[int],
-                         col_name: str) -> DataFrame:
-    """Dense integer vector as a ONE-ROW ``array<long>`` frame — the
-    broadcast carrier for large models. Attached by broadcast cross
-    join, the vector is DATA (no model-sized expression tree), every
-    task holds exactly one copy, and ``element_at`` is an O(1) indexed
-    read into the broadcast row's array."""
-    if len(values) > 50_000:
-        # Arrow batch transfer: a 2M-entry vector serializes in one
-        # columnar pass instead of 2M pickled ints through Py4J
-        import pandas as pd
-        return spark.createDataFrame(
-            pd.DataFrame({col_name: [list(values)]}),
-            schema=f"{col_name} ARRAY<BIGINT>")
-    return spark.createDataFrame([(list(values),)],
-                                 f"{col_name} ARRAY<BIGINT>")
 
 
 def _margin_from_array(text: Column, warr: Column,
@@ -183,9 +172,9 @@ class LogRegModel:
         an O(non-zero entries) linear scan per feature lookup), exact
         integer sum, one division. Literal-expression carrier, so
         small models only (the expression is ``n_buckets`` literals);
-        large models go through :meth:`score_docs`'s one-row broadcast
-        array carrier. NULL text yields a NULL margin (propagation —
-        including for an all-zero model); empty text yields 0."""
+        large models go through :meth:`score_docs`'s broadcast hash
+        join. NULL text yields a NULL margin (propagation — including
+        for an all-zero model); empty text yields 0."""
         tcol = F.col(text) if isinstance(text, str) else text
         return _margin_from_array(tcol, _warr_literal(self.w6),
                                   self.n_buckets)
@@ -204,29 +193,57 @@ class LogRegModel:
                    use_broadcast: bool | None = None,
                    id_col: str = "doc_id") -> DataFrame:
         """Append the 6dp probability column — the DataFrame-level
-        apply path that picks the DENSE weight-array carrier on
-        ``n_buckets`` (``use_broadcast`` forces either): the literal
-        array expression for small models, the one-row broadcast
-        array frame above :data:`MAP_BCAST_THRESHOLD`. Both carriers
-        evaluate the SAME map-only expression (r12 — the old
-        broadcast-hash-join carrier exploded the features, joined the
-        weight frame, re-aggregated per doc and joined back by
-        ``id_col``; the dense array makes scoring a pure per-row map,
-        so ``id_col`` is no longer read and ids need not be unique or
-        non-null), so scores are bit-equal: NULL ``text_col`` yields
-        a NULL score, an EMPTY text exactly 0.5, on either carrier."""
+        apply path that picks the model carrier on ``n_buckets``
+        (``use_broadcast`` forces either): the literal dense-array
+        expression for small models, a broadcast HASH join of the
+        (bucket, w6) weight frame against the exploded feature rows
+        above :data:`MAP_BCAST_THRESHOLD` (the join path keys docs by
+        ``id_col``, which must be unique — a NULL id is tolerated for
+        at most one row: the join-back matches null-safely via
+        ``eqNullSafe``, so a NULL-id row scores identically on both
+        carriers, ADVICE r11). Both paths compute identical integer
+        expressions, so scores are bit-equal — including for NULL
+        ``text_col``, which yields a NULL score on both (the join path
+        explodes no feature rows for a NULL text, so the 0.5 backfill
+        is explicitly gated on text being non-null; an EMPTY text is
+        0.5 on both). The join path's exploded projection and hashed
+        probe run inside WholeStageCodegen — measured 4–5× faster at
+        sf0.1 than folding a broadcast dense array per row, because
+        higher-order folds run interpreted (module docstring)."""
         if use_broadcast is None:
             use_broadcast = self.n_buckets > MAP_BCAST_THRESHOLD
         text = F.col(text_col)
         if not use_broadcast:
             return docs.withColumn(out, self.probability(text))
-        wrow = _one_row_array_frame(docs.sparkSession, self.w6, "__warr")
-        margin = _margin_from_array(text, F.col("__warr"), self.n_buckets)
+        entries = [(b, w) for b, w in enumerate(self.w6) if w != 0]
+        wkv = _kv_frame(docs.sparkSession, entries, "BIGINT",
+                        "bucket", "__w6")
+        flat = docs.select(
+            F.col(id_col).alias("__sid"),
+            F.explode(hashed_features(text)).alias("__ft"),
+        ).select("__sid",
+                 (md5_long(F.col("__ft")) % self.n_buckets).alias("bucket"))
+        per_doc = (flat.join(F.broadcast(wkv), "bucket", "left")
+                   .groupBy("__sid")
+                   .agg(F.sum(F.coalesce(F.col("__w6"),
+                                         F.lit(0).cast("long"))).alias("__num"),
+                        F.count(F.lit(1)).alias("__nf")))
+        margin = F.col("__num") / (F.lit(1000000.0) * F.col("__nf"))
         p6 = F.round(F.lit(1000000.0)
                      / (F.lit(1.0) + F.exp(-margin))).cast("long")
-        return (docs.crossJoin(F.broadcast(wrow))
-                .withColumn(out, p6 / F.lit(1000000.0))
-                .drop("__warr"))
+        scores = per_doc.select("__sid", (p6 / F.lit(1000000.0)).alias("__p"))
+        return (docs.join(scores,
+                          docs[id_col].eqNullSafe(scores["__sid"]), "left")
+                # feature-less docs never reach the aggregation: their
+                # margin is 0 by contract → exactly 0.5 — but a NULL
+                # text must stay NULL (the literal path's NULL margin
+                # propagates; backfilling 0.5 here would silently
+                # diverge between the two carriers)
+                .withColumn(out, F.when(text.isNull(),
+                                        F.lit(None).cast("double"))
+                            .otherwise(F.coalesce(F.col("__p"),
+                                                  F.lit(0.5))))
+                .drop("__sid", "__p"))
 
 
 class LogRegTrainResult:
@@ -258,9 +275,9 @@ class LogRegTrainResult:
         self.stopped_early = stopped_early
         self.n_docs = n_docs
         self.caches = caches
-        #: which dense-array carrier the training steps used —
-        #: "literal" (array expression) or "broadcast" (one-row frame);
-        #: the auto-selection observable the boundary tests pin
+        #: which weight carrier the training steps used — "literal"
+        #: (dense-array expression) or "broadcast" (hash-joined weight
+        #: frame); the auto-selection observable the boundary tests pin
         self.carrier = carrier
 
     def weights_df(self, spark) -> DataFrame:
@@ -310,21 +327,22 @@ def logreg_train(
     between per-sample SGD rates (fastText's 0.1) and full-batch GD on
     averaged features.
 
-    ``use_broadcast`` picks the dense weight-array carrier per step
-    (literal array expression vs one-row broadcast frame; ``None``
-    auto-selects on :data:`MAP_BCAST_THRESHOLD`) — the arithmetic is
-    identical, so the trained weights are bit-equal on either path.
-
-    ``id_col`` is accepted for signature compatibility but no longer
-    read (r12): the feature build is per-row, so duplicate or NULL ids
-    cannot fan anything out. Each input ROW is one training document.
+    ``use_broadcast`` picks the weight carrier per step (literal
+    dense-array expression vs broadcast-hash-joined (bucket, w6)
+    frame; ``None`` auto-selects on :data:`MAP_BCAST_THRESHOLD`) — the
+    arithmetic is identical, so the trained weights are bit-equal on
+    either path. On the join path ``id_col`` keys the per-doc
+    aggregation and must be unique; the literal path never reads it.
 
     Driver memory bound: ``w6`` is materialized dense
     (``[0] * n_buckets`` Python ints, ~28 B each → ~56 MB at
-    fastText's 2M buckets) and the broadcast carrier ships the full
-    dense vector each step via one Arrow batch (~16 MB at 2M entries)
-    — both bounded by the MODEL size, never the corpus (measured r12:
-    65536-bucket smoke on the dense carrier, SCALE_SMOKE entries).
+    fastText's 2M buckets) and the join path rebuilds the non-zero
+    (bucket, w6) frame each step via one Arrow batch (~16 MB at 2M
+    entries) — both bounded by the MODEL size, never the corpus;
+    measured fine at 65536 buckets (SCALE_SMOKE_r11
+    ``logreg_train_k2_b65536_join``, 26.7 s at 10M docs; the join
+    carrier's per-step marginal at 1024 buckets is 0.43 s vs the old
+    map default's 15.1 s — the r11 crossover probe's flat curve).
 
     Early stop: with ``stop_num`` set, training halts after step ``i``
     (≥ 2) when ``norm_i · stop_den ≥ norm_{i-1} · stop_num`` — the
@@ -340,49 +358,79 @@ def logreg_train(
     # MAP-ONLY feature build (r12, guide §2.4): each row is one
     # document, so its bucket sequence, label and feature count are
     # per-row expressions — the old explode → groupBy(doc, bucket) →
-    # groupBy(doc) pair shuffled the corpus twice for nothing. The
-    # margin fold sums per OCCURRENCE (Σ w over occurrences ≡
-    # Σ tf·w over distinct buckets, exact integers), so per-(doc,
-    # bucket) tf pre-aggregation is unnecessary. int buckets halve
-    # the persisted bytes vs long (guide §2.3).
+    # groupBy(doc) pair shuffled the corpus twice for nothing. All
+    # sums run per OCCURRENCE (Σ w over occurrences ≡ Σ tf·w over
+    # distinct buckets, exact integers), so per-(doc, bucket) tf
+    # pre-aggregation is unnecessary. int buckets halve the persisted
+    # bytes vs long (guide §2.3).
     base = (docs
-            .select(label.cast("int").alias("y"), buckets.alias("bk"))
+            .select(F.col(id_col).alias("__id"),
+                    label.cast("int").alias("y"), buckets.alias("bk"))
             .where(F.size("bk") > 0)
-            .select("y", F.size("bk").cast("long").alias("n"), "bk")
+            .select("__id", "y", F.size("bk").cast("long").alias("n"), "bk")
             .persist())
     n_docs = base.count()
     caches = [base]
     if use_broadcast is None:
         use_broadcast = n_buckets > MAP_BCAST_THRESHOLD
+    flat = None
+    if use_broadcast:
+        # join-path layout: the per-OCCURRENCE (doc, bucket) frame,
+        # derived from the persisted base (features hashed once) and
+        # persisted PRE-PARTITIONED by document so every step's
+        # per-doc aggregation and residual join-back reuse the
+        # partitioning — the setup's ONLY corpus shuffle, and no
+        # per-step corpus shuffle at all
+        flat = (base.select("__id", "y", "n",
+                            F.explode("bk").alias("bucket"))
+                .repartition("__id")
+                .persist())
+        flat.count()
+        caches.append(flat)
     w6 = [0] * n_buckets
     grad_norms: list[int] = []
     stopped = False
 
     for _step in range(k):
         if use_broadcast:
-            # one-row broadcast frame: the dense vector is DATA, no
-            # model-sized expression tree (module docstring)
-            wrow = _one_row_array_frame(spark, w6, "__warr")
-            stepframe = base.crossJoin(F.broadcast(wrow))
-            warr = F.col("__warr")
+            # broadcast HASH join of the weight frame: O(1) hashed
+            # lookup per feature row inside WholeStageCodegen (a map
+            # column would linear-scan the model per lookup — the
+            # measured r10 cliff — and a dense-array fold would run
+            # interpreted — the measured r12 4–8× regression; module
+            # docstring)
+            entries = [(b, w) for b, w in enumerate(w6) if w != 0]
+            wkv = _kv_frame(spark, entries, "BIGINT", "bucket", "__w6")
+            num_df = (flat.join(F.broadcast(wkv), "bucket", "left")
+                      .groupBy("__id", "y", "n")
+                      .agg(F.sum(F.coalesce(
+                          F.col("__w6"), F.lit(0).cast("long"))).alias("num")))
+            margin = F.col("num") / (F.lit(1000000.0) * F.col("n"))
+            p6 = F.round(F.lit(1000000.0)
+                         / (F.lit(1.0) + F.exp(-margin))).cast("long")
+            r9 = F.round(
+                (p6 - F.col("y").cast("long") * MICRO)
+                * F.lit(1000.0) / F.col("n")).cast("long")
+            grad_src = (flat.join(num_df.select("__id", r9.alias("__r9")),
+                                  "__id")
+                        .select("bucket", "__r9"))
         else:
-            stepframe = base
+            # literal dense-array fold (O(1) indexed reads; the fold
+            # itself is interpreted — trivial models only)
             warr = _warr_literal(w6)
-        # ONE corpus pass per step: margin fold (O(1) array lookups) →
-        # residual → per-bucket gradient; the only exchange is the
-        # ≤ n_buckets-row gradient aggregate.
-        num = F.aggregate(
-            F.col("bk"), F.lit(0).cast("long"),
-            lambda acc, b: acc + F.element_at(warr, b + F.lit(1)))
-        margin = num / (F.lit(1000000.0) * F.col("n"))
-        p6 = F.round(
-            F.lit(1000000.0) / (F.lit(1.0) + F.exp(-margin))).cast("long")
-        r9 = F.round(
-            (p6 - F.col("y").cast("long") * MICRO)
-            * F.lit(1000.0) / F.col("n")).cast("long")
+            num = F.aggregate(
+                F.col("bk"), F.lit(0).cast("long"),
+                lambda acc, b: acc + F.element_at(warr, b + F.lit(1)))
+            margin = num / (F.lit(1000000.0) * F.col("n"))
+            p6 = F.round(
+                F.lit(1000000.0) / (F.lit(1.0) + F.exp(-margin))).cast("long")
+            r9 = F.round(
+                (p6 - F.col("y").cast("long") * MICRO)
+                * F.lit(1000.0) / F.col("n")).cast("long")
+            grad_src = (base.select(r9.alias("__r9"),
+                                    F.explode("bk").alias("bucket")))
         grad_rows = (
-            stepframe.select(r9.alias("__r9"), F.explode("bk").alias("bucket"))
-            .groupBy("bucket")
+            grad_src.groupBy("bucket")
             # Σ r9 over occurrences ≡ Σ tf·r9 over distinct buckets;
             # DECIMAL(38,0): exact and overflow-proof at any corpus size
             .agg(F.sum(F.col("__r9").cast("decimal(38,0)")).alias("g9"))

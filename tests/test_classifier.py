@@ -174,14 +174,14 @@ class TestBroadcastCarrier:
         finally:
             res.cleanup()
 
-    def test_broadcast_plan_is_one_row_array_no_map(self, spark):
-        """The broadcast carrier ships the DENSE weight array as a
-        one-row frame (``BroadcastExchange IdentityBroadcastMode`` —
-        the vector is DATA, O(1) ``element_at`` per feature) instead of
-        a map carrier (whose element_at is a linear scan — the measured
-        r10 cliff) or the r11 per-bucket hash join (which paid a per-doc
-        re-aggregation and an id join-back). The literal carrier inlines
-        the array with no broadcast at all."""
+    def test_broadcast_plan_is_hash_join_no_literal_map(self, spark):
+        """The broadcast carrier's physical plan HASH-joins the weight
+        frame (O(1) codegen'd lookup per feature) instead of inlining
+        a map carrier (whose element_at is a linear scan — the
+        measured r10 cliff) or folding a one-row broadcast dense array
+        (interpreted HOF — the measured r12 4–8× regression). The
+        literal carrier inlines the dense array with no broadcast or
+        map at all."""
         docs = _docs(spark)
         res = logreg_train(docs, F.col("y") == 1, k=1, n_buckets=256,
                            lr=50.0)
@@ -189,8 +189,7 @@ class TestBroadcastCarrier:
             bc_plan = res.model.score_docs(
                 docs, use_broadcast=True)._jdf.queryExecution() \
                 .executedPlan().toString()
-            assert "IdentityBroadcastMode" in bc_plan
-            assert "BroadcastHashJoin" not in bc_plan
+            assert "BroadcastHashJoin" in bc_plan
             assert "map_from_arrays" not in bc_plan
             lit_plan = res.model.score_docs(
                 docs, use_broadcast=False)._jdf.queryExecution() \
@@ -259,10 +258,11 @@ class TestBroadcastCarrier:
 
 class TestAutoCarrierSelection:
     """MAP_BCAST_THRESHOLD = 256: both training and scoring auto-select
-    the dense-array carrier on ``n_buckets`` (r12 — the literal carrier
-    is an n_buckets-long array expression regardless of sparsity, so the
-    entry count no longer matters). Observables: the train result's
-    ``carrier`` attribute and the scoring plan's broadcast node."""
+    the carrier on ``n_buckets`` (r12 — the literal carrier is an
+    n_buckets-long dense-array expression regardless of sparsity, so
+    the non-zero entry count no longer matters). Observables: the
+    train result's ``carrier`` attribute and the scoring plan's
+    broadcast hash join."""
 
     def test_train_auto_selects_on_bucket_count(self, spark):
         docs = _docs(spark)
@@ -284,7 +284,7 @@ class TestAutoCarrierSelection:
             .executedPlan().toString()
         small_plan = small.score_docs(docs)._jdf.queryExecution() \
             .executedPlan().toString()
-        assert "IdentityBroadcastMode" in big_plan
+        assert "BroadcastHashJoin" in big_plan
         assert "BroadcastExchange" not in small_plan
 
 
