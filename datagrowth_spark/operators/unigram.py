@@ -28,20 +28,23 @@ Per-round plan shape (the ``operators/classifier.py`` pattern):
     vs a flat ~15 s on the join path, BENCH_NOTES r11), so this path
     survives only below the smallest measured point, where per-round
     JOB count rather than per-row cost dominates.
-  - large vocabs: the candidate-JOIN E-step. A (word, start, plen)
-    candidate layout — built ONCE per training, persisted
-    pre-partitioned by word, positions never change between rounds —
-    is broadcast-HASH-joined (O(1)/candidate) against the round's
-    (piece, score) frame and folded into a DENSE per-word score
-    array; the Viterbi fold then does O(1) ``element_at`` ARRAY
-    lookups (array indexing, unlike map lookup, is constant-time).
-    Per-round distributed work: one broadcast join + one
-    partitioning-reusing groupBy — no corpus shuffle. MEASURED at
-    the cliff decade (SCALE_SMOKE_r11 ``unigram_train_k{1,2}_v8k_
-    join``: 8192 multi-char pieces over the 10M-doc/~500k-word smoke
-    corpus): ~17 s for seeding + one EM round, ~12.7 s marginal per
-    additional round — the same E-step whose map carrier could not
-    finish ONE of 32 tasks in >19 min (r10 stack-dump).
+  - large vocabs: the candidate-ID E-step (r12). A (word, start,
+    plen) candidate layout is broadcast-HASH-joined against the
+    (piece, id) frame and folded into a DENSE per-word PIECE-ID
+    array — ONCE per training, because positions, substrings and the
+    vocab SET are all fixed after seeding. Each round then attaches
+    only the round's score VECTOR (a one-row ``array<long>``
+    broadcast in sorted-piece order) and the Viterbi fold does two
+    O(1) ``element_at`` reads per lookup (slot → piece id → score).
+    Per-round distributed work: one one-row broadcast — no join, no
+    regroup, no corpus shuffle (before r12 every round re-joined the
+    (piece, score) frame and re-built per-word score arrays with
+    collect_list + array_sort; the join E-step was MEASURED at the
+    cliff decade, SCALE_SMOKE_r11 ``unigram_train_k{1,2}_v8k_join``:
+    8192 pieces over the 10M-doc/~500k-word smoke corpus, ~17 s
+    seed+round / ~12.7 s marginal per round — the same E-step whose
+    map carrier could not finish ONE of 32 tasks in >19 min, r10
+    stack-dump).
 * The M-step is one ``groupBy(piece)`` aggregate whose map-side
   combine collapses each task's output to ≤ vocab rows, then a
   model-sized driver collect. Per-round cost is flat in the round
@@ -123,22 +126,62 @@ def _candidate_layout(df: DataFrame, word_col: str, maxp: int,
                     .alias("__piece")))
 
 
-def _scored_candidate_arrays(cands: DataFrame, scores6: dict[str, int],
-                             word_col: str, carry: list[str]) -> DataFrame:
-    """One broadcast HASH join of the (piece, score) frame against the
-    candidate layout, folded to a dense ``__sc`` score array per word
-    — O(1) array lookups replace the map carrier's O(|vocab|) linear
-    scans (module HONEST LIMIT). NULL slots (invalid start/plen or
-    out-of-vocab piece) reproduce the map-miss semantics exactly, so
-    the downstream Viterbi fold is bit-identical."""
-    pkv = _kv_frame(cands.sparkSession, sorted(scores6.items()),
-                    "STRING", "__piece", "__s6")
+def _indexed_candidate_arrays(cands: DataFrame, pieces: list[str],
+                              word_col: str, carry: list[str]) -> DataFrame:
+    """One broadcast HASH join of the (piece, id) frame against the
+    candidate layout, folded to a dense ``__ids`` PIECE-ID array per
+    word (ids are 1-based positions in the SORTED piece list). NULL
+    slots (invalid start/plen or out-of-vocab piece) reproduce the
+    map-miss semantics exactly. Built ONCE per training/segmentation:
+    the vocab SET is fixed after seeding, so only the SCORE VECTOR
+    changes between EM rounds (r12 — the old per-round
+    ``_scored_candidate_arrays`` re-joined the (piece, score) frame
+    and re-built the per-word arrays with collect_list + array_sort
+    every round, paying the join and the regroup k+1 times for a
+    layout that never changes)."""
+    pkv = _kv_frame(cands.sparkSession,
+                    [(p, i + 1) for i, p in enumerate(pieces)],
+                    "STRING", "__piece", "__pid")
     return (cands.join(F.broadcast(pkv), "__piece", "left")
             .groupBy(word_col, *carry)
             .agg(F.transform(
                 F.array_sort(F.collect_list(
-                    F.struct("__i", "__p", "__s6"))),
-                lambda s: s["__s6"]).alias("__sc")))
+                    F.struct("__i", "__p", "__pid"))),
+                # int ids: element_at wants an INT index, and int
+                # arrays halve the persisted layout bytes (guide §2.3)
+                lambda s: s["__pid"].cast("int")).alias("__ids")))
+
+
+def _sv_frame(spark, scores6: dict[str, int],
+              pieces: list[str]) -> DataFrame:
+    """The round's score VECTOR in sorted-piece order as a ONE-ROW
+    ``array<long>`` frame, attached by broadcast cross join: the
+    vector is DATA (no vocab-sized expression tree — a 250k-piece
+    literal would bloat analysis), every task holds exactly one copy,
+    and ``element_at(vector, id)`` is an O(1) indexed read — so the
+    per-round model swap touches no candidate row and re-plans
+    nothing but this one-row broadcast."""
+    values = [scores6[p] for p in pieces]
+    if len(values) > 50_000:
+        # Arrow batch transfer: a 250k-entry vector serializes in one
+        # columnar pass instead of 250k pickled ints through Py4J
+        import pandas as pd
+        return spark.createDataFrame(
+            pd.DataFrame({"__sv": [values]}), schema="__sv ARRAY<BIGINT>")
+    return spark.createDataFrame([(values,)], "__sv ARRAY<BIGINT>")
+
+
+def _id_score_at(ids: Column, sv: Column, maxp: int):
+    """Piece-score lookup through the dense ``__ids`` piece-id array:
+    two O(1) indexed reads ((start-1)·maxp + plen slot → piece id →
+    score); NULL ids (invalid/OOV slots) propagate to NULL scores,
+    matching the old per-round score-array semantics exactly. The
+    index clamp mirrors the fold's prev-clamp: the ``p <= i`` guard
+    is false wherever the clamp would matter."""
+    def score_at(i: Column, p: int) -> Column:
+        return F.element_at(
+            sv, F.element_at(ids, F.greatest((i - p) * maxp + p, F.lit(1))))
+    return score_at
 
 
 
@@ -148,19 +191,6 @@ def _map_score_at(w: Column, pm: Column):
     per lookup (linear map scan; module HONEST LIMIT)."""
     def score_at(i: Column, p: int) -> Column:
         return F.element_at(pm, F.substring(w, i - p + 1, p))
-    return score_at
-
-
-def _array_score_at(sc: Column, maxp: int):
-    """Piece-score lookup against the dense ``__sc`` candidate-score
-    array ((start-1)·maxp + plen indexing, built by
-    :func:`_scored_candidates`) — O(1) per lookup; invalid and
-    out-of-vocab slots hold NULL, matching the map-miss semantics
-    exactly. The index clamp mirrors the fold's prev-clamp: the
-    ``p <= i`` guard is false wherever the clamp would matter."""
-    def score_at(i: Column, p: int) -> Column:
-        return F.element_at(
-            sc, F.greatest((i - p) * maxp + p, F.lit(1)))
     return score_at
 
 
@@ -285,14 +315,18 @@ class UnigramTrainResult:
             score_at = _map_score_at(w, F.col("__pm"))
             drops = ("__pm", "__bests")
         else:
+            pieces = sorted(self.scores6)
             distinct_w = words.select(
                 F.col(word_col).alias("__cw")).distinct()
             cands = _candidate_layout(distinct_w, "__cw", self._maxp, [])
-            sc = _scored_candidate_arrays(cands, self.scores6, "__cw", [])
-            base = (words.join(sc, words[word_col] == sc["__cw"],
-                               "left").drop("__cw"))
-            score_at = _array_score_at(F.col("__sc"), self._maxp)
-            drops = ("__sc", "__bests")
+            ids = _indexed_candidate_arrays(cands, pieces, "__cw", [])
+            sv = _sv_frame(words.sparkSession, self.scores6, pieces)
+            base = (words.join(ids, words[word_col] == ids["__cw"],
+                               "left").drop("__cw")
+                    .crossJoin(F.broadcast(sv)))
+            score_at = _id_score_at(F.col("__ids"), F.col("__sv"),
+                                    self._maxp)
+            drops = ("__ids", "__sv", "__bests")
         return (base
                 .withColumn("__bests", _forward(w, score_at, self._maxp))
                 .withColumn(out, F.when(reachable,
@@ -365,22 +399,26 @@ def unigram_train(
 
     if use_broadcast is None:
         use_broadcast = len(scores6) > MAP_BCAST_THRESHOLD
-    cands = None
+    pieces_sorted = sorted(scores6)
+    layout = None
     if use_broadcast:
-        # join-E-step layout, built once: positions/substrings never
-        # change between rounds — only the scores join does. Persisted
-        # pre-partitioned by word so every round's groupBy(word)
-        # reuses the partitioning.
-        cands = (_candidate_layout(base, "w", maxp, ["freq"])
-                 .repartition("w").persist())
-        cands.count()
-        caches.append(cands)
+        # piece-ID layout, built once (r12): positions/substrings AND
+        # the vocab SET never change between rounds — only the score
+        # VECTOR does — so the candidate join and the per-word regroup
+        # happen exactly once; every round after that is a pure map
+        # over the persisted (w, freq, __ids) frame plus one one-row
+        # score-vector broadcast.
+        layout = _indexed_candidate_arrays(
+            _candidate_layout(base, "w", maxp, ["freq"]),
+            pieces_sorted, "w", ["freq"]).persist()
+        layout.count()
+        caches.append(layout)
 
     for _round in range(k):
         if use_broadcast:
-            sc = _scored_candidate_arrays(cands, scores6, "w", ["freq"])
-            score_at = _array_score_at(F.col("__sc"), maxp)
-            seg = (sc
+            sv = _sv_frame(word_freq.sparkSession, scores6, pieces_sorted)
+            score_at = _id_score_at(F.col("__ids"), F.col("__sv"), maxp)
+            seg = (layout.crossJoin(F.broadcast(sv))
                    .withColumn("__bests",
                                _forward(F.col("w"), score_at, maxp))
                    .withColumn("pieces",
