@@ -218,19 +218,25 @@ def ngram_novelty(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     novelty means the corpus already contains this document's content
     recombined. Output: (doc_id, n_grams, n_novel, novelty∈[0,1]).
 
-    Plan: grams shuffle once on a fixed-width key (md5 by default — the
-    cross-engine determinism contract; ``hashed=True`` switches to
-    xxhash64 longs, 4× fewer key bytes, for internal pipelines); the
-    first-occurrence table is a map-side-combinable min; the join back
-    shares the key so AQE co-partitions it. Raw text is read once.
+    Plan (r12, guide §2.4): ONE pass over the text — the gram frame is
+    consumed exactly once by a posting-list aggregate (group by the
+    fixed-width gram key: md5 by default — the cross-engine determinism
+    contract; ``hashed=True`` switches to xxhash64 longs, 4× fewer key
+    bytes, for internal pipelines). Each posting list carries its own
+    minimum (``array_min`` — the gram's owner), so the novelty verdict
+    rides the re-explode and the old first-occurrence JOIN (which
+    re-tokenized the corpus for the probe side and sorted both join
+    inputs) disappears: two gram-keyed shuffles total, no join, text
+    read and shingled once.
     """
     sh = _shingle_frame(df, text_col, id_col, n, hashed=hashed)
     if not hashed:
         sh = sh.select("id", F.md5(F.encode("shingle", "utf-8")).alias("shingle"))
-    first = sh.groupBy("shingle").agg(F.min("id").alias("first_id"))
+    posts = sh.groupBy("shingle").agg(F.collect_list("id").alias("ids"))
+    owned = posts.select(F.array_min("ids").alias("first_id"),
+                         F.explode("ids").alias("id"))
     return (
-        sh.join(first, "shingle")
-        .groupBy(F.col("id").alias("doc_id"))
+        owned.groupBy(F.col("id").alias("doc_id"))
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum((F.col("first_id") == F.col("id")).cast("int")).alias("n_novel"),
@@ -268,6 +274,57 @@ def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int,
     )
 
 
+def _sized_shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int,
+                         hashed: bool = False) -> DataFrame:
+    """:func:`_shingle_frame` variant that carries the per-document
+    DISTINCT shingle count (``sz``) on every exploded row, so consumers
+    that need |doc shingle set| (jaccard/containment denominators) get
+    it map-only instead of re-shingling the corpus for a second
+    groupBy(id) aggregate (r12, guide §2.4). The distinct array is
+    aliased in its own projection; it feeds two consumers (``size`` +
+    the generator), which is exactly the multi-reference case
+    CollapseProject refuses to inline — one evaluation per row.
+    """
+    from datagrowth_spark.functions.text import shingles_from_tokens, tokens_col
+
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        tokens_col(F.lower(F.col(text_col))).alias("toks"),
+    )
+    sh = shingles_from_tokens(F.col("toks"), n)
+    if hashed:
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
+    arred = toked.select("id", F.array_distinct(sh).alias("darr"))
+    # sz is computed BEFORE the explode: putting size(darr) in the
+    # generate's own select would keep darr in the Generate's required
+    # child output, copying the whole array into every exploded row —
+    # O(k²) bytes per doc (measured 16× slower at sf0.1).
+    szd = arred.select("id", F.size("darr").alias("sz"), "darr")
+    # The no-op slice(darr, 1, size(darr)) is load-bearing: a BARE
+    # attribute as the generator input is "cheap" to
+    # InferFiltersFromGenerate, which then adds a size(darr) > 0 filter
+    # that PushDownPredicates rewrites through the projections into a
+    # SECOND (and third...) full evaluation of the tokenizer+shingle
+    # chain per row — measured 13× slower at sf0.1 (split(lower(text))
+    # appeared 6× in the plan). The slice keeps the generator input
+    # non-cheap, exactly like the inline-expression form the rule
+    # already skips, at the cost of one O(k) array copy.
+    return szd.select("id", "sz",
+                      F.explode(F.slice("darr", 1, F.size("darr")))
+                      .alias("shingle"))
+
+
+# Pair explosion over a sorted posting list of (id, sz) structs: all
+# C(k,2) in-list combinations, each carrying both documents' shingle-set
+# sizes — struct sort order is id-major (ids unique), so id_a < id_b
+# exactly as in the plain-id form.
+_SIZED_PAIRS_EXPR = (
+    "flatten(transform(ids, (x, i) -> "
+    "transform(slice(ids, i + 2, size(ids)), y -> "
+    "struct(x.id AS id_a, x.sz AS size_a, y.id AS id_b, y.sz AS size_b))))"
+)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -288,27 +345,26 @@ def ngram_jaccard_pairs(
     skew guard that keeps the pair explosion linear-ish at scale (a
     stop-shingle in every doc would otherwise emit |corpus|² pairs).
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp.
+
+    The |A|/|B| denominators ride the posting lists as per-id struct
+    fields (r12, guide §2.4): the old shape re-shingled the corpus for
+    a separate groupBy(id) sizes table and joined it back twice; now
+    the text is read and shingled ONCE and the whole query is two
+    shuffles (by shingle, by pair) with no size joins at all — the only
+    extra shuffle bytes are one int per posting entry.
     """
-    sh = _shingle_frame(df, text_col, id_col, n, hashed=True)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    posts = sh.groupBy("shingle").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    sh = _sized_shingle_frame(df, text_col, id_col, n, hashed=True)
+    posts = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct("id", "sz"))).alias("ids"))
     posts = posts.where(F.size("ids") > 1)
     if max_shingle_df is not None:
         posts = posts.where(F.size("ids") <= max_shingle_df)
-    pairs = posts.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
-    inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    pairs = posts.select(F.explode(F.expr(_SIZED_PAIRS_EXPR)).alias("p")) \
+        .select("p.id_a", "p.size_a", "p.id_b", "p.size_b")
+    inter = pairs.groupBy("id_a", "id_b", "size_a", "size_b") \
+        .agg(F.count("*").alias("inter"))
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6),
         )
@@ -383,32 +439,25 @@ def ngram_containment_pairs(
     a 50-shingle doc fully contained in a 5000-shingle doc has
     containment 1.0 but Jaccard ~0.01.
 
-    Identical plan shape to :func:`ngram_jaccard_pairs` (one posting-
-    list shuffle, pair counts, size join — hashed shingle keys, skew
-    guard via ``max_shingle_df``). Output: one row per unordered pair
+    Identical plan shape to :func:`ngram_jaccard_pairs` (one text pass,
+    sized posting lists, pair counts — hashed shingle keys, skew guard
+    via ``max_shingle_df``; the size joins are gone since r12, see the
+    jaccard docstring). Output: one row per unordered pair
     with max(cont_a, cont_b) >= threshold: (id_a, id_b, cont_a,
     cont_b) where cont_a = containment of id_a's shingle set in id_b's.
     """
-    sh = _shingle_frame(df, text_col, id_col, n, hashed=True)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    posts = sh.groupBy("shingle").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    sh = _sized_shingle_frame(df, text_col, id_col, n, hashed=True)
+    posts = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct("id", "sz"))).alias("ids"))
     posts = posts.where(F.size("ids") > 1)
     if max_shingle_df is not None:
         posts = posts.where(F.size("ids") <= max_shingle_df)
-    pairs = posts.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
-    inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    pairs = posts.select(F.explode(F.expr(_SIZED_PAIRS_EXPR)).alias("p")) \
+        .select("p.id_a", "p.size_a", "p.id_b", "p.size_b")
+    inter = pairs.groupBy("id_a", "id_b", "size_a", "size_b") \
+        .agg(F.count("*").alias("inter"))
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .select(
+        inter.select(
             "id_a", "id_b",
             F.round(F.col("inter") / F.col("size_a"), 6).alias("cont_a"),
             F.round(F.col("inter") / F.col("size_b"), 6).alias("cont_b"),
