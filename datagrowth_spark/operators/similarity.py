@@ -204,22 +204,41 @@ def quantize_embeddings(
     half-away-from-zero in both Spark and DuckDB, so the quantized
     values are oracle-comparable. All-zero vectors get scale 0 and an
     all-zero code (division guarded).
+
+    The cast vector and the scale are materialized as COLUMNS before
+    any lambda uses them (r12, guide §1.1/§4.1): a scalar expression
+    referenced inside a ``transform``/``zip_with`` lambda is
+    re-evaluated PER ELEMENT, and ``scale`` contains the O(d) absmax
+    fold — inlining it made the whole operator O(d²) per row (measured
+    2.7 s for 2000×64 vectors at sf0.1; 0.1 s with attributes). The
+    multi-consumer aliases are expensive expressions, which is the case
+    CollapseProject refuses to inline back.
     """
     qmax = float((1 << (bits - 1)) - 1)
-    v = _to_double(F.col(vec_col))
-    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = absmax / F.lit(qmax)
-    safe = F.greatest(scale, F.lit(1e-30))
-    q = F.transform(v, lambda x: F.round(x / safe).cast("int"))
+    based = embeddings.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("__v"))
+    scaled = based.select(
+        id_col, "__v",
+        (F.array_max(F.transform("__v", lambda x: F.abs(x)))
+         / F.lit(qmax)).alias("__scale"))
+    # greatest(attr, lit) is cheap — fine if the optimizer inlines it
+    # into the lambda; __scale itself stays an attribute (O(1)/element).
+    safe = F.greatest(F.col("__scale"), F.lit(1e-30))
+    quant = scaled.select(
+        id_col, "__v", "__scale",
+        F.transform("__v", lambda x: F.round(x / safe).cast("int"))
+        .alias("__q"))
     err2 = F.aggregate(
-        F.zip_with(v, q, lambda x, c: (x - c * scale) * (x - c * scale)),
+        F.zip_with("__v", "__q",
+                   lambda x, c: (x - c * F.col("__scale"))
+                   * (x - c * F.col("__scale"))),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    rmse = F.sqrt(err2 / F.greatest(F.size(v), F.lit(1)))
-    return embeddings.select(
+    rmse = F.sqrt(err2 / F.greatest(F.size("__v"), F.lit(1)))
+    return quant.select(
         F.col(id_col),
-        q.alias("q"),
-        F.round(scale, 6).alias("scale"),
+        F.col("__q").alias("q"),
+        F.round(F.col("__scale"), 6).alias("scale"),
         F.round(rmse, 6).alias("rmse"),
     )
 
