@@ -108,16 +108,55 @@ def language_scores(text: Column | str) -> dict[str, Column]:
 
 
 def language_id(text: Column | str, default: str = "und") -> Column:
-    """argmax over language evidence scores; 'und' when no evidence."""
+    """argmax over language evidence scores; 'und' when no evidence.
+
+    Single-Column convenience form. NOTE its cost shape: each when-step
+    of the argmax embeds the previous best twice, so the expression
+    duplicates earlier score subtrees ~2^k times and every score
+    re-tokenizes the text — fine for one-off use, wrong in a hot
+    projection. Hot paths use :func:`add_language_id`, which
+    materializes the token array and the per-language scores as columns
+    first (measured 0.93 → 0.33 s over 5k docs at sf0.1, r12)."""
     scores = language_scores(text)
+    return _argmax_lang(scores, default)
+
+
+def _argmax_lang(scores: dict[str, Column], default: str) -> Column:
+    """Deterministic argmax: languages in sorted order, strict >."""
     best_lang = F.lit(default)
     best_score = F.lit(0.0)
-    # Deterministic argmax: iterate languages in sorted order, strict >.
     for lang in sorted(scores):
         is_better = scores[lang] > best_score
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, scores[lang]).otherwise(best_score)
     return best_lang
+
+
+def add_language_id(df, text_col: str = "text",
+                    out: str = "pred_lang", default: str = "und"):
+    """Frame-level :func:`language_id`: appends ``out`` and computes the
+    SAME argmax, but tokenizes once and evaluates each language score
+    once (r12, guide §4.1's duplicated-expression caveat applied to
+    pure JVM expressions): the token array and the k evidence scores
+    are materialized as columns in their own projections — expensive
+    multi-referenced aliases, which CollapseProject keeps — so the
+    argmax when-chain duplicates O(1) attribute reads instead of
+    O(len·2^k) re-tokenizations. Intermediates are dropped; the output
+    schema is the input plus ``out``. Values are bit-identical to the
+    scalar form (same expressions, same strict-> order)."""
+    toked = df.withColumn("__liToks",
+                          tokens_col(F.lower(F.col(text_col))))
+    denom = F.greatest(F.size("__liToks"), F.lit(1))
+    score_cols = {
+        lang: (F.size(F.filter(F.col("__liToks"), _isin_filter(sw)))
+               / denom).alias(f"__liS_{lang}")
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    scored = toked.select("*", *score_cols.values())
+    best = _argmax_lang(
+        {lang: F.col(f"__liS_{lang}") for lang in LANG_STOPWORDS}, default)
+    return (scored.withColumn(out, best)
+            .drop("__liToks", *[f"__liS_{lang}" for lang in LANG_STOPWORDS]))
 
 
 def normalized_tokens(text: Column | str) -> Column:
@@ -288,3 +327,36 @@ def hashed_linear_score(text: Column | str, buckets: int = 4096) -> Column:
     )
     n = F.greatest(F.size(weights), F.lit(1))
     return F.aggregate(weights, F.lit(0.0), lambda acc, w: acc + w) / n
+
+
+def add_hashed_linear_score(df, text_col: str = "text",
+                            buckets: int = 4096,
+                            score_col: str = "score",
+                            nfeat_col: str = "n_features"):
+    """Frame-level :func:`hashed_linear_score`: appends the 6dp-rounded
+    mean-weight score AND the feature count in one pass. The scalar
+    form re-derives the feature array and the md5 weight transform per
+    consumer (size + fold, and again per output column that references
+    the score) — measured 1.97 s for 5k docs at sf0.1 where one
+    evaluation costs 0.85 s (r12). Here feats, then weights, then the
+    score each live in their own projection (expensive multi-referenced
+    aliases — CollapseProject keeps them), so the md5 pass runs exactly
+    once per row. Values are bit-identical (same expressions, same
+    fold order); intermediates are dropped."""
+    knuth = 2654435761
+    featd = df.withColumn("__hlF", hashed_features(F.col(text_col)))
+    weighted = featd.select(
+        "*",
+        F.size("__hlF").alias("__hlN"),
+        F.transform(
+            "__hlF",
+            lambda f: ((md5_long(f) % buckets) * knuth % 1000)
+            .cast("double") / 1000.0 - 0.5,
+        ).alias("__hlW"))
+    score = F.round(
+        F.aggregate("__hlW", F.lit(0.0), lambda acc, w: acc + w)
+        / F.greatest(F.col("__hlN"), F.lit(1)), 6)
+    return (weighted
+            .withColumn(nfeat_col, F.col("__hlN").cast("long"))
+            .withColumn(score_col, score)
+            .drop("__hlF", "__hlN", "__hlW"))

@@ -161,8 +161,12 @@ FROM documents
 
 
 def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Frame form (r12): tokenizes once and materializes the 4 evidence
+    # scores as columns — the scalar argmax chain re-derived them
+    # ~2^k-fold (0.93 → 0.33 s at sf0.1); identical values.
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.language_id("text").alias("pred_lang"))
+    return TX.add_language_id(docs, "text", out="pred_lang") \
+        .select("doc_id", "pred_lang")
 
 
 

@@ -869,12 +869,14 @@ def q_quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a broadcast weights array).
     """
     docs = _t(spark, sf_dir, "documents")
-    score = F.round(TX.hashed_linear_score("text"), 6)
-    return docs.select(
-        "doc_id",
-        F.size(TX.hashed_features("text")).cast("long").alias("n_features"),
-        score.alias("score"),
-        (score > 0).alias("keep"),
+    # Frame form (r12): feature array, md5 weights and the score are
+    # materialized columns, so the md5 pass runs once per row — the
+    # scalar form re-derived it for n_features, score AND keep
+    # (1.97 → 0.85 s at sf0.1); identical values.
+    scored = TX.add_hashed_linear_score(docs, "text")
+    return scored.select(
+        "doc_id", "n_features", "score",
+        (F.col("score") > 0).alias("keep"),
     )
 
 

@@ -34,6 +34,50 @@ class TestHashedLinear:
                  texts.select("doc_id", hashed_linear_score("text").alias("s")).collect()}
         assert scores == again
 
+    def test_frame_form_matches_scalar(self, texts, spark):
+        """add_hashed_linear_score (the r12 single-md5-pass frame form)
+        is bit-equal to the scalar expression on score AND n_features,
+        including NULL text, and leaves the input schema plus the two
+        output columns."""
+        from datagrowth_spark.functions.text import add_hashed_linear_score
+
+        withnull = texts.unionByName(spark.createDataFrame(
+            [(5, None)], "doc_id long, text string"))
+        frame = {r["doc_id"]: (r["n_features"], r["score"]) for r in
+                 add_hashed_linear_score(withnull, "text").collect()}
+        scalar = {r["doc_id"]: (r["n"], r["s"]) for r in withnull.select(
+            "doc_id",
+            F.size(hashed_features("text")).cast("long").alias("n"),
+            F.round(hashed_linear_score("text"), 6).alias("s")).collect()}
+        assert frame == scalar
+        cols = add_hashed_linear_score(withnull, "text").columns
+        assert cols == ["doc_id", "text", "n_features", "score"]
+
+
+class TestLanguageIdFrame:
+    def test_frame_form_matches_scalar(self, spark):
+        """add_language_id (the r12 tokenize-once frame form) matches
+        the scalar argmax on every language, the und default, ties and
+        NULL text."""
+        from datagrowth_spark.functions.text import add_language_id, language_id
+
+        df = spark.createDataFrame(
+            [(1, "the cat of the hat and a dog is here"),
+             (2, "el perro la casa de que en un dia"),
+             (3, "der hund die katze und das ist ein zu"),
+             (4, "le chien la maison de et un est que"),
+             (5, "zzz qqq xxx"),          # no evidence -> und
+             (6, ""),                      # empty -> und
+             (7, None),                    # NULL text
+             (8, "de de de")],             # es/de/fr tie on 'de'
+            "doc_id long, text string")
+        frame = {r["doc_id"]: r["pred_lang"]
+                 for r in add_language_id(df, "text").collect()}
+        scalar = {r["doc_id"]: r["p"] for r in df.select(
+            "doc_id", language_id("text").alias("p")).collect()}
+        assert frame == scalar
+        assert frame[1] == "en" and frame[5] == "und" and frame[6] == "und"
+
 
 class TestWinnowFingerprints:
     """functions/text.py winnow_fingerprints — MOSS local-min selection."""
