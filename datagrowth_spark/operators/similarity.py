@@ -252,25 +252,28 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate vector pairs by cosine ≥ threshold.
 
-    cos(a, b) is computed as raw-dot / (|a|·|b|) with the norms carried
-    as scalar columns, NOT by materializing normalized arrays: Catalyst
-    collapses projections, so a pre-normalized array column would be
-    re-derived (transform + norm) on every pair the join emits — O(d)
-    work becomes O(pairs·d) silently. Scalar norms inline to one fused
-    multiply per pair. With a cluster column, pairs are only formed
-    within a cluster (blocking); without, a full self-join (only for
-    small corpora).
+    With a cluster column, pairs are only formed within a cluster
+    (blocking); without, a full self-join (only for small corpora).
     Output: (id_a, id_b, cos_sim) with id_a < id_b.
+
+    The per-pair cosine runs in ONE Arrow-batched numpy stage after the
+    blocked join (r12, guide §4.2): the interpreted zip_with/aggregate
+    fold cost O(pairs·d) lambda dispatches (the pair stage dominated the
+    query at sf0.1 — 2.07 s vs 1.55 s with numpy). Bit-equality with
+    the JVM fold is preserved by construction and pinned by tests:
+    ``cumsum`` is a strictly sequential left-to-right sum (same IEEE op
+    order as the fold), float→double widening is exact, and the 6dp
+    ROUNDING STAYS IN THE JVM (``F.round`` is HALF_UP on the exact
+    decimal expansion; numpy's round is half-even) — Python returns the
+    raw double, identical to what the fold would produce, so
+    ``embedding_near_dup_pairs_lsh``'s JVM rescore still produces
+    byte-identical scores. NULL/zero-norm/empty vectors yield a NULL
+    cos (as try_divide did) and are dropped by the threshold. Vectors
+    must share one dimensionality (the ANN-corpus contract).
     """
-    # Keep the RAW stored array in the projection; fuse the float→double
-    # cast into the fold lambdas. A transform-cast array column here
-    # would be re-derived per pair by projection collapse (two extra
-    # interpreted passes + allocations per pair).
-    raw = F.col(vec_col)
-    raw_norm = F.sqrt(F.aggregate(
-        raw, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-    ))
-    cols = [F.col(id_col).alias("id"), raw.alias("vec"), raw_norm.alias("nrm")]
+    from pyspark.sql import types as T
+
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
     if cluster_col:
         cols.append(F.col(cluster_col).alias("cluster"))
     base = embeddings.select(*cols)
@@ -279,30 +282,46 @@ def embedding_near_dup_pairs(
     cond = F.col("a.id") < F.col("b.id")
     if cluster_col:
         cond = cond & (F.col("a.cluster") == F.col("b.cluster"))
-    raw_dot = F.aggregate(
-        F.zip_with(F.col("a.vec"), F.col("b.vec"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = F.round(F.try_divide(raw_dot, F.col("a.nrm") * F.col("b.nrm")), 6)
-    # The threshold filter must NOT re-evaluate the dot product: Catalyst
-    # pushes Filter through Project (and HOFs are interpreted — no
-    # codegen CSE), so a plain withColumn+where computes the O(d) fold
-    # TWICE per pair (measured 2.55s -> 1.55s at sf0.1). A one-element
-    # explode puts a Generate between the projection and the filter;
-    # predicates cannot push below a generator's output, so the fold
-    # runs exactly once per pair.
-    pair = F.struct(
+    joined = a.join(b, cond).select(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-        cos.alias("cos_sim"),
-    )
-    return (
-        a.join(b, cond)
-        .select(F.explode(F.array(pair)).alias("r"))
-        .select("r.*")
-        .where(F.col("cos_sim") >= threshold)
-    )
+        F.col("a.vec").alias("__va"), F.col("b.vec").alias("__vb"))
+
+    schema = T.StructType([
+        T.StructField("id_a", joined.schema["id_a"].dataType),
+        T.StructField("id_b", joined.schema["id_b"].dataType),
+        T.StructField("cos_raw", T.DoubleType()),
+    ])
+
+    def rescore(batches):
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            n = len(batch)
+            cos = np.full(n, np.nan)
+            ok = (~batch["__va"].isna() & ~batch["__vb"].isna()).to_numpy()
+            if ok.any():
+                va = np.stack([np.asarray(v, dtype=np.float64)
+                               for v in batch["__va"][ok]])
+                vb = np.stack([np.asarray(v, dtype=np.float64)
+                               for v in batch["__vb"][ok]])
+                if va.shape[1]:
+                    # cumsum = sequential left-to-right summation — the
+                    # exact op order of the JVM fold (np.sum would be
+                    # pairwise and could differ in the last ulp)
+                    dot = np.cumsum(va * vb, axis=1)[:, -1]
+                    na = np.sqrt(np.cumsum(va * va, axis=1)[:, -1])
+                    nb = np.sqrt(np.cumsum(vb * vb, axis=1)[:, -1])
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        c = dot / (na * nb)
+                    c[~np.isfinite(c)] = np.nan  # zero norm ⇒ NULL
+                    cos[ok] = c
+            yield pd.DataFrame({"id_a": batch["id_a"],
+                                "id_b": batch["id_b"], "cos_raw": cos})
+
+    return (joined.mapInPandas(rescore, schema)
+            .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold))
 
 
 # ---------------------------------------------------------------------------
