@@ -68,8 +68,8 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     runs, leading/trailing separators) are dropped before hashing.
 
     ``id_col`` must be unique (and non-null): the keeper rule is
-    ``min(struct(id, pos))`` and the two final left joins key on the
-    id, so duplicate ids would silently multiply output rows — the
+    ``min(struct(id, pos))`` and the final rebuild left join keys on
+    the id, so duplicate ids would silently multiply output rows — the
     same contract as ``LogRegModel.score_docs``.
 
     Output: one row per input document —
@@ -91,7 +91,7 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     surv = (paras.join(keeper, "__h")
             .where((F.col("__id") == F.col("__k.__id"))
                    & (F.col("__pos") == F.col("__k.__pos"))))
-    return _rebuild_docs(df, paras, surv, id_col, sep)
+    return _rebuild_docs(df, text_col, surv, id_col, sep)
 
 
 def _paragraph_frame(df: DataFrame, text_col: str, id_col: str,
@@ -106,12 +106,23 @@ def _paragraph_frame(df: DataFrame, text_col: str, id_col: str,
             .withColumn("__h", F.md5(F.encode("__para", "utf-8"))))
 
 
-def _rebuild_docs(df: DataFrame, paras: DataFrame, surv: DataFrame,
+def _rebuild_docs(df: DataFrame, text_col: str, surv: DataFrame,
                   id_col: str, sep: str) -> DataFrame:
     """Shared tail of the paragraph-dedup family: per-doc paragraph
     counts, survivor rebuild in original order (one ``groupBy(id)``),
-    and the left-join-back that keeps paragraph-less docs."""
-    stats = paras.groupBy("__id").agg(F.count(F.lit(1)).alias("n_paras"))
+    and the left-join-back that keeps paragraph-less docs.
+
+    ``n_paras`` is computed MAP-ONLY from the document row itself
+    (size of the non-empty split — r12, guide §2.4): each row fully
+    determines its own paragraph count, so the old ``groupBy(__id)``
+    over the exploded paragraph frame re-evaluated the split for a
+    third time and paid an exchange plus a second join for a value a
+    projection already knows. NULL text → NULL split → coalesce 0,
+    exactly the count the old left join backfilled."""
+    parts = F.split(F.col(text_col), re.escape(sep), -1)
+    n_paras = F.coalesce(
+        F.size(F.filter(parts, lambda p: p != F.lit(""))),
+        F.lit(0)).cast("long")
     rebuilt = (surv.groupBy("__id")
                .agg(F.count(F.lit(1)).alias("n_kept"),
                     F.array_join(
@@ -120,12 +131,10 @@ def _rebuild_docs(df: DataFrame, paras: DataFrame, surv: DataFrame,
                                 F.struct("__pos", "__para"))),
                             lambda s: s["__para"]),
                         sep).alias("new_text")))
-    return (df.select(F.col(id_col).alias("__id"))
-            .join(stats, "__id", "left")
+    return (df.select(F.col(id_col).alias("__id"), n_paras.alias("n_paras"))
             .join(rebuilt, "__id", "left")
             .select(F.col("__id").alias(id_col),
-                    F.coalesce("n_paras", F.lit(0).cast("long"))
-                    .alias("n_paras"),
+                    "n_paras",
                     F.coalesce("n_kept", F.lit(0).cast("long"))
                     .alias("n_kept"),
                     F.coalesce("new_text", F.lit("")).alias("new_text")))
@@ -206,7 +215,7 @@ def paragraph_dedup_fuzzy(df: DataFrame, text_col: str = "text",
             .where((F.col("__id") == F.col("__k.__id"))
                    & (F.col("__pos") == F.col("__k.__pos")))
             .join(losers, "__h", "left_anti"))
-    return _rebuild_docs(df, paras, surv, id_col, sep)
+    return _rebuild_docs(df, text_col, surv, id_col, sep)
 
 
 def ngram_novelty(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

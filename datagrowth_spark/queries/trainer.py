@@ -723,10 +723,15 @@ def q_quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", TX.normalized_tokens(F.col("text")).alias("t"))
-    bigrams = toks.where(F.size("t") >= 2).select(
+    # greatest(size-1, 0) replaces the old where(size >= 2) guard: the
+    # pushed-down filter substituted the tokenizer alias and re-split
+    # every document a second time at the scan (r12, guide §2.4); a
+    # zero-length slice explodes to no rows for 0/1-token and NULL
+    # docs, which is exactly what the filter produced.
+    bigrams = toks.select(
         "doc_id",
         F.explode(F.expr(
-            "transform(slice(t, 1, size(t) - 1), (w, i) -> "
+            "transform(slice(t, 1, greatest(size(t) - 1, 0)), (w, i) -> "
             "struct(w AS w1, t[i + 1] AS w2))"
         )).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
@@ -790,10 +795,15 @@ def q_quality_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the oracle."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", TX.normalized_tokens(F.col("text")).alias("t"))
-    bigrams = toks.where(F.size("t") >= 2).select(
+    # greatest(size-1, 0) replaces the old where(size >= 2) guard: the
+    # pushed-down filter substituted the tokenizer alias and re-split
+    # every document a second time at the scan (r12, guide §2.4); a
+    # zero-length slice explodes to no rows for 0/1-token and NULL
+    # docs, which is exactly what the filter produced.
+    bigrams = toks.select(
         "doc_id",
         F.explode(F.expr(
-            "transform(slice(t, 1, size(t) - 1), (w, i) -> "
+            "transform(slice(t, 1, greatest(size(t) - 1, 0)), (w, i) -> "
             "struct(w AS w1, t[i + 1] AS w2))"
         )).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
