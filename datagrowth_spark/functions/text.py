@@ -91,6 +91,59 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
+def add_quality_score(df, text_col: str = "text", out: str = "quality",
+                      ntoks_col: str | None = None):
+    """Frame-level :func:`quality_score`: appends the 6dp-rounded
+    composite quality score, tokenizing ONCE per token variant instead
+    of four times (r12, the duplicated-expression defect class of
+    ``add_language_id``). The scalar form's per-row cost: stopword_ratio
+    tokenizes lower(text) twice (filter hits + size), mean_word_length
+    tokenizes text twice (fold + size), and the mwl when-chain then
+    duplicates the fold — ~5 tokenize passes plus 2 regex passes per
+    row. Here the two token arrays (raw for word lengths, lowered for
+    stopword hits) and the three component ratios live in their own
+    projections — expensive multi-referenced aliases, which
+    CollapseProject keeps — so each pass runs exactly once per row.
+    Values are bit-identical to the scalar form (same sub-expressions,
+    same operation order; pinned by test_frame_form_matches_scalar).
+
+    ``ntoks_col``: optionally also emit ``token_count(text)`` — it is
+    ``size`` of the raw token array this function already built, so
+    consumers that select both (budget/pack queries) save one more
+    tokenize pass. Intermediates are dropped; output schema is the
+    input plus ``out`` (and ``ntoks_col`` when requested)."""
+    text = F.col(text_col)
+    toked = df.select(
+        "*",
+        tokens_col(text).alias("__qsT"),
+        tokens_col(F.lower(text)).alias("__qsTL"))
+    stop_ratio = (F.size(F.filter(F.col("__qsTL"),
+                                  _isin_filter(LANG_STOPWORDS["en"])))
+                  / F.greatest(F.size("__qsTL"), F.lit(1)))
+    mwl = (F.aggregate(F.col("__qsT"), F.lit(0),
+                       lambda acc, t: acc + F.length(t))
+           / F.greatest(F.size("__qsT"), F.lit(1)))
+    parts = toked.select(
+        "*",
+        stop_ratio.alias("__qsStop"),
+        mwl.alias("__qsMwl"),
+        punct_ratio(text).alias("__qsPunct"))
+    n = F.length(text)
+    length_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    stop_score = F.least(F.col("__qsStop") * 4, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(1.0) - F.col("__qsPunct") * 5, F.lit(0.0))
+    word_len_score = F.when(
+        (F.col("__qsMwl") >= 3) & (F.col("__qsMwl") <= 10),
+        F.lit(1.0)).otherwise(F.lit(0.5))
+    score = F.round(
+        length_score * 0.3 + stop_score * 0.3
+        + punct_penalty * 0.2 + word_len_score * 0.2, 6)
+    result = parts.withColumn(out, score)
+    if ntoks_col is not None:
+        result = result.withColumn(ntoks_col, F.size("__qsT"))
+    return result.drop("__qsT", "__qsTL", "__qsStop", "__qsMwl", "__qsPunct")
+
+
 def _isin_filter(words: tuple[str, ...]):
     # NB: the returned lambda must take exactly ONE arg — pyspark's
     # higher-order filter() treats a two-arg lambda as (element, index).

@@ -223,11 +223,11 @@ def q_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datagrowth_spark.operators.ranking import add_global_rank
 
     docs = _t(spark, sf_dir, "documents")
-    scored = _persist(docs.select(
-        "doc_id",
-        TX.quality_score("text").alias("quality"),
-        TX.token_count("text").cast("long").alias("n_toks"),
-    ).where(F.col("n_toks") > 0))
+    scored = _persist(
+        TX.add_quality_score(docs, out="quality", ntoks_col="__nt")
+        .select("doc_id", "quality",
+                F.col("__nt").cast("long").alias("n_toks"))
+        .where(F.col("n_toks") > 0))
     ranked = add_global_rank(scored, "quality", ("doc_id",),
                              descending=True, out="rnk")
     layout = PK.pack_layout(ranked.select("rnk", "n_toks"),
@@ -556,11 +556,9 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from datagrowth_spark.operators.selection import select_by_token_budget
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang",
-        F.round(TX.quality_score(F.col("text")), 6).alias("q"),
-        TX.token_count("text").alias("toks"),
-    )
+    docs = TX.add_quality_score(
+        _t(spark, sf_dir, "documents"), out="q", ntoks_col="toks").select(
+        "doc_id", "lang", "q", "toks")  # q is 6dp-rounded in the frame form
     out = select_by_token_budget(
         docs, ["lang"], "q", "toks", budget=3000, tiebreak_col="doc_id")
     return out.select("doc_id", "lang", F.col("n_tokens"), "kept")
@@ -598,11 +596,9 @@ def q_cluster_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = CL.centroid_vectors(CL.label_centroids(emb, "label"), "label")
     assigned = CL.assign_to_centroids(emb, cents, id_col="vec_id") \
         .withColumnRenamed("vec_id", "doc_id")
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.round(TX.quality_score(F.col("text")), 6).alias("q"),
-        TX.token_count("text").alias("toks"),
-    )
+    docs = TX.add_quality_score(
+        _t(spark, sf_dir, "documents"), out="q", ntoks_col="toks").select(
+        "doc_id", "q", "toks")  # q is 6dp-rounded in the frame form
     clustered = docs.join(assigned, "doc_id")
     out = select_by_token_budget(
         clustered, ["assigned"], "q", "toks", budget=2500, tiebreak_col="doc_id")

@@ -488,7 +488,8 @@ def q_dedup_canonicalize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datagrowth_spark.operators.graph import dedup_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    quality = docs.select("doc_id", TX.quality_score("text").alias("quality"))
+    quality = TX.add_quality_score(docs, out="quality").select(
+        "doc_id", "quality")
     pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
     clusters = dedup_clusters(pairs).select("doc_id", "cluster_id")
     member = quality.join(clusters, "doc_id", "left")  # cluster_id null ⇒ singleton

@@ -400,12 +400,16 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datagrowth_spark.operators import repetition as RT
     from datagrowth_spark.operators import sampling as SMP
 
-    docs = _t(spark, sf_dir, "documents")
+    # quality pre-computed by the frame form (one tokenize pass per
+    # variant, r12) and carried as a plain column reference; carry
+    # expressions evaluate once per doc in the pre-explode projection.
+    docs = TX.add_quality_score(
+        _t(spark, sf_dir, "documents"), out="__q")
     rep = RT.ngram_repetition(
         docs, "text", "doc_id", n=2,
         carry={
             "lang": F.col("lang"),
-            "quality": TX.quality_score("text"),
+            "quality": F.col("__q"),
             "h": F.md5(F.encode(F.col("text"), "utf-8")),
         },
     )
@@ -519,8 +523,8 @@ def q_source_quota_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partition-by-source window is both balanced and tiny."""
     docs = _t(spark, sf_dir, "documents")
     allowed = docs.where(~F.col("source").isin("src7", "src13"))
-    scored = allowed.select(
-        "doc_id", "source", TX.quality_score("text").alias("quality"))
+    scored = TX.add_quality_score(allowed, out="quality").select(
+        "doc_id", "source", "quality")
     w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))

@@ -77,7 +77,10 @@ FROM documents
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.quality_score("text").alias("quality"))
+    # frame form: one tokenize pass per token variant (r12; bit-equal
+    # to the scalar form, pinned by test_frame_form_matches_scalar)
+    return TX.add_quality_score(docs, out="quality").select(
+        "doc_id", "quality")
 
 
 
@@ -97,8 +100,8 @@ def q_docs_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the eager sharded rank's bounded driver collects (cuts sketch,
     # offset counts) would otherwise re-run the full quality-scoring
     # pipeline once per action.
-    scored = _persist(docs.select(
-        "doc_id", TX.quality_score("text").alias("quality")))
+    scored = _persist(TX.add_quality_score(docs, out="quality").select(
+        "doc_id", "quality"))
     ranked = add_global_rank(scored, "quality", ("doc_id",), descending=True,
                              out="rank")
     return ranked.select("doc_id", "quality",
@@ -343,9 +346,9 @@ def q_quality_threshold_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     value — no cross-engine float interpolation to drift. One window
     over (lang) + one broadcast join of the 5-row threshold frame.
     """
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.round(TX.quality_score(F.col("text")), 6).alias("q")
-    )
+    docs = TX.add_quality_score(
+        _t(spark, sf_dir, "documents"), out="q").select(
+        "doc_id", "lang", "q")  # q is 6dp-rounded inside the frame form
     w = Window.partitionBy("lang").orderBy("q", "doc_id")
     ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
         "k", F.greatest(F.lit(1), F.ceil(F.lit(0.25) * F.count(F.lit(1)).over(Window.partitionBy("lang"))))

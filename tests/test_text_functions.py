@@ -54,6 +54,38 @@ class TestHashedLinear:
         assert cols == ["doc_id", "text", "n_features", "score"]
 
 
+class TestQualityScoreFrame:
+    def test_frame_form_matches_scalar(self, spark):
+        """add_quality_score (the r12 tokenize-once frame form) is
+        bit-equal to the scalar composite on every component band —
+        long/short text, stopword-heavy, punctuation-noise, long-word,
+        empty and NULL text — and the optional ntoks_col equals
+        token_count."""
+        from datagrowth_spark.functions.text import (
+            add_quality_score, quality_score, token_count)
+
+        df = spark.createDataFrame(
+            [(1, "the cat sat on the mat and the dog is in the house " * 12),
+             (2, "short text"),
+             (3, "!!! ??? ... ;;; :::"),                 # punct noise
+             (4, "supercalifragilistic extraordinarily"),  # long words
+             (5, "a of to in is and the " * 30),          # stopword heavy
+             (6, ""),
+             (7, None),
+             (8, "x " * 600)],                            # length saturated
+            "doc_id long, text string")
+        frame = {r["doc_id"]: (r["q"], r["nt"]) for r in
+                 add_quality_score(df, "text", out="q", ntoks_col="nt")
+                 .collect()}
+        scalar = {r["doc_id"]: (r["q"], r["nt"]) for r in df.select(
+            "doc_id", quality_score("text").alias("q"),
+            token_count("text").alias("nt")).collect()}
+        assert frame == scalar
+        # schema contract: input + out (+ ntoks when asked), no leaks
+        assert add_quality_score(df, "text").columns == \
+            ["doc_id", "text", "quality"]
+
+
 class TestLanguageIdFrame:
     def test_frame_form_matches_scalar(self, spark):
         """add_language_id (the r12 tokenize-once frame form) matches
