@@ -83,7 +83,17 @@ def assign_to_centroids(
     packed = centroids.agg(
         F.array_sort(F.collect_list(F.struct("centroid_id", "centroid"))).alias("_cents")
     )
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # The double-cast probe vector is projected BELOW the cross join:
+    # inside the per-centroid lambda a non-attribute expression is
+    # re-evaluated per element, so referencing the cast transform there
+    # rebuilt the O(d) array once per CENTROID (O(k·d) per row). As a
+    # column on the stream side of the join it is built once per row
+    # and the lambda reads an O(1) attribute; no Project-collapse rule
+    # crosses a Join, so the alias cannot be inlined back.
+    pre = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"))
+    vec = F.col("__vec")
 
     def _scored(c):
         d2 = F.aggregate(
@@ -99,4 +109,4 @@ def assign_to_centroids(
         # The (rounded) squared distance to the winning centroid — the
         # outlier-pruning signal; same determinism contract as the argmin.
         out.append(best["d2"].alias("d2"))
-    return df.crossJoin(F.broadcast(packed)).select(*out)
+    return pre.crossJoin(F.broadcast(packed)).select(*out)

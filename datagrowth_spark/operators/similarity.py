@@ -47,15 +47,25 @@ def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _cosine_cast_free(a: Column, b: Column, decimals: int = 6) -> Column:
+    """:func:`cosine` body without the input casts — for callers that
+    pre-cast the vectors to ``array<double>`` in their own projections
+    (r12, guide §2.4): ``cosine`` derives the cast array FOUR times per
+    pair (dot + both norms), so a pairwise join paid 4·O(d) cast builds
+    per pair; a pre-cast column on each join input is built once per
+    ROW and the folds here read O(1) attributes. Arithmetic and NULL
+    semantics identical — float→double widening is exact, so casting
+    before the join is the same op sequence per element."""
+    return F.round(F.try_divide(dot(a, b), norm(a) * norm(b)), decimals)
+
+
 def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
     """NULL (not an error, not NaN) when either norm is zero: under
     Spark's ANSI mode a bare divide throws DIVIDE_BY_ZERO, so ONE
     zero-norm embedding in the corpus would kill an entire top-k job;
     try_divide degrades it to a NULL similarity, which sorts after
     every real score in the DESC rankings every caller uses."""
-    a = _to_double(a)
-    b = _to_double(b)
-    return F.round(F.try_divide(dot(a, b), norm(a) * norm(b)), decimals)
+    return _cosine_cast_free(_to_double(a), _to_double(b), decimals)
 
 
 def cosine_topk(
@@ -73,14 +83,19 @@ def cosine_topk(
     Ties broken by corpus id for full determinism.
     Output: (query_id, vec_id, cos_sim, rank).
     """
+    # both sides pre-cast to double BELOW the join (r12): the cast runs
+    # once per input row instead of 4x per (corpus, query) pair inside
+    # cosine — see _cosine_cast_free.
     q = F.broadcast(queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(query_id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("q_vec")
     ))
     scored = (
-        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+        embeddings.select(F.col(id_col).alias("vec_id"),
+                          _to_double(F.col(vec_col)).alias("c_vec"))
         .crossJoin(q)
         .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("c_vec"), F.col("q_vec")))
+        .withColumn("cos_sim", _cosine_cast_free(F.col("c_vec"), F.col("q_vec")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -107,19 +122,21 @@ def cosine_topk_ivf(
     the stored embedding table, so partition pruning applies).
     Output: (query_id, vec_id, cos_sim, rank).
     """
+    # pre-cast below the join, once per input row (see _cosine_cast_free)
     q = F.broadcast(queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        _to_double(F.col(vec_col)).alias("q_vec"),
         F.col(cluster_col).alias("q_cluster"),
     ))
     scored = (
         embeddings.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"),
+            F.col(id_col).alias("vec_id"),
+            _to_double(F.col(vec_col)).alias("c_vec"),
             F.col(cluster_col).alias("c_cluster"),
         )
         .join(q, F.col("c_cluster") == F.col("q_cluster"))
         .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("c_vec"), F.col("q_vec")))
+        .withColumn("cos_sim", _cosine_cast_free(F.col("c_vec"), F.col("q_vec")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -149,19 +166,21 @@ def cosine_hard_negatives(
     map-side WindowGroupLimit top-k. Ties broken by corpus id.
     Output: (query_id, vec_id, cos_sim, rank).
     """
+    # pre-cast below the join, once per input row (see _cosine_cast_free)
     q = F.broadcast(queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        _to_double(F.col(vec_col)).alias("q_vec"),
         F.col(label_col).alias("q_label"),
     ))
     scored = (
         embeddings.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"),
+            F.col(id_col).alias("vec_id"),
+            _to_double(F.col(vec_col)).alias("c_vec"),
             F.col(label_col).alias("c_label"),
         )
         .crossJoin(q)
         .where(F.col("c_label") != F.col("q_label"))
-        .withColumn("cos_sim", cosine(F.col("c_vec"), F.col("q_vec")))
+        .withColumn("cos_sim", _cosine_cast_free(F.col("c_vec"), F.col("q_vec")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -382,22 +401,27 @@ def cosine_topk_ivf_probe(
     cent = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], ["cluster", "centroid"]
     )
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    # q_vec pre-cast once here (centroid is already array<double> from
+    # createDataFrame); both downstream cosines read attributes — see
+    # _cosine_cast_free.
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       _to_double(F.col(vec_col)).alias("q_vec"))
     probe_rank = Window.partitionBy("query_id").orderBy(
         F.desc("c_sim"), F.asc("cluster"))
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn("c_sim", cosine(F.col("q_vec"), F.col("centroid")))
+        .withColumn("c_sim", _cosine_cast_free(F.col("q_vec"), F.col("centroid")))
         .withColumn("__pr", F.row_number().over(probe_rank))
         .where(F.col("__pr") <= nprobe)
         .select("query_id", "q_vec", "cluster")
     )
     scored = (
-        indexed.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"),
+        indexed.select(F.col(id_col).alias("vec_id"),
+                       _to_double(F.col(vec_col)).alias("c_vec"),
                        "cluster")
         .join(F.broadcast(probes), "cluster")
         .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("c_vec"), F.col("q_vec")))
+        .withColumn("cos_sim", _cosine_cast_free(F.col("c_vec"), F.col("q_vec")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
