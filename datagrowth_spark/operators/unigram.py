@@ -11,12 +11,13 @@ EM round runs on the distinct-word table.
 Per-round plan shape (the ``operators/classifier.py`` pattern):
 
 * The piece model is a bounded driver-side constant (exactly like a
-  shipped sentencepiece.model), and the Viterbi DP is a pure Catalyst
-  fold (``F.aggregate`` over the position sequence) — never unrolled
-  per position, so expression size is O(maxp) regardless of word
-  length or vocab. The model reaches the fold by one of two paths
-  with bit-identical semantics, auto-selected on
-  ``MAP_BCAST_THRESHOLD`` (``use_broadcast`` overrides):
+  shipped sentencepiece.model), and the Viterbi DP is either a pure
+  Catalyst fold (``F.aggregate`` over the position sequence — never
+  unrolled per position, so expression size is O(maxp) regardless of
+  word length or vocab) or, on the r12 Arrow carrier, the same
+  integer DP in one ``mapInPandas`` stage. Three carriers with
+  bit-identical semantics, auto-selected on ``MAP_BCAST_THRESHOLD``
+  (``carrier`` / the legacy ``use_broadcast`` flag override):
 
   - trivial vocabs (≤ 256 pieces): a literal ``map_from_arrays``
     score map, looked up per candidate — zero joins, zero shuffles.
@@ -28,23 +29,31 @@ Per-round plan shape (the ``operators/classifier.py`` pattern):
     vs a flat ~15 s on the join path, BENCH_NOTES r11), so this path
     survives only below the smallest measured point, where per-round
     JOB count rather than per-row cost dominates.
-  - large vocabs: the candidate-ID E-step (r12). A (word, start,
-    plen) candidate layout is broadcast-HASH-joined against the
-    (piece, id) frame and folded into a DENSE per-word PIECE-ID
-    array — ONCE per training, because positions, substrings and the
-    vocab SET are all fixed after seeding. Each round then attaches
-    only the round's score VECTOR (a one-row ``array<long>``
-    broadcast in sorted-piece order) and the Viterbi fold does two
-    O(1) ``element_at`` reads per lookup (slot → piece id → score).
-    Per-round distributed work: one one-row broadcast — no join, no
-    regroup, no corpus shuffle (before r12 every round re-joined the
-    (piece, score) frame and re-built per-word score arrays with
-    collect_list + array_sort; the join E-step was MEASURED at the
-    cliff decade, SCALE_SMOKE_r11 ``unigram_train_k{1,2}_v8k_join``:
-    8192 pieces over the 10M-doc/~500k-word smoke corpus, ~17 s
-    seed+round / ~12.7 s marginal per round — the same E-step whose
-    map carrier could not finish ONE of 32 tasks in >19 min, r10
-    stack-dump).
+  - large vocabs (auto since r12): the ARROW carrier — one
+    ``mapInPandas`` stage per E-step/segmentation running
+    :func:`_segment_word_py` (the exact-integer DP as O(len·maxp)
+    dict lookups on native ints), model shipped as a SparkContext
+    broadcast. Zero joins, zero shuffles, no layout persist; measured
+    at the 10M/8k-vocab cliff decade vs the join carrier (r12 A/B,
+    OPTIMIZATION_r12.md).
+  - ``use_broadcast=True`` / ``carrier='join'``: the candidate-ID
+    JVM E-step (early r12; the ``*_bcast`` queries pin this plan). A
+    (word, start, plen) candidate layout is broadcast-HASH-joined
+    against the (piece, id) frame and folded into a DENSE per-word
+    PIECE-ID array — ONCE per training, because positions,
+    substrings and the vocab SET are all fixed after seeding. Each
+    round then attaches only the round's score VECTOR (a one-row
+    ``array<long>`` broadcast in sorted-piece order) and the Viterbi
+    fold does two O(1) ``element_at`` reads per lookup (slot → piece
+    id → score). Per-round distributed work: one one-row broadcast —
+    no join, no regroup, no corpus shuffle (before r12 every round
+    re-joined the (piece, score) frame and re-built per-word score
+    arrays with collect_list + array_sort; the join E-step was
+    MEASURED at the cliff decade, SCALE_SMOKE_r11
+    ``unigram_train_k{1,2}_v8k_join``: 8192 pieces over the
+    10M-doc/~500k-word smoke corpus, ~17 s seed+round / ~12.7 s
+    marginal per round — the same E-step whose map carrier could not
+    finish ONE of 32 tasks in >19 min, r10 stack-dump).
 * The M-step is one ``groupBy(piece)`` aggregate whose map-side
   combine collapses each task's output to ≤ vocab rows, then a
   model-sized driver collect. Per-round cost is flat in the round
@@ -194,6 +203,87 @@ def _map_score_at(w: Column, pm: Column):
     return score_at
 
 
+def _segment_word_py(w: str | None, scores: dict[str, int],
+                     maxp: int) -> list[str] | None:
+    """Pure-Python replica of ``_forward`` + ``_backtrack`` + the
+    reachability guard, for the Arrow carrier (r12, guide §4.2). The
+    DP is EXACT-INTEGER (piece scores are micro-log ints, path values
+    Python ints), the forward max skips missing/unreachable candidates
+    exactly as ``greatest`` skips NULLs, and the backtrack applies the
+    same fixed smallest-piece-first rule — so segmentations are
+    bit-equal to the JVM folds on every input (pinned by
+    TestArrowCarrier). ``None`` for NULL words and for words containing
+    characters the model never saw (the segment() contract the JVM
+    path expresses as ``when(reachable, ...)``)."""
+    if w is None:
+        return None
+    n = len(w)
+    if n == 0:
+        # the JVM fold on an empty word yields bests=[0,...] with
+        # reachable TRUE and an empty backtrack walk
+        return []
+    bests: list[int | None] = [0] + [None] * n
+    for i in range(1, n + 1):
+        best = None
+        for p in range(1, min(maxp, i) + 1):
+            prev = bests[i - p]
+            if prev is None:
+                continue
+            v = scores.get(w[i - p:i])
+            if v is None:
+                continue
+            s = prev + v
+            if best is None or s > best:
+                best = s
+        bests[i] = best
+    if bests[n] is None:
+        return None
+    pieces: list[str] = []
+    pos = n
+    while pos > 0:
+        target = bests[pos]
+        for p in range(1, min(maxp, pos) + 1):
+            prev = bests[pos - p]
+            if prev is None:
+                continue
+            v = scores.get(w[pos - p:pos])
+            if v is not None and prev + v == target:
+                pieces.append(w[pos - p:pos])
+                pos -= p
+                break
+    pieces.reverse()
+    return pieces
+
+
+def _segment_python(df: DataFrame, word_col: str, out: str,
+                    scores6: dict[str, int], maxp: int) -> DataFrame:
+    """Arrow-carrier E-step/segmenter: ONE ``mapInPandas`` stage that
+    appends the Viterbi segmentation (``array<string>``, NULL when
+    unreachable) to ``df``. The model rides a SparkContext broadcast
+    (one copy per executor, not per task closure); per word the DP is
+    O(len·maxp) dict lookups on native Python ints — versus the JVM
+    fold's interpreted per-candidate expression trees, and versus the
+    join carrier's persisted (word × len × maxp) candidate layout,
+    which this path does not build at all. Map-only: zero joins, zero
+    shuffles, no layout persist; only the input's own columns cross
+    the Arrow boundary (callers project first per guide §4.2)."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(out, ArrayType(StringType()), True)])
+    bc = df.sparkSession.sparkContext.broadcast(scores6)
+
+    def run(batches):
+        scores = bc.value
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out] = [_segment_word_py(w, scores, maxp)
+                        for w in pdf[word_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
 def _forward(w: Column, score_at, maxp: int) -> Column:
     """Viterbi forward pass: ``bests[i+1]`` = best exact-integer path
     value segmenting the first ``i`` chars (1-indexed array; position
@@ -265,6 +355,25 @@ def _backtrack(w: Column, score_at, bests: Column, maxp: int) -> Column:
         F.sequence(F.lit(1), F.length(w)), init, step)["pieces"])
 
 
+def _resolve_carrier(use_broadcast: bool | None, carrier: str | None,
+                     n_pieces: int) -> str:
+    """E-step/segmenter carrier selection: ``carrier`` wins when given
+    ('map' | 'join' | 'arrow'); else the legacy ``use_broadcast`` flag
+    forces a JVM carrier (True → 'join', False → 'map'); else AUTO —
+    the literal score map below :data:`MAP_BCAST_THRESHOLD` (tiny
+    vocabs, where per-round JOB count dominates), the Arrow carrier
+    above it (r12: measured faster than the join carrier at every
+    vocab size — the join path stays reachable via the forced flag,
+    which the ``*_bcast`` queries and plan-shape tests pin)."""
+    if carrier is not None:
+        if carrier not in ("map", "join", "arrow"):
+            raise ValueError(f"unknown carrier {carrier!r}")
+        return carrier
+    if use_broadcast is not None:
+        return "join" if use_broadcast else "map"
+    return "map" if n_pieces <= MAP_BCAST_THRESHOLD else "arrow"
+
+
 class UnigramTrainResult:
     """Result handle for :func:`unigram_train`.
 
@@ -274,18 +383,22 @@ class UnigramTrainResult:
     * ``totals`` — per-round (t, v) normalization pairs, k+1 entries
       (seed first), for diagnostics.
     * ``caches`` — persisted frames; callers own their lifetime.
+    * ``carrier`` — the E-step carrier training used ('map' | 'join'
+      | 'arrow'); the observable the carrier-selection tests pin.
     """
 
-    __slots__ = ("scores6", "counts", "totals", "caches", "_maxp")
+    __slots__ = ("scores6", "counts", "totals", "caches", "_maxp",
+                 "carrier")
 
     def __init__(self, scores6: dict[str, int], counts: dict[str, int],
                  totals: list[tuple[int, int]], caches: list[DataFrame],
-                 maxp: int) -> None:
+                 maxp: int, carrier: str = "map") -> None:
         self.scores6 = scores6
         self.counts = counts
         self.totals = totals
         self.caches = caches
         self._maxp = maxp
+        self.carrier = carrier
 
     def pieces_df(self, spark) -> DataFrame:
         """Pieces used by the final segmentation: (piece, cnt,
@@ -297,20 +410,23 @@ class UnigramTrainResult:
 
     def segment(self, words: DataFrame, word_col: str = "w",
                 out: str = "pieces",
-                use_broadcast: bool | None = None) -> DataFrame:
+                use_broadcast: bool | None = None,
+                carrier: str | None = None) -> DataFrame:
         """Viterbi-segment ``word_col`` under the trained model (the
         tokenizer-apply half). Words containing characters the model
         never saw yield NULL pieces — the caller's contract.
-        ``use_broadcast`` picks the scoring path (``None`` = auto on
-        :data:`MAP_BCAST_THRESHOLD`): a literal score map for small
-        vocabs, the candidate-JOIN layout (O(1) array lookups, one
-        broadcast hash join + word join-back) for large ones;
-        segmentations are bit-equal on either path."""
-        if use_broadcast is None:
-            use_broadcast = len(self.scores6) > MAP_BCAST_THRESHOLD
+        Carrier selection per :func:`_resolve_carrier` (``carrier``
+        wins, then the legacy ``use_broadcast`` flag, then auto):
+        literal score map / candidate-JOIN layout / Arrow
+        ``mapInPandas`` — segmentations are bit-equal on all three
+        paths (pinned by TestBroadcastCarrier / TestArrowCarrier)."""
+        mode = _resolve_carrier(use_broadcast, carrier, len(self.scores6))
+        if mode == "arrow":
+            return _segment_python(words, word_col, out,
+                                   self.scores6, self._maxp)
         w = F.col(word_col)
         reachable = F.element_at(F.col("__bests"), F.length(w) + 1).isNotNull()
-        if not use_broadcast:
+        if mode == "map":
             base = words.withColumn("__pm", _piece_map(self.scores6))
             score_at = _map_score_at(w, F.col("__pm"))
             drops = ("__pm", "__bests")
@@ -350,6 +466,7 @@ def unigram_train(
     maxp: int = MAX_PIECE_LEN,
     maxw: int = MAX_WORD_LEN,
     use_broadcast: bool | None = None,
+    carrier: str | None = None,
 ) -> UnigramTrainResult:
     """Run ``k`` EM rounds of unigram-LM training over a (word, freq)
     vocabulary frame (the same input contract as ``bpe_train``).
@@ -365,11 +482,14 @@ def unigram_train(
     pieces keep their smoothed floor score rather than being pruned,
     which keeps every round's normalization well-defined.
 
-    ``use_broadcast`` picks the E-step scoring path (``None``
-    auto-selects on the vocab size): the literal score map for small
-    vocabs, the candidate-JOIN layout (module docstring) for large
-    ones — identical integer DP either way, so the trained model is
-    bit-equal on both paths.
+    E-step carrier per :func:`_resolve_carrier` (``carrier`` wins,
+    then the legacy ``use_broadcast`` flag, then auto on the vocab
+    size): the literal score map for tiny vocabs, the Arrow
+    ``mapInPandas`` segmenter for large ones (r12 auto default), with
+    the candidate-JOIN layout (module docstring) reachable via
+    ``use_broadcast=True`` / ``carrier='join'`` — identical integer
+    DP on all three paths, so the trained model is bit-equal
+    regardless of carrier.
     """
     w = F.col(word_col)
     base = (word_freq
@@ -397,11 +517,10 @@ def unigram_train(
     scores6 = {p: _score6(c, t, v) for p, c in counts.items()}
     totals = [(t, v)]
 
-    if use_broadcast is None:
-        use_broadcast = len(scores6) > MAP_BCAST_THRESHOLD
+    mode = _resolve_carrier(use_broadcast, carrier, len(scores6))
     pieces_sorted = sorted(scores6)
     layout = None
-    if use_broadcast:
+    if mode == "join":
         # piece-ID layout, built once (r12): positions/substrings AND
         # the vocab SET never change between rounds — only the score
         # VECTOR does — so the candidate join and the per-word regroup
@@ -415,7 +534,12 @@ def unigram_train(
         caches.append(layout)
 
     for _round in range(k):
-        if use_broadcast:
+        if mode == "arrow":
+            # one mapInPandas stage over the persisted (w, freq) base;
+            # no candidate layout, no per-round join — the model rides
+            # an executor broadcast (r12, guide §4.2)
+            seg = _segment_python(base, "w", "pieces", scores6, maxp)
+        elif mode == "join":
             sv = _sv_frame(word_freq.sparkSession, scores6, pieces_sorted)
             score_at = _id_score_at(F.col("__ids"), F.col("__sv"), maxp)
             seg = (layout.crossJoin(F.broadcast(sv))
@@ -442,4 +566,4 @@ def unigram_train(
         scores6 = {p: _score6(c, t, v) for p, c in counts.items()}
         totals.append((t, v))
 
-    return UnigramTrainResult(scores6, counts, totals, caches, maxp)
+    return UnigramTrainResult(scores6, counts, totals, caches, maxp, mode)

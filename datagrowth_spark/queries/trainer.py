@@ -497,11 +497,11 @@ def q_unigram_lm_segments_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     requires, because map-column lookups are linear scans (measured
     r10, see the unigram/classifier module docstrings). The integer
     DP is identical on both paths, so this shares
-    ``unigram_lm_segments``'s oracle verbatim. (Since the r11
-    crossover probe moved ``MAP_BCAST_THRESHOLD`` to 256, the join
-    E-step is ALSO the auto-selected path at this vocab size; the
-    forced flag keeps the plan pinned independent of the
-    threshold.)"""
+    ``unigram_lm_segments``'s oracle verbatim. (The forced flag is
+    what keeps this JVM join plan pinned: auto selection at this
+    vocab size — 228 pieces ≤ MAP_BCAST_THRESHOLD — takes the literal
+    map, and auto for large vocabs takes the r12 Arrow carrier, so
+    no default-path query exercises the join E-step.)"""
     from datagrowth_spark.operators.unigram import unigram_train
 
     res = unigram_train(_bpe_word_freq(spark, sf_dir), k=_UNI_K,

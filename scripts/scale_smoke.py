@@ -315,6 +315,27 @@ def main() -> None:
         timings["unigram_train_k2_v8k_join"]
         - timings["unigram_train_k1_v8k_join"], 2)
 
+    @bench("unigram_train_k1_v8k_arrow")
+    def _():
+        # r12: the Arrow E-step carrier (mapInPandas integer DP, model
+        # as an executor broadcast) at the same cliff decade — the
+        # auto-selected path for >256-piece vocabs since r12. No
+        # candidate layout, no per-round join; bit-equal to the join
+        # carrier (TestArrowCarrier).
+        from datagrowth_spark.operators.unigram import unigram_train
+        unigram_train(_uni_wf, k=1, vocab_multi=8192,
+                      carrier="arrow").cleanup()
+
+    @bench("unigram_train_k2_v8k_arrow")
+    def _():
+        from datagrowth_spark.operators.unigram import unigram_train
+        unigram_train(_uni_wf, k=2, vocab_multi=8192,
+                      carrier="arrow").cleanup()
+
+    timings["unigram_v8k_arrow_per_round_marginal"] = round(
+        timings["unigram_train_k2_v8k_arrow"]
+        - timings["unigram_train_k1_v8k_arrow"], 2)
+
     @bench("pagerank_5m_edges")
     def _():
         # 5 power iterations over a 5M-edge synthetic link graph: each

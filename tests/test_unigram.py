@@ -5,7 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from datagrowth_spark.operators.unigram import (
-    MAX_PIECE_LEN, unigram_train)
+    MAX_PIECE_LEN, _segment_word_py, unigram_train)
 
 
 def _wf(spark, rows):
@@ -163,6 +163,86 @@ class TestBroadcastCarrier:
         finally:
             res.cleanup()
 
+    def test_arrow_train_and_segment_bit_equal(self, spark):
+        """The r12 Arrow carrier (mapInPandas integer DP) trains and
+        segments bit-equal to BOTH JVM carriers — the three-way
+        equality that lets auto select it for large vocabs."""
+        wf = _wf(spark, [("newest", 8), ("widest", 6), ("lowest", 7),
+                         ("low", 5), ("new", 4), ("west", 3)])
+        lit = unigram_train(wf, k=2, vocab_multi=30, carrier="map")
+        ar = unigram_train(wf, k=2, vocab_multi=30, carrier="arrow")
+        try:
+            assert ar.carrier == "arrow" and lit.carrier == "map"
+            assert lit.scores6 == ar.scores6
+            assert lit.counts == ar.counts
+            lseg = {r["w"]: list(r["pieces"])
+                    for r in lit.segment(lit.caches[0],
+                                         carrier="map").collect()}
+            aseg = {r["w"]: list(r["pieces"])
+                    for r in ar.segment(ar.caches[0],
+                                        carrier="arrow").collect()}
+            assert lseg == aseg
+        finally:
+            lit.cleanup()
+            ar.cleanup()
+
+    def test_arrow_is_the_auto_carrier_above_threshold(self, spark):
+        """Auto selection: tiny vocab → literal map (job count
+        dominates), past MAP_BCAST_THRESHOLD → the Arrow segmenter;
+        the join carrier stays reachable only via the forced flag
+        (the *_bcast queries' contract)."""
+        wf = _wf(spark, [("newest", 8), ("widest", 6), ("lowest", 7)])
+        small = unigram_train(wf, k=1, vocab_multi=5)
+        forced = unigram_train(wf, k=1, vocab_multi=5, use_broadcast=True)
+        try:
+            assert small.carrier == "map"
+            assert forced.carrier == "join"
+        finally:
+            small.cleanup()
+            forced.cleanup()
+        import random
+        rng = random.Random(3)
+        words = {"".join(rng.choice("abcdef") for _ in range(rng.randint(4, 12))):
+                 rng.randint(1, 9) for _ in range(400)}
+        big = unigram_train(_wf(spark, list(words.items())), k=1,
+                            vocab_multi=400)
+        try:
+            assert len(big.scores6) > 256  # fixture really crosses the bound
+            assert big.carrier == "arrow"
+        finally:
+            big.cleanup()
+
+    def test_arrow_unseen_char_and_null_word(self, spark):
+        """Contract parity on the degenerate inputs: OOV char → NULL
+        pieces, NULL word → NULL pieces — exactly the JVM
+        when(reachable, ...) semantics."""
+        wf = _wf(spark, [("abc", 3), ("bca", 2)])
+        res = unigram_train(wf, k=1, vocab_multi=10)
+        try:
+            frame = spark.createDataFrame([("abz",), (None,)], "w string")
+            rows = {r["w"]: r["pieces"]
+                    for r in res.segment(frame, carrier="arrow").collect()}
+            assert rows["abz"] is None
+            assert rows[None] is None
+        finally:
+            res.cleanup()
+
+    def test_segment_word_py_smallest_piece_tiebreak(self):
+        """On a tied optimum the backtrack must take the SMALLEST
+        piece length first — the fixed rule both JVM carriers and the
+        oracle apply. scores: 'ab'+'c' ties 'a'+'bc' ties 'abc'; the
+        walk runs right-to-left, so at pos 3 the 1-char 'c' wins, then
+        at pos 2 the 1-char 'b', then 'a'."""
+        scores = {"a": -10, "b": -10, "c": -10,
+                  "ab": -20, "bc": -20, "abc": -30}
+        assert _segment_word_py("abc", scores, 4) == ["a", "b", "c"]
+        # drop the single chars: the 2-gram split must win over 'abc'
+        scores2 = {"ab": -20, "c": -10, "abc": -30}
+        assert _segment_word_py("abc", scores2, 4) == ["ab", "c"]
+        assert _segment_word_py("", scores, 4) == []
+        assert _segment_word_py(None, scores, 4) is None
+        assert _segment_word_py("zz", scores, 4) is None
+
     def test_maxp8_large_vocab_paths_equal(self, spark):
         """Realistic structural bounds: maxp=8 with a multi-thousand-
         piece seed vocab on a zipf-ish synthetic corpus. Pins (a) the
@@ -187,19 +267,28 @@ class TestBroadcastCarrier:
                             use_broadcast=False)
         bc = unigram_train(wf, k=1, vocab_multi=4000, maxp=8,
                            use_broadcast=True)
+        ar = unigram_train(wf, k=1, vocab_multi=4000, maxp=8,
+                           carrier="arrow")
         try:
             assert len(lit.scores6) > 2000  # the fixture really is big
             assert lit.scores6 == bc.scores6
+            assert lit.scores6 == ar.scores6  # r12 Arrow carrier too
+            assert lit.counts == ar.counts
             lseg = {r["w"]: list(r["pieces"])
                     for r in lit.segment(lit.caches[0], use_broadcast=False)
                     .collect()}
             bseg = {r["w"]: list(r["pieces"])
                     for r in bc.segment(bc.caches[0], use_broadcast=True)
                     .collect()}
+            aseg = {r["w"]: list(r["pieces"])
+                    for r in ar.segment(ar.caches[0], carrier="arrow")
+                    .collect()}
             assert lseg == bseg
+            assert lseg == aseg
             heavy = lseg["abcdefghab"]
             assert "".join(heavy) == "abcdefghab"
             assert any(len(p) >= 4 for p in heavy), heavy
         finally:
             lit.cleanup()
             bc.cleanup()
+            ar.cleanup()
