@@ -370,6 +370,19 @@ def ngram_jaccard_pairs(
         posts = posts.where(F.size("ids") <= max_shingle_df)
     pairs = posts.select(F.explode(F.expr(_SIZED_PAIRS_EXPR)).alias("p")) \
         .select("p.id_a", "p.size_a", "p.id_b", "p.size_b")
+    # Size-ratio prune (r13, guide §2.3 — filter below the pair
+    # exchange): inter <= min(|A|,|B|), and i/(sa+sb-i) is increasing
+    # in i, so round(min/(sa+sb-min), 6) is an upper bound on the
+    # rounded jaccard (round is monotone). Pairs whose BOUND misses the
+    # threshold can never pass the final filter — dropping them here is
+    # provably result-identical for any threshold, runs map-side in the
+    # same codegen stage as the explode, and cuts the pair-exchange
+    # volume wherever document sizes are heterogeneous (at 100 TB a
+    # boilerplate stub sharing one shingle with a book never ships).
+    _lo = F.least("size_a", "size_b")
+    pairs = pairs.where(
+        F.round(_lo / (F.col("size_a") + F.col("size_b") - _lo), 6)
+        >= threshold)
     inter = pairs.groupBy("id_a", "id_b", "size_a", "size_b") \
         .agg(F.count("*").alias("inter"))
     return (

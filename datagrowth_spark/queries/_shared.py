@@ -138,12 +138,29 @@ _SHINGLES_SQL = f"""
 
 
 
+#: Stop-shingle skew guard for every jaccard/containment QUERY path
+#: (r13, guide §2.5): shingles shared by more than this many documents
+#: are excluded from pair generation — without it one corpus-wide
+#: shingle makes the posting-list explode emit |corpus|² pairs. Same
+#: treatment the winnow family has had since its build round (its
+#: ``max_fp_df`` default is also 64). The cap is part of each query's
+#: DECLARED semantics, so it is mirrored verbatim in the DuckDB oracle
+#: CTEs below (the ``kept`` CTE) — at the shipped test SFs it is
+#: side-effect-free (max shingle df at sf0.1 is 25), which the oracle
+#: hash-match re-proves; at 100 TB it is the bound that keeps the pair
+#: stage linear-ish. Per-doc |shingle set| DENOMINATORS are computed
+#: over the UNFILTERED shingle sets on both engines.
+_JACCARD_DF_CAP = 64
+
+
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH sh AS ({_SHINGLES_SQL}),
 sizes AS (SELECT id, COUNT(*) AS n_shingles FROM sh GROUP BY id),
+kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_JACCARD_DF_CAP}),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  JOIN kept k ON k.shingle = a.shingle
   GROUP BY a.id, b.id
 )
 SELECT id_a, id_b,
@@ -324,7 +341,8 @@ def _leakage_safe_split_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datagrowth_spark.operators.sampling import hash_bucket
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1,
+                                   max_shingle_df=_JACCARD_DF_CAP)
     clusters = dedup_clusters(pairs).select("doc_id", "cluster_id")
     grouped = docs.select("doc_id").join(clusters, "doc_id", "left") \
         .withColumn("group_key", F.coalesce("cluster_id", F.col("doc_id")))

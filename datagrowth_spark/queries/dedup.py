@@ -18,7 +18,7 @@ from datagrowth_spark.sources import testclient as TC
 from datagrowth_spark.core.caching import persist_registered as _persist
 from datagrowth_spark.core.caching import register as _register_cache
 from datagrowth_spark.core.caching import release as release_caches
-from datagrowth_spark.queries._shared import SQL_DEDUP_NGRAM_JACCARD, _BANDS, _NUM_HASHES, _RAW_TOKS_SQL, _SHINGLES_SQL, _TOKS_SQL, _WINNOW_CTES, _mh_expr_sql, _t  # noqa: E501
+from datagrowth_spark.queries._shared import SQL_DEDUP_NGRAM_JACCARD, _BANDS, _JACCARD_DF_CAP, _NUM_HASHES, _RAW_TOKS_SQL, _SHINGLES_SQL, _TOKS_SQL, _WINNOW_CTES, _mh_expr_sql, _t  # noqa: E501
 
 
 
@@ -325,7 +325,8 @@ SQL_DEDUP_PARAGRAPHS_FUZZY = _para_fuzzy_sql()
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id",
-                                  n=3, threshold=0.1)
+                                  n=3, threshold=0.1,
+                                  max_shingle_df=_JACCARD_DF_CAP)
 
 
 
@@ -334,16 +335,19 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A∩B|/|A| over hashed 3-gram shingle sets — catches subset/quote
     relationships symmetric Jaccard scores near zero."""
     return DD.ngram_containment_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id",
-                                      n=3, threshold=0.5)
+                                      n=3, threshold=0.5,
+                                      max_shingle_df=_JACCARD_DF_CAP)
 
 
 
 SQL_DEDUP_CONTAINMENT = f"""
 WITH sh AS ({_SHINGLES_SQL}),
 sizes AS (SELECT id, COUNT(*) AS n_shingles FROM sh GROUP BY id),
+kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_JACCARD_DF_CAP}),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  JOIN kept k ON k.shingle = a.shingle
   GROUP BY a.id, b.id
 )
 SELECT id_a, id_b,
@@ -444,7 +448,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datagrowth_spark.operators.graph import dedup_clusters
 
     pairs = DD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id",
-                                   n=3, threshold=0.1)
+                                   n=3, threshold=0.1,
+                                   max_shingle_df=_JACCARD_DF_CAP)
     return dedup_clusters(pairs).select(
         "doc_id", "cluster_id", F.col("cluster_size").cast("long").alias("cluster_size"),
         "is_canonical",
@@ -490,7 +495,8 @@ def q_dedup_canonicalize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     quality = TX.add_quality_score(docs, out="quality").select(
         "doc_id", "quality")
-    pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1,
+                                   max_shingle_df=_JACCARD_DF_CAP)
     clusters = dedup_clusters(pairs).select("doc_id", "cluster_id")
     member = quality.join(clusters, "doc_id", "left")  # cluster_id null ⇒ singleton
     # struct-max = (quality DESC, doc_id ASC): negated id makes the
