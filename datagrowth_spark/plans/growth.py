@@ -337,14 +337,22 @@ class GrowthProcessor:
         requests = self._build_requests(pending).persist()
         try:
             fetch_kwargs = {"transport": self.transport} if self.transport else {}
-            responses = fetch(requests.select([f.name for f in REQUEST_SCHEMA.fields]),
-                              cache, **fetch_kwargs)
+            # return_responses=False: the join-back below restricts the
+            # cache scan to this batch's signatures BY ITSELF (left join
+            # on signature), so fetch's own result semi-join — and the
+            # signature-frame localCheckpoint job that feeds it — would
+            # duplicate that filter (r13, guide §2.4: one scan + one
+            # join instead of two joins; fewer driver jobs per grow
+            # cycle). Misses are appended to the cache inside the call,
+            # so the pages are committed before latest() is planned.
+            fetch(requests.select([f.name for f in REQUEST_SCHEMA.fields]),
+                  cache, return_responses=False, **fetch_kwargs)
             # Two strings per pending document — the minimal state the
             # join-back needs; eager so `requests` can be unpersisted.
             id_sig = requests.select("identity", "signature").localCheckpoint(eager=True)
         finally:
             requests.unpersist()
-        joined = id_sig.join(responses, "signature", "left")
+        joined = id_sig.join(cache.latest(), "signature", "left")
         contributions = self._extract_contributions(joined)
 
         phase = self.phase

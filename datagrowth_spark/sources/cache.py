@@ -442,6 +442,8 @@ def fetch(
     follow: tuple[Callable[[dict], dict | None], int] | None = None,
     return_responses: bool = True,
     now_fn: Callable[[], "object"] | None = None,
+    unique_signatures: bool = False,
+    n_requests: int | None = None,
 ) -> DataFrame | None:
     """The cached fetch operator: requests in, responses out.
 
@@ -458,6 +460,14 @@ def fetch(
     callers that read the cache relationally afterwards (the pagination
     drivers) skip the followed-page signature collect entirely, so no
     driver structure scales with the page count.
+
+    ``unique_signatures=True`` promises the caller already deduplicated
+    signatures (e.g. a driver-walker frontier keyed by signature) — the
+    per-call dedup exchange is skipped (r13, guide §2.4: the pipeline
+    family's per-run cost is driver-round/job count, and every removed
+    exchange is one fewer AQE materialization job). ``n_requests`` is
+    the driver-known request count; on the cold path (empty cache →
+    every request is a miss) it replaces the miss-count job.
     """
     spark = requests_df.sparkSession
     req_fields = [f.name for f in REQUEST_SCHEMA.fields]
@@ -466,13 +476,18 @@ def fetch(
     # persist each consumer re-runs the (often Python) request-building
     # lineage. Small frame by construction (requests, not payloads).
     if BUDGET_COL in requests_df.columns:
-        # Converging chains may reach one signature with different
-        # remaining budgets — the generous one wins (never undershoots;
-        # the walk still caps at follow's limit).
-        requests_df = requests_df.select(req_fields + [BUDGET_COL]).groupBy("signature").agg(
-            *[F.first(f).alias(f) for f in req_fields if f != "signature"],
-            F.max(BUDGET_COL).alias(BUDGET_COL),
-        ).persist()
+        if unique_signatures:
+            requests_df = requests_df.select(req_fields + [BUDGET_COL]).persist()
+        else:
+            # Converging chains may reach one signature with different
+            # remaining budgets — the generous one wins (never
+            # undershoots; the walk still caps at follow's limit).
+            requests_df = requests_df.select(req_fields + [BUDGET_COL]).groupBy("signature").agg(
+                *[F.first(f).alias(f) for f in req_fields if f != "signature"],
+                F.max(BUDGET_COL).alias(BUDGET_COL),
+            ).persist()
+    elif unique_signatures:
+        requests_df = requests_df.select(req_fields).persist()
     else:
         requests_df = requests_df.select(req_fields) \
             .dropDuplicates(["signature"]).persist()
@@ -501,7 +516,8 @@ def fetch(
         # signature forever and the document could never be enriched.
         # cache_only replay is the exception: nothing can be re-sent, so
         # serve whatever is cached (hermetic fixture mode).
-        if cache.is_empty():
+        cold = cache.is_empty()
+        if cold:
             # Cold path: nothing committed yet, every request is a miss —
             # skip the hit-lookup join (and its latest() window) entirely.
             misses = requests_df.persist()
@@ -520,7 +536,10 @@ def fetch(
             ).persist()
         extra_sigs: list = []
         try:
-            n_misses = misses.count()
+            # Cold path with a driver-known request count: every request
+            # IS a miss, so the count job is pure overhead (r13).
+            n_misses = (n_requests if cold and n_requests is not None
+                        else misses.count())
             if n_misses:
                 if cache_only:
                     raise LookupError(

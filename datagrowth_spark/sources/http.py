@@ -215,17 +215,29 @@ def paginated_fetch(
                     if req["signature"] not in known}
         if frontier:
             follow = (next_request, limit) if next_request is not None else None
-            reqs_df = requests_to_df(spark, [req for req, _ in frontier.values()])
-            budgets = spark.createDataFrame(
-                [(sig, budget) for sig, (_, budget) in frontier.items()],
-                f"signature string, {BUDGET_COL} int")
+            # Requests AND budgets are driver lists here, so the budget
+            # column is attached driver-side — the old two-frame join
+            # cost an exchange + two AQE materialization jobs per
+            # pagination round to match rows the driver already had
+            # paired (r13, guide §2.4). The frontier dict is keyed by
+            # signature, so the batch is unique by construction and the
+            # driver knows its size — both passed through so fetch()
+            # skips its dedup exchange and, on a cold cache, the
+            # miss-count job.
+            rows = [tuple(req.get(f.name) for f in REQUEST_SCHEMA.fields)
+                    + (budget,) for req, budget in frontier.values()]
+            reqs_df = spark.createDataFrame(
+                rows, T.StructType(
+                    list(REQUEST_SCHEMA.fields)
+                    + [T.StructField(BUDGET_COL, T.IntegerType())]))
             # No materializing action needed on the returned frame:
             # fetch() appends misses to the cache eagerly inside the
             # call, so the pages are on disk when it returns — a
             # .count() here would only re-read the cache for nothing
             # (one extra job per pagination round).
-            fetch(reqs_df.join(budgets, "signature"), cache, follow=follow,
-                  return_responses=False, **fetch_kwargs)
+            fetch(reqs_df, cache, follow=follow,
+                  return_responses=False, unique_signatures=True,
+                  n_requests=len(frontier), **fetch_kwargs)
             gather(list(frontier))
         # Walk every chain as far as the edge dict reaches.
         advanced: list[tuple[dict, int]] = []
